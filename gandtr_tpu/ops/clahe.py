@@ -1,0 +1,145 @@
+"""CLAHE (Contrast-Limited Adaptive Histogram Equalization) in pure JAX,
+bit-exact vs cv2.createCLAHE on uint8 inputs.
+
+This is the hot preprocessing op of the reference: every descriptor-model input
+goes through LAB-CLAHE (clip 1.0, grid 8×8) and the fine-tune loop applies it
+between generator and embedding net per augmented image on the CPU
+(/root/reference/mdir/components/data/wrapper.py:325-348,
+ /root/reference/mdir/components/data/transform/functional.py:140-168).
+Here it is a fused on-device op staged inside the same jit as the models.
+
+Algorithm (OpenCV clahe.cpp semantics):
+  1. pad right/bottom with BORDER_REFLECT_101 so H, W divide the tile grid
+  2. per-tile 256-bin histogram
+  3. clip at max(int(clip_limit * tile_area / 256), 1); redistribute the excess
+     floor-uniformly, remainder to every (256//residual)-th bin
+  4. LUT per tile: round_half_even(cumsum * 255 / tile_area)
+  5. per-pixel bilinear interpolation between the 4 neighbouring tile LUTs with
+     half-pixel tile coordinates, round-half-even to uint8
+"""
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gandtr_tpu.ops import colorspace as cs
+
+
+def _clip_histogram(hist, clip_limit):
+    """Clip histogram at integer clip_limit and redistribute excess (per tile).
+
+    hist: (..., 256) int32; clip_limit: scalar int.
+    """
+    clipped = jnp.sum(jnp.maximum(hist - clip_limit, 0), axis=-1, keepdims=True)
+    hist = jnp.minimum(hist, clip_limit)
+    redist = clipped // 256
+    residual = clipped - redist * 256  # (..., 1), in [0, 255]
+    hist = hist + redist
+    # residual distributed to bins i*step, step = max(256//residual, 1):
+    # bin j gets +1 iff j % step == 0 and j // step < residual
+    step = jnp.maximum(256 // jnp.maximum(residual, 1), 1)
+    bins = jnp.arange(256)
+    bonus = (bins % step == 0) & (bins // step < residual)
+    return hist + bonus.astype(hist.dtype)
+
+
+def _round_half_even_u8(x):
+    """cv::saturate_cast<uchar>(float): round-half-to-even then clamp."""
+    return jnp.clip(jnp.round(x), 0, 255).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("clip_limit", "grid_size"))
+def clahe_u8(img, clip_limit=4.0, grid_size=(8, 8)):
+    """CLAHE on a single-channel uint8 image. img: (H, W) uint8 -> (H, W) uint8.
+
+    Bit-exact vs cv2.createCLAHE(clipLimit=clip_limit, tileGridSize=grid_size).
+    """
+    if isinstance(grid_size, int):
+        grid_size = (grid_size, grid_size)
+    H, W = img.shape
+    ty, tx = grid_size
+
+    # pad right/bottom to tile multiple with BORDER_REFLECT_101
+    tile_h = -(-H // ty)
+    tile_w = -(-W // tx)
+    pad_h = tile_h * ty - H
+    pad_w = tile_w * tx - W
+    padded = jnp.pad(img, ((0, pad_h), (0, pad_w)), mode="reflect")
+
+    tile_area = tile_h * tile_w
+    if clip_limit > 0:
+        climit = max(int(clip_limit * tile_area / 256.0), 1)
+    else:
+        climit = tile_area  # no clipping
+
+    # per-tile histograms via segment-sum on combined (tile, value) ids
+    tiles = padded.reshape(ty, tile_h, tx, tile_w).transpose(0, 2, 1, 3)
+    tiles = tiles.reshape(ty * tx, tile_area)
+    tile_ids = jnp.arange(ty * tx, dtype=jnp.int32)[:, None]
+    ids = (tile_ids * 256 + tiles.astype(jnp.int32)).reshape(-1)
+    hist = jax.ops.segment_sum(jnp.ones_like(ids), ids,
+                               num_segments=ty * tx * 256).reshape(ty * tx, 256)
+
+    hist = _clip_histogram(hist, climit)
+    lut_scale = 255.0 / tile_area
+    lut = _round_half_even_u8(jnp.cumsum(hist, axis=-1) * lut_scale)
+    lut = lut.reshape(ty, tx, 256)
+
+    # bilinear interpolation over the original (unpadded) extent.
+    # Coordinates depend only on static shapes, so they are computed host-side
+    # with numpy float32 — bit-identical to cv2's `x * (1/tileW) - 0.5` chain
+    # (XLA constant folding would evaluate the same graph in excess precision).
+    def tile_coords(n, tsize, tcount):
+        inv = np.float32(1.0) / np.float32(tsize)
+        f = np.arange(n, dtype=np.float32) * inv - np.float32(0.5)
+        i1 = np.floor(f).astype(np.int32)
+        a = (f - i1).astype(np.float32)
+        i2 = np.clip(i1 + 1, 0, tcount - 1)
+        i1 = np.clip(i1, 0, tcount - 1)
+        return jnp.asarray(i1), jnp.asarray(i2), jnp.asarray(a)
+
+    ty1, ty2, ya = tile_coords(H, tile_h, ty)
+    tx1, tx2, xa = tile_coords(W, tile_w, tx)
+
+    v = img.astype(jnp.int32)
+    # gather the 4 neighbouring LUT values per pixel
+    l11 = lut[ty1[:, None], tx1[None, :], v].astype(jnp.float32)
+    l12 = lut[ty1[:, None], tx2[None, :], v].astype(jnp.float32)
+    l21 = lut[ty2[:, None], tx1[None, :], v].astype(jnp.float32)
+    l22 = lut[ty2[:, None], tx2[None, :], v].astype(jnp.float32)
+
+    xa_ = xa[None, :]
+    ya_ = ya[:, None]
+    # cv2 evaluates this chain as individually-rounded f32 mul/add; XLA's fuser
+    # would contract mul+add into FMA, flipping round-half-even ties by 1 ulp.
+    # optimization_barrier pins each product to a separately-rounded f32 value.
+    b = lambda v: jax.lax.optimization_barrier(v)
+    top = b(l11 * (1 - xa_)) + b(l12 * xa_)
+    bot = b(l21 * (1 - xa_)) + b(l22 * xa_)
+    res = b(top * (1 - ya_)) + b(bot * ya_)
+    return _round_half_even_u8(res)
+
+
+def channel_clahe(chan, clip_limit, grid_size):
+    """Reference ChannelClahe.apply (functional.py:147-151): float[0,1] channel
+    -> truncate to uint8 at 255 -> CLAHE -> /255 float."""
+    u8 = (jnp.clip(chan, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+    return clahe_u8(u8, clip_limit, grid_size).astype(jnp.float32) / 255.0
+
+
+def image_clahe(img, clip_limit=4.0, grid_size=8, colorspace="lab"):
+    """Reference ImageClahe.apply: CLAHE on the lightness channel of `colorspace`,
+    back to RGB. img: (H, W, 3) float RGB in [0,1]."""
+    spc = cs.rgb2normspace(img, colorspace)
+    L = channel_clahe(spc[..., 0], clip_limit, grid_size)
+    spc = spc.at[..., 0].set(L)
+    return cs.normspace2rgb(spc, colorspace)
+
+
+def image_colorspace_clahe(img, clip_limit=4.0, grid_size=8, colorspace="lab"):
+    """Reference ImageColorspaceClahe.apply: like image_clahe but stays in the
+    normalized colorspace (no conversion back)."""
+    spc = cs.rgb2normspace(img, colorspace)
+    L = channel_clahe(spc[..., 0], clip_limit, grid_size)
+    return spc.at[..., 0].set(L)

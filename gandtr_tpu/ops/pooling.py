@@ -1,0 +1,91 @@
+"""Global pooling ops for descriptor networks.
+
+TPU-native re-design of the reference pooling functional
+(/root/reference/mdir/external/cirtorch/layers/functional.py:12-75): NHWC layout,
+pure functions over static shapes so XLA fuses the elementwise power/clamp chain
+into the reduction. `p` may be a scalar (GeM) or per-channel vector (GeMmp).
+"""
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def mac(x):
+    """Max pooling over spatial dims. x: (N, H, W, C) -> (N, C)."""
+    return jnp.max(x, axis=(1, 2))
+
+
+def spoc(x):
+    """Average (sum) pooling over spatial dims. x: (N, H, W, C) -> (N, C)."""
+    return jnp.mean(x, axis=(1, 2))
+
+
+def gem(x, p=3.0, eps=1e-6):
+    """Generalized-mean pooling: mean(clamp(x, eps)^p)^(1/p) over H, W.
+
+    Matches reference `gem` (functional.py:21-23). x: (N, H, W, C) -> (N, C).
+    p broadcasts: scalar or (C,) for the per-channel GeMmp variant.
+    """
+    p = jnp.asarray(p, dtype=x.dtype)
+    x = jnp.clip(x, min=eps)
+    return jnp.mean(x ** p, axis=(1, 2)) ** (1.0 / p)
+
+
+def _rmac_regions(W, H, L=3):
+    """Static R-MAC region grid (y, x, size) matching functional.py:26-75.
+
+    Region geometry depends only on the (static) spatial shape, so it is
+    computed in Python at trace time — XLA sees a fixed set of slices.
+    """
+    ovr = 0.4
+    steps = [2, 3, 4, 5, 6, 7]
+    w = min(W, H)
+    # choose number of regions for the long dimension
+    best, idx = None, 0
+    for i, s in enumerate(steps):
+        b = (max(H, W) - w) / (s - 1)
+        val = abs(((w * w - w * b) / (w * w)) - ovr)
+        if best is None or val < best:
+            best, idx = val, i
+    Wd = idx + 1 if H < W else 0
+    Hd = idx + 1 if H > W else 0
+
+    regions = []
+    for l in range(1, L + 1):
+        wl = math.floor(2 * w / (l + 1))
+        wl2 = math.floor(wl / 2 - 1)
+        if wl == 0:
+            continue
+        bW = 0 if l + Wd == 1 else (W - wl) / (l + Wd - 1)
+        cenW = [math.floor(wl2 + i_ * bW) - wl2 for i_ in range(l - 1 + Wd + 1)]
+        bH = 0 if l + Hd == 1 else (H - wl) / (l + Hd - 1)
+        cenH = [math.floor(wl2 + i_ * bH) - wl2 for i_ in range(l - 1 + Hd + 1)]
+        for i_ in cenH:
+            for j_ in cenW:
+                regions.append((int(i_), int(j_), wl))
+    return regions
+
+
+def rmac(x, L=3, eps=1e-6):
+    """Regional MAC: sum of L2-normalized per-region max-pools (functional.py:26-75).
+
+    x: (N, H, W, C) -> (N, C). Region set is static given the input shape.
+    """
+    N, H, W, C = x.shape
+    v = mac(x)
+    v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + eps)
+    for (i, j, wl) in _rmac_regions(W, H, L):
+        r = jax.lax.dynamic_slice(x, (0, i, j, 0), (N, wl, wl, C))
+        vt = mac(r)
+        vt = vt / (jnp.linalg.norm(vt, axis=-1, keepdims=True) + eps)
+        v = v + vt
+    return v
+
+
+POOLINGS = {
+    "mac": mac,
+    "spoc": spoc,
+    "gem": gem,
+    "rmac": rmac,
+}

@@ -1,0 +1,52 @@
+"""Bilinear resize matching torch F.interpolate(mode='bilinear',
+align_corners=False, antialias=False) exactly — the op behind the reference's
+multiscale descriptor aggregation (/root/reference/mdir/components/data/
+wrapper.py:224-233) whose numerics feed published mAPs.
+
+jax.image.resize antialias behaviour differs from torch on downscaling, hence
+this explicit gather-based implementation. NHWC layout.
+"""
+import jax.numpy as jnp
+
+
+def _source_coords(out_size, in_size, scale=None):
+    # torch semantics: with an explicit scale_factor the mapping uses
+    # 1/scale_factor, otherwise in/out (aten area_pixel_compute_scale)
+    if scale is None:
+        scale = in_size / out_size
+    src = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * scale - 0.5
+    src = jnp.clip(src, 0.0, None)
+    i0 = jnp.floor(src).astype(jnp.int32)
+    i0 = jnp.clip(i0, 0, in_size - 1)
+    i1 = jnp.clip(i0 + 1, 0, in_size - 1)
+    w1 = jnp.clip(src - i0.astype(jnp.float32), 0.0, 1.0)
+    return i0, i1, w1
+
+
+def bilinear_resize(x, out_h, out_w, scale=None):
+    """x: (N, H, W, C) -> (N, out_h, out_w, C), torch-bilinear semantics.
+
+    Pass `scale` when mimicking F.interpolate(scale_factor=...) — torch then
+    maps coordinates with 1/scale_factor instead of in/out.
+    """
+    N, H, W, C = x.shape
+    y0, y1, wy = _source_coords(out_h, H, None if scale is None else 1.0 / scale)
+    x0, x1, wx = _source_coords(out_w, W, None if scale is None else 1.0 / scale)
+
+    top = x[:, y0, :, :] * (1 - wy)[None, :, None, None] + x[:, y1, :, :] * wy[None, :, None, None]
+    out = top[:, :, x0, :] * (1 - wx)[None, None, :, None] + top[:, :, x1, :] * wx[None, None, :, None]
+    return out
+
+
+def scale_resize(x, scale):
+    """F.interpolate(scale_factor=scale): output size floor(in * scale)."""
+    N, H, W, C = x.shape
+    return bilinear_resize(x, int(H * scale), int(W * scale), scale=scale)
+
+
+def nearest_resize(x, out_h, out_w):
+    """torch F.interpolate(mode='nearest'): src = floor(dst * in/out)."""
+    N, H, W, C = x.shape
+    ys = jnp.clip((jnp.arange(out_h) * H // out_h), 0, H - 1)
+    xs = jnp.clip((jnp.arange(out_w) * W // out_w), 0, W - 1)
+    return x[:, ys, :, :][:, :, xs, :]

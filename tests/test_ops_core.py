@@ -1,0 +1,195 @@
+"""Golden tests: core ops vs torch/numpy implementations of the reference math.
+
+The torch expressions below are written from the reference's *documented
+semantics* (SURVEY.md §2.9) — e.g. gem = avg_pool(clamp(x,eps)^p)^(1/p) — and
+act as independent oracles for the JAX ops.
+"""
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+import jax
+import jax.numpy as jnp
+
+from gandtr_tpu.ops import pooling, norm, losses, whiten, ranking
+
+
+def t2j(x):
+    return jnp.asarray(x.detach().numpy())
+
+
+class TestPooling:
+    def setup_method(self, _):
+        torch.manual_seed(0)
+        self.x_t = torch.randn(2, 64, 13, 17)  # NCHW
+        self.x_j = jnp.asarray(self.x_t.numpy().transpose(0, 2, 3, 1))  # NHWC
+
+    def test_mac(self):
+        ref = F.max_pool2d(self.x_t, (13, 17)).squeeze(-1).squeeze(-1)
+        np.testing.assert_allclose(pooling.mac(self.x_j), ref.numpy(), rtol=1e-6)
+
+    def test_spoc(self):
+        ref = F.avg_pool2d(self.x_t, (13, 17)).squeeze(-1).squeeze(-1)
+        np.testing.assert_allclose(pooling.spoc(self.x_j), ref.numpy(), rtol=1e-5, atol=1e-6)
+
+    @pytest.mark.parametrize("p", [3.0, 1.5, 6.0])
+    def test_gem(self, p):
+        ref = F.avg_pool2d(self.x_t.clamp(min=1e-6).pow(p), (13, 17)).pow(1.0 / p)
+        ref = ref.squeeze(-1).squeeze(-1)
+        np.testing.assert_allclose(pooling.gem(self.x_j, p=p), ref.numpy(), rtol=1e-4, atol=1e-6)
+
+    def test_gem_per_channel_p(self):
+        p = torch.linspace(2.0, 4.0, 64)
+        ref = F.avg_pool2d(self.x_t.clamp(min=1e-6).pow(p[None, :, None, None]), (13, 17))
+        ref = ref.pow(1.0 / p[None, :, None, None]).squeeze(-1).squeeze(-1)
+        out = pooling.gem(self.x_j, p=jnp.asarray(p.numpy()))
+        np.testing.assert_allclose(out, ref.numpy(), rtol=1e-4, atol=1e-6)
+
+    def test_rmac_shape_and_range(self):
+        # R-MAC oracle: reimplementation is structural; verify vs brute-force torch
+        x_t = torch.randn(1, 8, 32, 45)
+        x_j = jnp.asarray(x_t.numpy().transpose(0, 2, 3, 1))
+        out = pooling.rmac(x_j, L=3)
+        assert out.shape == (1, 8)
+        # first term is the l2-normalized global MAC; with L=0 regions sum==that
+        v = F.max_pool2d(x_t, (32, 45)).squeeze()
+        v = v / (v.norm() + 1e-6)
+        # full rmac must differ from global-only (regions contribute)
+        assert not np.allclose(out[0], v.numpy(), atol=1e-3)
+
+
+class TestNorm:
+    def test_l2n(self):
+        torch.manual_seed(1)
+        x_t = torch.randn(5, 128)
+        ref = x_t / (torch.norm(x_t, p=2, dim=1, keepdim=True) + 1e-6)
+        np.testing.assert_allclose(norm.l2n(t2j(x_t)), ref.numpy(), rtol=1e-6)
+
+    def test_instance_norm(self):
+        torch.manual_seed(2)
+        x_t = torch.randn(2, 16, 20, 24)
+        ref = F.instance_norm(x_t)
+        out = norm.instance_norm(jnp.asarray(x_t.numpy().transpose(0, 2, 3, 1)))
+        np.testing.assert_allclose(out, ref.numpy().transpose(0, 2, 3, 1), rtol=1e-4, atol=1e-5)
+
+
+class TestLosses:
+    def _torch_contrastive(self, x, label, margin, eps=1e-6):
+        # independent oracle following functional.py:141-157 semantics
+        dim = x.size(0)
+        nq = int(torch.sum(label.data == -1))
+        S = x.size(1) // nq
+        x1 = x[:, ::S].permute(1, 0).repeat(1, S - 1).view((S - 1) * nq, dim).permute(1, 0)
+        idx = [i for i in range(len(label)) if label.data[i] != -1]
+        x2 = x[:, idx]
+        lbl = label[label != -1]
+        dif = x1 - x2
+        D = torch.pow(dif + eps, 2).sum(dim=0).sqrt()
+        y = 0.5 * lbl * torch.pow(D, 2) + 0.5 * (1 - lbl) * torch.pow(torch.clamp(margin - D, min=0), 2)
+        return torch.sum(y)
+
+    def test_contrastive(self):
+        torch.manual_seed(3)
+        nq, S, D = 4, 7, 32
+        x = F.normalize(torch.randn(D, nq * S), dim=0)
+        label = torch.tensor(([-1, 1] + [0] * (S - 2)) * nq, dtype=torch.float32)
+        ref = self._torch_contrastive(x, label, margin=0.75)
+        out = losses.contrastive_loss(t2j(x), jnp.asarray(label.numpy()), num_tuples=nq, margin=0.75)
+        np.testing.assert_allclose(out, ref.numpy(), rtol=1e-4)
+
+    def test_bce_with_logits(self):
+        torch.manual_seed(4)
+        x = torch.randn(6, 1, 30, 30)
+        t = torch.rand(6, 1, 30, 30)
+        ref = F.binary_cross_entropy_with_logits(x, t)
+        np.testing.assert_allclose(
+            losses.bce_with_logits_loss(t2j(x), t2j(t)), ref.numpy(), rtol=1e-5)
+
+    def test_adversarial_target_convention(self):
+        # reference: real -> 0, fake -> 1 (compound_losses.py:47-50)
+        assert float(losses.adversarial_target((1,), True)[0]) == 0.0
+        assert float(losses.adversarial_target((1,), False)[0]) == 1.0
+
+    def test_patch_nce(self):
+        torch.manual_seed(5)
+        P, D = 64, 16
+        fq = F.normalize(torch.randn(P, D), dim=1)
+        fk = F.normalize(torch.randn(P, D), dim=1)
+        # torch oracle per compound_losses.py:126-154
+        l_pos = torch.bmm(fq.view(P, 1, -1), fk.view(P, -1, 1)).view(P, 1)
+        fq_b = fq.view(1, -1, D)
+        fk_b = fk.view(1, -1, D)
+        l_neg = torch.bmm(fq_b, fk_b.transpose(2, 1))
+        l_neg.masked_fill_(torch.eye(P, dtype=torch.bool)[None], -10.0)
+        out_t = torch.cat((l_pos, l_neg.view(-1, P)), dim=1) / 0.07
+        ref = F.cross_entropy(out_t, torch.zeros(P, dtype=torch.long), reduction="none")
+        out = losses.patch_nce_loss(t2j(fq), t2j(fk))
+        np.testing.assert_allclose(out, ref.numpy(), rtol=1e-4, atol=1e-5)
+
+
+class TestWhiten:
+    def test_pca_roundtrip(self):
+        rng = np.random.RandomState(0)
+        X = rng.randn(32, 200)
+        m, P = whiten.pcawhitenlearn(X)
+        Xw = whiten.whitenapply(X, m, P)
+        # whitened, renormalized columns are unit norm
+        np.testing.assert_allclose(np.linalg.norm(Xw, axis=0), 1.0, atol=1e-3)
+
+    def test_whitenlearn_decorrelates(self):
+        rng = np.random.RandomState(1)
+        A = rng.randn(16, 16)
+        X = A @ rng.randn(16, 500)
+        q = np.arange(0, 100)
+        p = np.arange(100, 200)
+        m, P = whiten.whitenlearn(X, q, p)
+        df = P @ (X - m)
+        C = df @ df.T
+        off = C - np.diag(np.diag(C))
+        assert np.abs(off).max() / np.abs(np.diag(C)).max() < 1e-6
+
+    def test_whitenapply_jax_matches_numpy(self):
+        rng = np.random.RandomState(2)
+        X = rng.randn(16, 50).astype(np.float32)
+        m, P = whiten.pcawhitenlearn(rng.randn(16, 300))
+        out_np = whiten.whitenapply(X, m, P)
+        out_j = whiten.whitenapply(jnp.asarray(X), jnp.asarray(m, dtype=jnp.float32),
+                                   jnp.asarray(P, dtype=jnp.float32))
+        np.testing.assert_allclose(out_j, out_np, rtol=1e-3, atol=1e-4)
+
+
+class TestRanking:
+    def test_compute_ap_simple(self):
+        # positives at ranks 0 and 2 of 2 total -> AP = (1 + (1.5+2/3... ))/...
+        ap = ranking.compute_ap(np.array([0, 2]), 2)
+        # trapezoid: j=0: (1+1)/2 * 0.5 = 0.5 ; j=1: (1/2 + 2/3)/2 * 0.5
+        assert abs(ap - (0.5 + (0.5 + 2 / 3) / 4)) < 1e-9
+
+    def test_junk_adjustment(self):
+        # db of 6; query with ok={3}, junk={0,1}; ranks put junk first
+        ranks = np.array([[0], [1], [3], [2], [4], [5]])
+        gnd = [{"ok": np.array([3]), "junk": np.array([0, 1])}]
+        m, aps, _, _ = ranking.compute_map(ranks, gnd)
+        # after removing 2 junk before it, positive sits at rank 0 -> AP=1
+        assert m == 1.0
+
+    def test_rank_descriptors_device(self):
+        rng = np.random.RandomState(3)
+        vecs = rng.randn(8, 20).astype(np.float32)
+        qvecs = rng.randn(8, 4).astype(np.float32)
+        ranks = np.asarray(ranking.rank_descriptors(vecs, qvecs))
+        scores = vecs.T @ qvecs
+        ref = np.argsort(-scores, axis=0, kind="stable")
+        np.testing.assert_array_equal(ranks, ref)
+
+    def test_protocols(self):
+        rng = np.random.RandomState(4)
+        nq, ndb = 5, 40
+        ranks = np.stack([rng.permutation(ndb) for _ in range(nq)], axis=1)
+        gnd = [{"easy": rng.choice(ndb, 3, replace=False),
+                "hard": rng.choice(ndb, 3, replace=False),
+                "junk": np.array([])} for _ in range(nq)]
+        metrics, aps = ranking.compute_map_protocols("roxford5k", ranks, gnd)
+        assert set(metrics) == {"map_easy", "map_medium", "map_hard"}
+        for v in metrics.values():
+            assert 0.0 <= v <= 1.0
