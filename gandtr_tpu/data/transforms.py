@@ -1,0 +1,531 @@
+"""Host-side preprocessing pipeline with the reference's transform DSL.
+
+Mirrors /root/reference/mdir/components/data/transform/: the string mini-DSL
+`"pil2np | apply_clahe:1.0 | totensor | normalize"` builds a variadic Compose
+over numpy HWC float images. Differences from the reference, by TPU-first
+design:
+
+- `totensor` keeps images as HWC numpy float32 (NHWC is the device layout; the
+  reference converts to CHW torch tensors).
+- CLAHE / colorspace transforms call the bit-exact JAX ops from
+  `gandtr_tpu.ops` (no cv2 dependency on the compute path); for batched
+  training the same ops can be staged directly inside the jitted step, making
+  the host-side variant a convenience for hub-style single-image use.
+- randomness uses an explicit seedable module-level RNG (`seed_transforms`)
+  instead of Python's global `random`.
+"""
+import numpy as np
+from PIL import Image
+import jax.numpy as jnp
+
+from gandtr_tpu.ops import clahe as clahe_ops
+from gandtr_tpu.ops import colorspace as cs_ops
+
+_RNG = np.random.RandomState()
+
+
+def seed_transforms(seed):
+    """Reseed host-side augmentation randomness (per-epoch reseeding mirrors
+    training.py:40-42)."""
+    global _RNG
+    _RNG = np.random.RandomState(seed)
+
+
+def parse_tuple(tpl, dtype=int, fixed_size=0):
+    if isinstance(tpl, str):
+        tpl = tuple(dtype(x) for x in tpl.split("_"))
+    if isinstance(tpl, (int, float)):
+        tpl = (dtype(tpl),)
+    if fixed_size:
+        if len(tpl) == 1:
+            tpl *= fixed_size
+        elif len(tpl) != fixed_size:
+            raise ValueError("Invalid tuple of size %s, required %s" % (len(tpl), fixed_size))
+    return tuple(tpl)
+
+
+class GenericTransform:
+    def __init__(self, params=None):
+        self.params = params or {}
+
+    def __repr__(self):
+        args = ", ".join("%s=%s" % (k, v) for k, v in self.params.items())
+        return f"{self.__class__.__name__}({args})"
+
+
+class Compose(GenericTransform):
+    """Variadic multi-image composition (core_transforms.py:25-32)."""
+
+    def __init__(self, transforms):
+        super().__init__()
+        self.transforms = transforms
+
+    def __call__(self, *pics):
+        for t in self.transforms:
+            pics = t(*pics)
+            if not isinstance(pics, (list, tuple)):
+                pics = (pics,)
+        if len(pics) == 1:
+            return pics[0]
+        return pics
+
+
+class Pil2Numpy(GenericTransform):
+    """PIL/uint array -> float32 HWC in [0,1] (core_transforms.py:73-100)."""
+
+    def __call__(self, *pics):
+        acc = []
+        for pic in pics:
+            if isinstance(pic, Image.Image):
+                pic = np.asarray(pic.convert("RGB"))
+            elif not isinstance(pic, np.ndarray):
+                raise ValueError("Unsupported type '%s'" % type(pic))
+            if pic.dtype == np.uint8:
+                pic = pic.astype(np.float32) / 255.0
+            elif pic.dtype == np.uint16:
+                pic = pic.astype(np.float32) / 65535.0
+            else:
+                pic = pic.astype(np.float32)
+            acc.append(pic)
+        return acc
+
+
+class ToTensor(GenericTransform):
+    """Identity in layout (HWC numpy stays the device layout on TPU); ensures
+    float32 contiguous arrays and adds a leading dim-ready view."""
+
+    def __call__(self, *pics):
+        return [np.ascontiguousarray(np.asarray(p, dtype=np.float32)) for p in pics]
+
+
+class Normalize(GenericTransform):
+    def __init__(self, mean, std, strict_shape=True):
+        if isinstance(strict_shape, str):
+            strict_shape = strict_shape.lower() != "false"
+        super().__init__({"mean": list(mean), "std": list(std),
+                          "strict_shape": bool(strict_shape)})
+        assert len(mean) == len(std)
+
+    def __call__(self, *pics):
+        acc = []
+        for pic in pics:
+            c = pic.shape[-1]
+            if self.params["strict_shape"]:
+                assert c == len(self.params["mean"]), (c, len(self.params["mean"]))
+            else:
+                assert c <= len(self.params["mean"])
+            mean = np.asarray(self.params["mean"][:c], np.float32)
+            std = np.asarray(self.params["std"][:c], np.float32)
+            acc.append((pic - mean) / std)
+        return acc
+
+
+class StackBatch(GenericTransform):
+    def __call__(self, *pics):
+        return [np.concatenate(pics, axis=0)]
+
+
+class NanCheck(GenericTransform):
+    def __call__(self, *pics):
+        for pic in pics:
+            if np.isnan(pic).any():
+                raise ValueError("Nan value occured in input")
+        return pics
+
+
+# ---------------------------------------------------------------------------
+# crops / scaling / noise (augmentation_transforms.py)
+# ---------------------------------------------------------------------------
+
+class RandomCrop(GenericTransform):
+    def __init__(self, size):
+        super().__init__({"size": parse_tuple(size, int, 2)})
+
+    def __call__(self, *pics):
+        th, tw = self.params["size"]
+        h, w = pics[0].shape[:2]
+        i = _RNG.randint(0, h - th + 1)
+        j = _RNG.randint(0, w - tw + 1)
+        return [x[i:i + th, j:j + tw] for x in pics]
+
+
+class RandomHorizontalFlip(GenericTransform):
+    def __init__(self, p=0.5):
+        super().__init__({"p": float(p)})
+
+    def __call__(self, *pics):
+        if _RNG.rand() < self.params["p"]:
+            return [np.flip(x, axis=1).copy() for x in pics]
+        return list(pics)
+
+
+class CenterCrop(GenericTransform):
+    def __init__(self, size):
+        super().__init__({"size": np.array(parse_tuple(size, int))[::-1]})
+
+    def __call__(self, *pics):
+        acc = []
+        for pic in pics:
+            pad = (np.asarray(pic.shape[:2]) - self.params["size"]) / 2
+            y0 = int(np.floor(pad[0])); y1 = -int(np.ceil(pad[0])) or None
+            x0 = int(np.floor(pad[1])); x1 = -int(np.ceil(pad[1])) or None
+            acc.append(pic[y0:y1, x0:x1])
+        return acc
+
+
+class SquareCrop(GenericTransform):
+    def __call__(self, *pics):
+        acc = []
+        for pic in pics:
+            size = pic.shape[:2]
+            pad = (np.array(size) - min(size)) / 2
+            y0 = int(np.floor(pad[0])); y1 = size[0] - int(np.ceil(pad[0]))
+            x0 = int(np.floor(pad[1])); x1 = size[1] - int(np.ceil(pad[1]))
+            acc.append(pic[y0:y1, x0:x1])
+        return acc
+
+
+class Downscale(GenericTransform):
+    """Fit longest side into `size`, keeping aspect ratio (PIL LANCZOS
+    thumbnail — matches the reference's use of Image.thumbnail)."""
+
+    def __init__(self, size):
+        super().__init__({"size": int(size)})
+
+    def __call__(self, *pics):
+        acc = []
+        for pic in pics:
+            if isinstance(pic, Image.Image):
+                if max(pic.size) > self.params["size"]:
+                    pic.thumbnail((self.params["size"], self.params["size"]), Image.LANCZOS)
+            elif isinstance(pic, np.ndarray) and max(pic.shape[:2]) > self.params["size"]:
+                img = Image.fromarray((pic * 255).astype(np.uint8))
+                img.thumbnail((self.params["size"], self.params["size"]), Image.LANCZOS)
+                pic = np.array(img, dtype=np.float32) / 255.0
+            acc.append(pic)
+        return acc
+
+
+def _bilinear_resize_np(img, out_w, out_h):
+    """cv2.resize(..., (w, h)) equivalent (bilinear, half-pixel centers)."""
+    x = jnp.asarray(img)[None]
+    if x.ndim == 3:
+        x = x[..., None]
+    from gandtr_tpu.ops.resize import bilinear_resize
+    y = bilinear_resize(x, out_h, out_w)
+    y = np.asarray(y[0])
+    if img.ndim == 2:
+        y = y[..., 0]
+    return y
+
+
+class RandomScaleCrop(GenericTransform):
+    """Random scale + crop, implemented crop-then-resize
+    (augmentation_transforms.py:100-144)."""
+
+    def __init__(self, size, scale=(0.5, 0.8)):
+        super().__init__({"size": np.array(parse_tuple(size, int)),
+                          "scale": parse_tuple(scale, float)})
+
+    def _pic_min_size(self, pics):
+        if len(pics) == 1 or pics[0].shape[:2] == pics[1].shape[:2]:
+            if (np.asarray(pics[0].shape[:2]) == self.params["size"][::-1]).all():
+                return None
+        m = np.full(2, np.iinfo(np.int_).max)
+        for pic in pics:
+            m = np.minimum(pic.shape[:2], m)
+        return m
+
+    def _offset(self, limits):
+        return [_RNG.randint(0, x + 1) for x in limits]
+
+    def _scale(self, lowest):
+        return _RNG.rand() * (self.params["scale"][1] - lowest) + lowest
+
+    def __call__(self, *pics):
+        mn = self._pic_min_size(pics)
+        if mn is None:
+            return list(pics)
+        assert (self.params["size"] <= mn).all()
+        lowest = max(float(np.max(self.params["size"] / mn)), self.params["scale"][0])
+        scale = self._scale(lowest)
+        cropped_size = np.ceil(self.params["size"][::-1] / scale).astype(int)
+        offset = self._offset(mn - cropped_size)
+        return self._crop_downscale(pics, offset, cropped_size)
+
+    def _crop_downscale(self, pics, offset, cropped_size):
+        y0, y1 = offset[0], offset[0] + cropped_size[0]
+        x0, x1 = offset[1], offset[1] + cropped_size[1]
+        w, h = self.params["size"]
+        return [_bilinear_resize_np(pic[y0:y1, x0:x1], w, h) for pic in pics]
+
+
+class CenterScaleCrop(RandomScaleCrop):
+    def __init__(self, size, scale=0.6):
+        super().__init__(size, (scale, scale))
+
+    def __call__(self, *pics):
+        mn = self._pic_min_size(pics)
+        if mn is None:
+            return list(pics)
+        scale = float(self.params["scale"][0])
+        cropped_size = np.ceil(self.params["size"][::-1] / scale).astype(int)
+        offset = [x // 2 for x in (mn - cropped_size)]
+        return self._crop_downscale(pics, offset, cropped_size)
+
+
+class AdditiveGaussianNoise(GenericTransform):
+    def __init__(self, sigma):
+        super().__init__({"sigma": float(sigma)})
+
+    def __call__(self, *pics):
+        pics = list(pics)
+        noise = _RNG.normal(0, self.params["sigma"], pics[0].shape)
+        pics[0] = np.clip(pics[0] + noise, 0, 1).astype(np.float32)
+        return pics
+
+
+# ---------------------------------------------------------------------------
+# photometric (photometric_transforms.py) — CLAHE via bit-exact JAX ops
+# ---------------------------------------------------------------------------
+
+class ApplyClahe(GenericTransform):
+    def __init__(self, clip_limit=4, grid_size=8, colorspace="lab"):
+        super().__init__({"clip_limit": float(clip_limit),
+                          "grid_size": int(grid_size), "colorspace": colorspace})
+
+    def __call__(self, *pics):
+        return [np.asarray(clahe_ops.image_clahe(
+            jnp.asarray(x), self.params["clip_limit"], self.params["grid_size"],
+            self.params["colorspace"])).astype(x.dtype) for x in pics]
+
+
+class ApplyColorspaceClahe(ApplyClahe):
+    def __call__(self, *pics):
+        return [np.asarray(clahe_ops.image_colorspace_clahe(
+            jnp.asarray(x), self.params["clip_limit"], self.params["grid_size"],
+            self.params["colorspace"])).astype(x.dtype) for x in pics]
+
+
+class CreateClahedImage(ApplyClahe):
+    def __call__(self, pic):
+        out = np.asarray(clahe_ops.image_clahe(
+            jnp.asarray(pic[:, :, :3]), self.params["clip_limit"],
+            self.params["grid_size"], self.params["colorspace"])).astype(pic.dtype)
+        return [pic, out]
+
+
+class AddClaheFromRgb(GenericTransform):
+    def __init__(self, clip_limit=4, grid_size=8, colorspace="lab"):
+        super().__init__({"clip_limit": float(clip_limit),
+                          "grid_size": int(grid_size), "colorspace": colorspace})
+
+    def __call__(self, *pics):
+        acc = []
+        for pic in pics:
+            spc = np.asarray(cs_ops.rgb2normspace(jnp.asarray(pic[:, :, :3]),
+                                                  self.params["colorspace"]))
+            chan = np.asarray(clahe_ops.channel_clahe(
+                jnp.asarray(spc[:, :, 0]), self.params["clip_limit"],
+                self.params["grid_size"]))
+            acc.append(np.concatenate((pic, chan[:, :, None]), axis=2))
+        return acc
+
+
+HISTOGRAM_BINS = np.linspace(-0.00196078431372549, 1.0019607843137255, 257)
+HISTOGRAM_CENTERS = np.linspace(0, 1, 256)
+
+
+def channel_histogram_matching(chan0, cdf_target):
+    """Match channel's CDF to a target CDF over 256 centers (functional.py:96-103)."""
+    cdf0 = np.cumsum(np.histogram(chan0, HISTOGRAM_BINS)[0]) / chan0.size
+    if isinstance(cdf_target, str) and cdf_target == "eq":
+        return np.interp(chan0, HISTOGRAM_CENTERS, cdf0 * HISTOGRAM_CENTERS[-1]).astype(np.float32)
+    return np.interp(chan0, HISTOGRAM_CENTERS,
+                     np.interp(cdf0, cdf_target, HISTOGRAM_CENTERS)).astype(np.float32)
+
+
+def channel2channel_histogram_matching(chan0, chan1):
+    cdf0 = np.cumsum(np.histogram(chan0, HISTOGRAM_BINS)[0]) / chan0.size
+    cdf1 = np.cumsum(np.histogram(chan1, HISTOGRAM_BINS)[0]) / chan1.size
+    return np.interp(chan0, HISTOGRAM_CENTERS,
+                     np.interp(cdf0, cdf1, HISTOGRAM_CENTERS)).astype(np.float32)
+
+
+def _apply_lightness(img, colorspace, func):
+    spc = np.array(cs_ops.rgb2normspace(jnp.asarray(img), colorspace))
+    spc[:, :, 0] = func(spc[:, :, 0])
+    return np.asarray(cs_ops.normspace2rgb(jnp.asarray(spc), colorspace))
+
+
+class MatchHistogram(GenericTransform):
+    def __init__(self, histogram, colorspace="lab"):
+        super().__init__({"histogram": histogram, "colorspace": colorspace})
+
+    def __call__(self, *pics):
+        from gandtr_tpu.data.histogram_consts import HISTOGRAM_CDF
+        target = self.params["histogram"]
+        cdf = target if target == "eq" else HISTOGRAM_CDF[target]
+        return [_apply_lightness(x, self.params["colorspace"],
+                                 lambda c: channel_histogram_matching(c, cdf))
+                for x in pics]
+
+
+class ReplaceChannelWithHistogram(GenericTransform):
+    """Train: match first image's last channel to second image's; test: match to
+    a constant histogram (photometric_transforms.py:67-87)."""
+
+    def __init__(self, histogram, created_channel):
+        super().__init__({"histogram": histogram, "created_channel": created_channel})
+        assert created_channel in {"append", "replace"}
+
+    def __call__(self, pic0, *pics):
+        out0 = pic0[:, :, :-1] if self.params["created_channel"] == "replace" else pic0
+        if len(pics) == 1:
+            pic1 = pics[0]
+            chan = channel2channel_histogram_matching(pic0[:, :, -1], pic1[:, :, -1])
+            return [np.concatenate((out0, chan[:, :, None]), axis=2), pic1[:, :, :-1]]
+        from gandtr_tpu.data.histogram_consts import HISTOGRAM_CDF
+        cdf = HISTOGRAM_CDF[self.params["histogram"]]
+        chan = channel_histogram_matching(pic0[:, :, -1], cdf)
+        return [np.concatenate((out0, chan[:, :, None]), axis=2)] + list(pics)
+
+
+class GammaEqualize(GenericTransform):
+    """Newton root-find for gamma shifting lightness mean to target
+    (functional.py:116-130)."""
+
+    def __init__(self, target, colorspace="lab"):
+        target = float(target)
+        super().__init__({"target": target, "colorspace": colorspace})
+        assert 0 < target < 1
+
+    def __call__(self, *pics):
+        import scipy.optimize
+        import warnings
+
+        def match(channel):
+            target = self.params["target"]
+            func = lambda gamma: np.mean(np.power(channel, gamma)) - target
+            x0 = np.log(target) / np.log(np.mean(channel))
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                try:
+                    sol = scipy.optimize.newton(func, x0=x0, tol=1e-4, maxiter=50)
+                except RuntimeError:
+                    sol = 0.1 if abs(func(0.1)) < abs(func(10)) else 10
+            sol = np.clip(sol, 0.1, 10)
+            return np.power(channel, sol)
+
+        return [_apply_lightness(x, self.params["colorspace"], match) for x in pics]
+
+
+# ---------------------------------------------------------------------------
+# channel transforms (channel_transforms.py)
+# ---------------------------------------------------------------------------
+
+class AddConstantChannel(GenericTransform):
+    def __init__(self, value):
+        super().__init__({"value": float(value)})
+
+    def __call__(self, *pics):
+        return [np.concatenate(
+            (x, np.full(x.shape[:2] + (1,), self.params["value"], np.float32)),
+            axis=2) for x in pics]
+
+
+class NpInvertChannel(GenericTransform):
+    def __init__(self, channel):
+        super().__init__({"channel": int(channel)})
+
+    def __call__(self, *pics):
+        acc = []
+        for pic in pics:
+            pic = pic.copy()
+            pic[:, :, self.params["channel"]] = 1.0 - pic[:, :, self.params["channel"]]
+            acc.append(pic)
+        return acc
+
+
+class NpChanSelector(GenericTransform):
+    def __init__(self, chans):
+        super().__init__({"chans": [int(x) for x in str(chans).split("_")]})
+
+    def __call__(self, *pics):
+        return [x[:, :, self.params["chans"]] for x in pics]
+
+
+class NpCloneChannels(GenericTransform):
+    def __init__(self, times):
+        super().__init__({"times": int(times)})
+
+    def __call__(self, *pics):
+        return [np.tile(x, (1, 1, self.params["times"])) for x in pics]
+
+
+class AddIntensityFromRgb(GenericTransform):
+    def __call__(self, *pics):
+        acc = []
+        for pic in pics:
+            gray = np.asarray(cs_ops.rgb_to_gray(jnp.asarray(pic[:, :, :3])))
+            acc.append(np.concatenate((pic, gray), axis=2))
+        return acc
+
+
+class ToColorspace(GenericTransform):
+    def __init__(self, colorspace):
+        super().__init__({"colorspace": colorspace})
+
+    def __call__(self, *pics):
+        return [np.asarray(cs_ops.rgb2normspace(jnp.asarray(x), self.params["colorspace"]))
+                for x in pics]
+
+
+# ---------------------------------------------------------------------------
+# registry + DSL (transform/__init__.py:1-46)
+# ---------------------------------------------------------------------------
+
+TRANSFORMS = {
+    "totensor": ToTensor,
+    "normalize": Normalize,
+    "pil2np": Pil2Numpy,
+    "stackbatch": StackBatch,
+    "nan_check": NanCheck,
+
+    "random_crop": RandomCrop,
+    "mirror": RandomHorizontalFlip,
+    "center_crop": CenterCrop,
+    "square_crop": SquareCrop,
+    "downscale": Downscale,
+    "scalecrop": RandomScaleCrop,
+    "centerscalecrop": CenterScaleCrop,
+    "gaussian_noise": AdditiveGaussianNoise,
+
+    "add_const": AddConstantChannel,
+    "tospace": ToColorspace,
+    "add_intensity_fromrgb": AddIntensityFromRgb,
+    "np_invert_chan": NpInvertChannel,
+    "np_chanselect": NpChanSelector,
+    "np_chanclone": NpCloneChannels,
+
+    "add_clahe_fromrgb": AddClaheFromRgb,
+    "apply_clahe": ApplyClahe,
+    "apply_colorspaceclahe": ApplyColorspaceClahe,
+    "create_clahed": CreateClahedImage,
+    "match_histogram": MatchHistogram,
+    "replace_histogram": ReplaceChannelWithHistogram,
+    "gamma_equalize": GammaEqualize,
+}
+
+
+def initialize_transforms(augmentations, mean_std):
+    """Parse the pipe-DSL into a Compose; `normalize` receives mean_std."""
+    trans = []
+    for aug in [x.strip() for x in augmentations.split("|") if x.strip()]:
+        tname, *args = aug.split(":", 1)
+        args = args[0].split(":") if args else []
+        if "normalize" in aug:
+            trans.append(TRANSFORMS[tname](*(list(mean_std) + args)))
+        else:
+            trans.append(TRANSFORMS[tname](*args))
+    return Compose(trans)

@@ -1,0 +1,79 @@
+"""Model registry — string-keyed constructors mirroring the reference's
+MODEL_LABELS (/root/reference/mdir/components/model/network/__init__.py:6-48).
+"""
+import flax.linen as nn
+
+from gandtr_tpu.models.generators import (
+    ResnetGenerator, ResnetEncoder, ResnetDecoder, UnetGenerator)
+from gandtr_tpu.models.discriminators import NLayerDiscriminator, PatchDiscriminator
+from gandtr_tpu.models.patchsample import PatchSampleF
+from gandtr_tpu.models.hed import HedInterpolation
+from gandtr_tpu.models.retrieval import GemRetrievalNet
+
+
+class Identity(nn.Module):
+    meta = {"in_channels": 3, "out_channels": 3}
+
+    def __call__(self, x):
+        return x
+
+
+def _resnet_generator(**kw):
+    kw.setdefault("norm_type", kw.pop("norm_layer", "instance"))
+    kw.pop("track_running_stats", None)
+    return ResnetGenerator(**kw)
+
+
+def _unet_generator(**kw):
+    kw.setdefault("norm_type", kw.pop("norm_layer", "batch"))
+    return UnetGenerator(**kw)
+
+
+def _discriminator(**kw):
+    kw.setdefault("norm_type", kw.pop("norm_layer", "batch"))
+    kw.pop("track_running_stats", None)
+    return NLayerDiscriminator(**kw)
+
+
+def _patch_discriminator(**kw):
+    kw.setdefault("norm_type", kw.pop("norm_layer", "batch"))
+    return PatchDiscriminator(**kw)
+
+
+def _mlp(**kw):
+    kw.pop("init_type", None), kw.pop("init_gain", None)
+    kw.pop("input_nc", None), kw.pop("nce_layers", None)
+    return PatchSampleF(**kw)
+
+
+def _cirnet(**kw):
+    arch = kw.pop("cir_architecture", None) or kw.pop("architecture", "vgg16")
+    return GemRetrievalNet(
+        architecture=arch,
+        pooling=kw.pop("pooling", "gem"),
+        local_whitening=bool(kw.pop("local_whitening", False)),
+        whitening=bool(kw.pop("whitening", False)),
+    )
+
+
+MODEL_LABELS = {
+    "identity": Identity,
+    "official_resnet_generator": _resnet_generator,
+    "official_resnet_encoder": lambda **kw: ResnetEncoder(**kw),
+    "official_resnet_decoder": lambda **kw: ResnetDecoder(**kw),
+    "official_unet_generator": _unet_generator,
+    "official_p2p_discriminator": _discriminator,
+    "official_patch_discriminator": _patch_discriminator,
+    "official_p2p_mlp": _mlp,
+    "hed_interpolation": lambda **kw: HedInterpolation(),
+    "cirnet": _cirnet,
+    "gem_retrieval": lambda **kw: GemRetrievalNet(**kw),
+}
+
+
+def initialize_model(params):
+    """Build a model from a config dict with an `architecture` key (consumes it,
+    reference-style destructive pop)."""
+    params = dict(params)
+    architecture = params.pop("architecture")
+    return MODEL_LABELS[architecture](**params)

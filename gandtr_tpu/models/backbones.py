@@ -1,0 +1,99 @@
+"""CNN feature extractors for descriptor networks (flax.linen, NHWC).
+
+Architectures mirror torchvision's vgg16.features (minus last maxpool) and
+resnet101 (minus avgpool/fc) exactly as sliced by the reference's init_network
+(/root/reference/mdir/external/cirtorch/networks/imageretrievalnet.py:185-196).
+Param names track torch module paths (features_<i>, layer<l>_<b>, ...) for 1:1
+.pth import, including caffe-converted weights from the cirtorch model zoo.
+
+BatchNorm runs with frozen (running) statistics even in training — the
+reference keeps descriptor-net BN in eval mode during fine-tuning
+(/root/reference/mdir/components/model/network/cirnet.py:36-45).
+"""
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+
+from gandtr_tpu.models.layers import Conv, BatchNorm
+
+
+VGG16_CFG = (64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+             512, 512, 512, "M", 512, 512, 512)  # last maxpool dropped
+
+OUTPUT_DIM = {"vgg16": 512, "resnet50": 2048, "resnet101": 2048, "resnet152": 2048}
+
+
+class VGG16Features(nn.Module):
+    """torchvision vgg16.features[:-1]: conv-relu stacks with 4 maxpools."""
+
+    @nn.compact
+    def __call__(self, x):
+        idx = 0
+        for item in VGG16_CFG:
+            if item == "M":
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                idx += 1
+            else:
+                x = Conv(item, 3, padding=1, name=f"features_{idx}")(x)
+                x = nn.relu(x)
+                idx += 2
+        return x
+
+
+class Bottleneck(nn.Module):
+    """torchvision resnet Bottleneck: 1x1 reduce, 3x3 (stride), 1x1 expand."""
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        h = Conv(self.planes, 1, use_bias=False, name="conv1")(x)
+        h = BatchNorm(name="bn1")(h, use_running_average=True)
+        h = nn.relu(h)
+        h = Conv(self.planes, 3, stride=self.stride, padding=1, use_bias=False,
+                 name="conv2")(h)
+        h = BatchNorm(name="bn2")(h, use_running_average=True)
+        h = nn.relu(h)
+        h = Conv(self.planes * 4, 1, use_bias=False, name="conv3")(h)
+        h = BatchNorm(name="bn3")(h, use_running_average=True)
+        if self.downsample:
+            identity = Conv(self.planes * 4, 1, stride=self.stride, use_bias=False,
+                            name="downsample_0")(x)
+            identity = BatchNorm(name="downsample_1")(identity, use_running_average=True)
+        return nn.relu(h + identity)
+
+
+RESNET_LAYERS = {"resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3),
+                 "resnet152": (3, 8, 36, 3)}
+
+
+class ResNetFeatures(nn.Module):
+    """torchvision resnet (minus avgpool/fc): conv1 → bn → relu → maxpool →
+    4 bottleneck stages."""
+    arch: str = "resnet101"
+
+    @nn.compact
+    def __call__(self, x):
+        blocks = RESNET_LAYERS[self.arch]
+        h = Conv(64, 7, stride=2, padding=3, use_bias=False, name="conv1")(x)
+        h = BatchNorm(name="bn1")(h, use_running_average=True)
+        h = nn.relu(h)
+        # torch maxpool k3 s2 p1
+        h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        for li, (planes, nblocks) in enumerate(zip((64, 128, 256, 512), blocks), start=1):
+            for bi in range(nblocks):
+                stride = 2 if (li > 1 and bi == 0) else 1
+                downsample = bi == 0  # layer1 downsamples too (channel expand)
+                h = Bottleneck(planes, stride=stride, downsample=downsample,
+                               name=f"layer{li}_{bi}")(h)
+        return h
+
+
+def make_features(architecture, name=None):
+    if architecture.startswith("vgg16"):
+        return VGG16Features(name=name), OUTPUT_DIM["vgg16"]
+    if architecture.startswith("resnet"):
+        return ResNetFeatures(arch=architecture, name=name), OUTPUT_DIM[architecture]
+    raise ValueError("Unsupported architecture: %s" % architecture)

@@ -1,0 +1,328 @@
+"""Image-to-image generators (flax.linen, NHWC).
+
+TPU-native re-implementations of the reference generator family
+(/root/reference/mdir/components/model/network/p2p_networks.py): ResnetGenerator
+(CycleGAN/CUT 9-block), ResnetEncoder/Decoder, UnetGenerator. Parameter names
+mirror the torch Sequential indices (`model_<i>`) so reference .pth checkpoints
+map 1:1, and `layers=`/`encode_only=` feature taps use the same indices as the
+torch forward (p2p_networks.py:318-337) for CUT's PatchNCE.
+"""
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from gandtr_tpu.models.layers import (
+    Conv, ConvTranspose, make_norm, pad2d, BlurDownsample, BlurUpsample)
+
+
+class ResnetBlock(nn.Module):
+    """Residual block: pad-conv-norm-relu-[dropout]-pad-conv-norm + skip.
+
+    Submodule names track the torch conv_block Sequential indices.
+    """
+    dim: int
+    padding_type: str = "reflect"
+    norm_type: str = "instance"
+    use_dropout: bool = False
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, train=True):
+        norm_ctor, norm_params, _ = make_norm(self.norm_type)
+        p = 1 if self.padding_type == "zero" else 0
+        idx = 0 if self.padding_type == "zero" else 1
+
+        def norm(h, i):
+            if norm_ctor is None:
+                return h
+            kwargs = {"use_running_average": not train} if norm_params else {}
+            return norm_ctor(name=f"conv_block_{i}")(h, **kwargs)
+
+        h = x
+        if p == 0:
+            h = pad2d(h, 1, self.padding_type)
+        h = Conv(self.dim, 3, padding=p, use_bias=self.use_bias,
+                 name=f"conv_block_{idx}")(h)
+        h = norm(h, idx + 1)
+        h = nn.relu(h)
+        if self.use_dropout:
+            h = nn.Dropout(0.5, deterministic=not train)(h)
+        idx2 = idx + 3 + (1 if self.use_dropout else 0) + (0 if p else 1)
+        if p == 0:
+            h = pad2d(h, 1, self.padding_type)
+        h = Conv(self.dim, 3, padding=p, use_bias=self.use_bias,
+                 name=f"conv_block_{idx2}")(h)
+        h = norm(h, idx2 + 1)
+        return x + h
+
+
+class ResnetGenerator(nn.Module):
+    """9-block ResNet generator (p2p_networks.py:239-337).
+
+    `layers` selects torch-Sequential-index feature taps; with `encode_only`
+    the forward stops at the last requested tap and returns only the features —
+    both matching the reference forward for CUT.
+    """
+    input_nc: int = 3
+    output_nc: int = 3
+    ngf: int = 64
+    norm_type: str = "instance"
+    use_dropout: bool = False
+    n_blocks: int = 9
+    padding_type: str = "reflect"
+    no_antialias: bool = True
+    no_antialias_up: bool = True
+
+    @nn.compact
+    def __call__(self, x, layers=(), encode_only=False, train=True):
+        norm_ctor, norm_params, use_bias = make_norm(self.norm_type)
+        steps = []  # (torch_idx, fn, is_inplace_relu)
+        idx = [0]
+
+        def add(fn, inplace_relu=False):
+            steps.append((idx[0], fn, inplace_relu))
+            idx[0] += 1
+
+        def norm_step(i):
+            if norm_ctor is None:
+                add(lambda h: h)
+            elif norm_params:
+                mod = norm_ctor(name=f"model_{i}")
+                add(lambda h, m=mod: m(h, use_running_average=not train))
+            else:
+                mod = norm_ctor()
+                add(lambda h, m=mod: m(h))
+
+        ngf = self.ngf
+        add(lambda h: pad2d(h, 3, "reflect"))
+        add(lambda h, m=Conv(ngf, 7, use_bias=use_bias, name="model_1"): m(h))
+        norm_step(2)
+        add(nn.relu, inplace_relu=True)
+
+        n_downsampling = 2
+        for i in range(n_downsampling):
+            mult = 2 ** i
+            if self.no_antialias:
+                m = Conv(ngf * mult * 2, 3, stride=2, padding=1, use_bias=use_bias,
+                         name=f"model_{idx[0]}")
+                add(lambda h, m=m: m(h))
+                norm_step(idx[0])
+                add(nn.relu, inplace_relu=True)
+            else:
+                m = Conv(ngf * mult * 2, 3, stride=1, padding=1, use_bias=use_bias,
+                         name=f"model_{idx[0]}")
+                add(lambda h, m=m: m(h))
+                norm_step(idx[0])
+                add(nn.relu, inplace_relu=True)
+                d = BlurDownsample()
+                add(lambda h, m=d: m(h))
+
+        mult = 2 ** n_downsampling
+        for i in range(self.n_blocks):
+            blk = ResnetBlock(ngf * mult, self.padding_type, self.norm_type,
+                              self.use_dropout, use_bias, name=f"model_{idx[0]}")
+            add(lambda h, m=blk: m(h, train=train))
+
+        for i in range(n_downsampling):
+            mult = 2 ** (n_downsampling - i)
+            if self.no_antialias_up:
+                m = ConvTranspose(int(ngf * mult / 2), 3, stride=2, padding=1,
+                                  output_padding=1, use_bias=use_bias,
+                                  name=f"model_{idx[0]}")
+                add(lambda h, m=m: m(h))
+                norm_step(idx[0])
+                add(nn.relu, inplace_relu=True)
+            else:
+                u = BlurUpsample()
+                add(lambda h, m=u: m(h))
+                m = Conv(int(ngf * mult / 2), 3, stride=1, padding=1,
+                         use_bias=use_bias, name=f"model_{idx[0]}")
+                add(lambda h, m=m: m(h))
+                norm_step(idx[0])
+                add(nn.relu, inplace_relu=True)
+
+        add(lambda h: pad2d(h, 3, "reflect"))
+        add(lambda h, m=Conv(self.output_nc, 7, name=f"model_{idx[0]}"): m(h))
+        add(jnp.tanh)
+
+        layers = list(layers)
+        if -1 in layers:
+            layers.append(len(steps))
+
+        if layers:
+            # torch uses ReLU(inplace=True): a stored tap whose *next* step is
+            # an inplace relu is mutated before the caller sees it — replicate
+            # by storing the relu'd value (p2p_networks.py:318-331 semantics)
+            feat = x
+            feats = []
+            for si, (layer_id, fn, _) in enumerate(steps):
+                feat = fn(feat)
+                if layer_id in layers:
+                    mutated = feat
+                    if si + 1 < len(steps) and steps[si + 1][2]:
+                        mutated = nn.relu(feat)
+                    feats.append(mutated)
+                if layer_id == layers[-1] and encode_only:
+                    return feats
+            return feat, feats
+
+        h = x
+        for _, fn, _ in steps:
+            h = fn(h)
+        return h
+
+
+class ResnetEncoder(nn.Module):
+    """Downsampling half + blocks (p2p_networks.py:402-472)."""
+    input_nc: int = 3
+    output_nc: int = 3
+    ngf: int = 64
+    norm_type: str = "instance"
+    use_dropout: bool = False
+    n_blocks: int = 6
+    padding_type: str = "reflect"
+    no_antialias: bool = True
+
+    @nn.compact
+    def __call__(self, x, train=True):
+        norm_ctor, norm_params, use_bias = make_norm(self.norm_type)
+        idx = [0]
+
+        def norm_apply(h):
+            if norm_ctor is None:
+                return h
+            if norm_params:
+                return norm_ctor(name=f"model_{idx[0]}")(h, use_running_average=not train)
+            return norm_ctor()(h)
+
+        h = pad2d(x, 3, "reflect"); idx[0] += 1
+        h = Conv(self.ngf, 7, use_bias=use_bias, name=f"model_{idx[0]}")(h); idx[0] += 1
+        h = norm_apply(h); idx[0] += 1
+        h = nn.relu(h); idx[0] += 1
+        for i in range(2):
+            mult = 2 ** i
+            h = Conv(self.ngf * mult * 2, 3, stride=2, padding=1, use_bias=use_bias,
+                     name=f"model_{idx[0]}")(h); idx[0] += 1
+            h = norm_apply(h); idx[0] += 1
+            h = nn.relu(h); idx[0] += 1
+        mult = 4
+        for i in range(self.n_blocks):
+            h = ResnetBlock(self.ngf * mult, self.padding_type, self.norm_type,
+                            self.use_dropout, use_bias, name=f"model_{idx[0]}")(h, train=train)
+            idx[0] += 1
+        return h
+
+
+class ResnetDecoder(nn.Module):
+    """Blocks + upsampling half (p2p_networks.py:341-398)."""
+    input_nc: int = 3
+    output_nc: int = 3
+    ngf: int = 64
+    norm_type: str = "instance"
+    use_dropout: bool = False
+    n_blocks: int = 6
+    padding_type: str = "reflect"
+    no_antialias: bool = True
+
+    @nn.compact
+    def __call__(self, x, train=True):
+        norm_ctor, norm_params, use_bias = make_norm(self.norm_type)
+        idx = [0]
+
+        def norm_apply(h):
+            if norm_ctor is None:
+                return h
+            if norm_params:
+                return norm_ctor(name=f"model_{idx[0]}")(h, use_running_average=not train)
+            return norm_ctor()(h)
+
+        h = x
+        for i in range(self.n_blocks):
+            h = ResnetBlock(self.ngf * 4, self.padding_type, self.norm_type,
+                            self.use_dropout, use_bias, name=f"model_{idx[0]}")(h, train=train)
+            idx[0] += 1
+        for i in range(2):
+            mult = 2 ** (2 - i)
+            h = ConvTranspose(int(self.ngf * mult / 2), 3, stride=2, padding=1,
+                              output_padding=1, use_bias=use_bias,
+                              name=f"model_{idx[0]}")(h); idx[0] += 1
+            h = norm_apply(h); idx[0] += 1
+            h = nn.relu(h); idx[0] += 1
+        h = pad2d(h, 3, "reflect"); idx[0] += 1
+        h = Conv(self.output_nc, 7, name=f"model_{idx[0]}")(h); idx[0] += 1
+        return jnp.tanh(h)
+
+
+class UnetSkipBlock(nn.Module):
+    """Recursive U-Net block (p2p_networks.py:168-239)."""
+    outer_nc: int
+    inner_nc: int
+    input_nc: int = None
+    submodule: nn.Module = None
+    outermost: bool = False
+    innermost: bool = False
+    norm_type: str = "batch"
+    use_dropout: bool = False
+
+    @nn.compact
+    def __call__(self, x, train=True):
+        norm_ctor, norm_params, use_bias = make_norm(self.norm_type)
+
+        def norm_apply(h, name):
+            if norm_ctor is None:
+                return h
+            if norm_params:
+                return norm_ctor(name=name)(h, use_running_average=not train)
+            return norm_ctor()(h)
+
+        input_nc = self.input_nc if self.input_nc is not None else self.outer_nc
+
+        h = x
+        if not self.outermost:
+            h = nn.leaky_relu(h, 0.2)
+        h = Conv(self.inner_nc, 4, stride=2, padding=1,
+                 use_bias=use_bias, name="downconv")(h)
+        if not self.outermost and not self.innermost:
+            h = norm_apply(h, "downnorm")
+        if self.submodule is not None:
+            h = self.submodule(h, train=train)
+        h = nn.relu(h)
+        h = ConvTranspose(self.outer_nc, 4, stride=2, padding=1, output_padding=0,
+                          use_bias=use_bias or self.outermost, name="upconv")(h)
+        if self.outermost:
+            return jnp.tanh(h)
+        h = norm_apply(h, "upnorm")
+        if self.use_dropout and not self.innermost:
+            h = nn.Dropout(0.5, deterministic=not train)(h)
+        return jnp.concatenate([x, h], axis=-1)
+
+
+class UnetGenerator(nn.Module):
+    """U-Net generator (p2p_networks.py:133-165)."""
+    input_nc: int = 3
+    output_nc: int = 3
+    num_downs: int = 8
+    ngf: int = 64
+    norm_type: str = "batch"
+    use_dropout: bool = False
+
+    @nn.compact
+    def __call__(self, x, train=True):
+        ngf = self.ngf
+        block = UnetSkipBlock(ngf * 8, ngf * 8, innermost=True,
+                              norm_type=self.norm_type, name="inner")
+        for i in range(self.num_downs - 5):
+            block = UnetSkipBlock(ngf * 8, ngf * 8, submodule=block,
+                                  norm_type=self.norm_type,
+                                  use_dropout=self.use_dropout, name=f"mid_{i}")
+        block = UnetSkipBlock(ngf * 4, ngf * 8, submodule=block,
+                              norm_type=self.norm_type, name="up4")
+        block = UnetSkipBlock(ngf * 2, ngf * 4, submodule=block,
+                              norm_type=self.norm_type, name="up2")
+        block = UnetSkipBlock(ngf, ngf * 2, submodule=block,
+                              norm_type=self.norm_type, name="up1")
+        block = UnetSkipBlock(self.output_nc, ngf, input_nc=self.input_nc,
+                              submodule=block, outermost=True,
+                              norm_type=self.norm_type, name="outer")
+        return block(x, train=train)

@@ -1,0 +1,55 @@
+"""PatchSampleF for CUT's PatchNCE (flax.linen).
+
+Re-implementation of /root/reference/mdir/components/model/network/
+p2p_networks.py:607-671: per-NCE-layer 2-layer MLPs over randomly sampled
+feature-map patches, shared patch ids between query/key passes, L2-normalized.
+
+Functional differences from torch (by design): patch ids are drawn from an
+explicit JAX PRNG key (no hidden global RNG), and MLPs are created eagerly from
+the static layer spec — there is no lazy `create_mlp` path because shapes are
+known at trace time.
+"""
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+class PatchSampleF(nn.Module):
+    nc: int = 256
+    use_mlp: bool = True
+
+    @nn.compact
+    def __call__(self, feats, num_patches=64, patch_ids=None, rng=None):
+        """feats: list of (B, H, W, C) maps. Returns (samples, ids); each sample
+        is ((B*num_patches), nc) L2-normalized."""
+        return_ids = []
+        return_feats = []
+        for feat_id, feat in enumerate(feats):
+            B, H, W, C = feat.shape
+            flat = feat.reshape(B, H * W, C)
+            if num_patches > 0:
+                if patch_ids is not None:
+                    patch_id = patch_ids[feat_id]
+                else:
+                    if rng is None:
+                        rng = self.make_rng("patches")
+                    rng, sub = jax.random.split(rng)
+                    n = min(num_patches, H * W)
+                    patch_id = jax.random.permutation(sub, H * W)[:n]
+                sample = flat[:, patch_id, :].reshape(-1, C)
+            else:
+                sample = flat.reshape(-1, C)
+                patch_id = jnp.zeros((0,), jnp.int32)
+            if self.use_mlp:
+                sample = nn.Dense(self.nc, name=f"mlp_{feat_id}_0")(sample)
+                sample = nn.relu(sample)
+                sample = nn.Dense(self.nc, name=f"mlp_{feat_id}_1")(sample)
+            return_ids.append(patch_id)
+            norm = jnp.sum(sample ** 2, axis=-1, keepdims=True) ** 0.5
+            sample = sample / (norm + 1e-7)
+            if num_patches == 0:
+                sample = sample.reshape(B, H, W, -1)
+            return_feats.append(sample)
+        return return_feats, return_ids

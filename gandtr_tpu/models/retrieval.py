@@ -1,0 +1,67 @@
+"""GeM descriptor network (flax.linen, NHWC).
+
+Functional re-design of cirtorch's ImageRetrievalNet
+(/root/reference/mdir/external/cirtorch/networks/imageretrievalnet.py:90-123):
+features → (local whiten) → pool → L2N → (whiten → L2N). The descriptor matrix
+is returned as (N, D); use `.T` where the reference's D×N column layout is
+required (losses, whitening).
+"""
+from typing import Optional
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from gandtr_tpu.models.backbones import make_features
+from gandtr_tpu.ops import pooling as pool_ops
+from gandtr_tpu.ops.norm import l2n
+
+
+class GemRetrievalNet(nn.Module):
+    architecture: str = "vgg16"
+    pooling: str = "gem"
+    local_whitening: bool = False
+    whitening: bool = False
+    gem_p_init: float = 3.0
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (N, H, W, C) normalized images -> (N, D) L2-normalized descriptors."""
+        features, dim = make_features(self.architecture, name="backbone")
+        o = features(x)
+
+        if self.local_whitening:
+            lw = nn.Dense(dim, name="lwhiten")
+            N, H, W, C = o.shape
+            o = lw(o.reshape(-1, C)).reshape(N, H, W, dim)
+
+        if self.pooling == "gem":
+            p = self.param("gem_p", nn.initializers.constant(self.gem_p_init), (1,))
+            o = pool_ops.gem(o, p=p[0])
+        elif self.pooling == "gemmp":
+            p = self.param("gem_p", nn.initializers.constant(self.gem_p_init), (dim,))
+            o = pool_ops.gem(o, p=p)
+        else:
+            o = pool_ops.POOLINGS[self.pooling](o)
+
+        o = l2n(o)
+
+        if self.whitening:
+            o = nn.Dense(dim, name="whiten")(o)
+            o = l2n(o)
+
+        return o
+
+    @property
+    def meta(self):
+        _, dim = make_features(self.architecture)
+        return {
+            "architecture": self.architecture,
+            "pooling": self.pooling,
+            "local_whitening": self.local_whitening,
+            "regional": False,
+            "whitening": self.whitening,
+            "in_channels": 3,
+            "out_channels": dim,
+            "mean": [0.485, 0.456, 0.406],
+            "std": [0.229, 0.224, 0.225],
+        }
