@@ -1,0 +1,148 @@
+"""Hard-negative mining + diverse-anchor selection for tuple training.
+
+Re-design of cirtorch's TuplesDataset mining
+(/root/reference/mdir/external/cirtorch/datasets/traindataset.py:210-303) and
+DiverseAnchorsDataset (/root/reference/mdir/components/data/dataset/
+cirtorch_datasets.py:53-115) as an epoch-boundary host/device hybrid:
+descriptor extraction and the poolvecs.T @ qvecs ranking run on TPU (batched,
+shardable); the greedy cluster-dedup / percentile-window selection loops run on
+host numpy (they are tiny and inherently sequential).
+"""
+import numpy as np
+
+
+def cid2filename(cid, prefix=""):
+    """retrieval-SfM cid -> nested path (datahelpers.py:18-37 layout, also used
+    by multistep.py:26)."""
+    return "/".join([prefix, cid[-2:], cid[-4:-2], cid[-6:-4], cid]).lstrip("/")
+
+
+def search_hard_negatives(qvecs, poolvecs, qidxs, idxs2images, clusters, nnum,
+                          rank_fn=None):
+    """Greedy top-ranked negatives with cluster dedup
+    (traindataset.py:246-279). qvecs: (D, Nq), poolvecs: (D, Npool).
+
+    Returns (nidxs, stats). `rank_fn` defaults to the on-device ranking matmul.
+    """
+    if rank_fn is None:
+        from gandtr_tpu.ops.ranking import rank_descriptors
+        ranks = np.asarray(rank_descriptors(poolvecs, qvecs))
+    else:
+        ranks = rank_fn(poolvecs, qvecs)
+
+    qvecs = np.asarray(qvecs)
+    poolvecs = np.asarray(poolvecs)
+    nidxs = []
+    ndist_acc = []
+    for q in range(len(qidxs)):
+        qcluster = clusters[qidxs[q]]
+        picked_clusters = [qcluster]
+        nidx = []
+        r = 0
+        while len(nidx) < nnum:
+            pool_pos = ranks[r, q]
+            potential = idxs2images[pool_pos]
+            if clusters[potential] not in picked_clusters:
+                nidx.append(potential)
+                picked_clusters.append(clusters[potential])
+                ndist = np.sqrt(np.sum(
+                    (qvecs[:, q] - poolvecs[:, pool_pos] + 1e-6) ** 2))
+                ndist_acc.append(float(ndist))
+            r += 1
+        nidxs.append(nidx)
+    return nidxs, {"average_negative_distance": ndist_acc}
+
+
+def select_diverse_queries(qvecs, qsize, similar_exclude, similar_include,
+                           shuffle=True, rng=None):
+    """Greedy diverse-anchor selection (cirtorch_datasets.py:78-105): iterate,
+    picking the next query from a percentile window of max-similarity to the
+    already-picked set. qvecs: (D, Nqpool). Returns (indices, score_acc)."""
+    rng = rng or np.random
+    qvecs = np.asarray(qvecs)
+    qpool_size = qvecs.shape[1]
+    idx = 0
+    idxs = [idx]
+    most_similar = np.full(qpool_size, -np.inf)
+    qscore_acc = []
+    for _ in range(qsize - 1):
+        dist = qvecs.T @ qvecs[:, idx]
+        most_similar = np.maximum(most_similar, dist)
+        valid_size = qpool_size - len(idxs)
+        similar_split = max(int(valid_size * (1 - similar_exclude)), 1)
+        dissimilar_split = min(int(valid_size * (1 - similar_include)),
+                               similar_split - 1)
+        order = np.argsort(most_similar, kind="stable")
+        dissimilar_part = order[dissimilar_split:similar_split]
+        if shuffle:
+            choice = int(rng.randint(dissimilar_part.shape[0]))
+        else:
+            choice = dissimilar_part.shape[0] - 1
+        idx = int(dissimilar_part[choice])
+        qscore_acc.append(float(most_similar[idx]))
+        idxs.append(idx)
+    return idxs, qscore_acc
+
+
+class TuplesMiner:
+    """Epoch-boundary tuple mining (create_epoch_tuples equivalent).
+
+    db: {'qidxs': [...], 'pidxs': [...], 'cluster': [...], 'cids'/'images'}.
+    `extract_fn(image_indices) -> (D, N) descriptors` is supplied by the
+    caller (batched TPU extraction over the dataset's images).
+    """
+
+    def __init__(self, db, nnum=5, qsize=2000, poolsize=22000, shuffle=True,
+                 seed=0, qpool_size=None, similar_exclude=None,
+                 similar_include=None):
+        self.db = db
+        self.nnum = nnum
+        self.num_images = len(db.get("cids", db.get("images", [])))
+        self.qsize = min(qsize, len(db["qidxs"]))
+        self.poolsize = min(poolsize, self.num_images)
+        self.shuffle = shuffle
+        self.rng = np.random.RandomState(seed)
+        self.diverse = qpool_size is not None
+        if self.diverse:
+            self.qpool_size = min(qpool_size, len(db["qidxs"]))
+            self.similar_exclude = similar_exclude
+            self.similar_include = similar_include
+
+    def _randperm(self, size, samples):
+        if self.shuffle:
+            return list(self.rng.permutation(size)[:samples])
+        return list(range(size))[:samples]
+
+    def create_epoch_tuples(self, extract_fn):
+        """Returns (qidxs, pidxs, nidxs, labels, stats)."""
+        stats = {}
+        if self.diverse:
+            idxs2qpool = self._randperm(len(self.db["qidxs"]), self.qpool_size)
+            qidxs = [self.db["qidxs"][i] for i in idxs2qpool]
+            pidxs = [self.db["pidxs"][i] for i in idxs2qpool]
+            qvecs = np.asarray(extract_fn(qidxs))
+            sel, qscore = select_diverse_queries(
+                qvecs, self.qsize, self.similar_exclude, self.similar_include,
+                self.shuffle, self.rng)
+            qidxs = [qidxs[i] for i in sel]
+            pidxs = [pidxs[i] for i in sel]
+            qvecs = qvecs[:, sel]
+            stats["average_new_query_max_score"] = qscore
+        else:
+            idxs2qpool = self._randperm(len(self.db["qidxs"]), self.qsize)
+            qidxs = [self.db["qidxs"][i] for i in idxs2qpool]
+            pidxs = [self.db["pidxs"][i] for i in idxs2qpool]
+            qvecs = np.asarray(extract_fn(qidxs))
+
+        if self.nnum == 0:
+            return qidxs, pidxs, [[] for _ in qidxs], self._labels(len(qidxs)), stats
+
+        idxs2images = self._randperm(self.num_images, self.poolsize)
+        poolvecs = np.asarray(extract_fn(idxs2images))
+        nidxs, nstats = search_hard_negatives(
+            qvecs, poolvecs, qidxs, idxs2images, self.db["cluster"], self.nnum)
+        stats.update(nstats)
+        return qidxs, pidxs, nidxs, self._labels(len(qidxs)), stats
+
+    def _labels(self, n):
+        return [["anc"] * n, ["pos"] * n] + [["neg"] * n] * self.nnum

@@ -1,0 +1,132 @@
+"""Model containers: the functional analog of the reference Network hierarchy
+(/root/reference/mdir/learning/network.py).
+
+A `WrappedNet` pairs a flax module with its wrapper chains and metadata — the
+counterpart of SingleNetwork (network.py:92-243). `ModelSet` groups named nets
+(NetworkSet, network.py:556-635); `SequentialNet` chains two nets with wrapper
+rearrangement (SequentialNetwork/CirSequentialNetwork, network.py:639-753).
+
+Variables (params/batch_stats pytrees) live OUTSIDE the containers, in the
+train state — containers are static graph definitions, safe to close over in
+jitted functions.
+"""
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gandtr_tpu.models import initialize_model
+from gandtr_tpu.models.init import initialize_weights
+from gandtr_tpu.learning.wrappers import initialize_wrappers, apply_wrapped
+
+
+@dataclass
+class WrappedNet:
+    """A flax module + train/eval wrapper chains + meta (cf. SingleNetwork)."""
+    module: Any
+    wrappers_train: List[Any] = field(default_factory=list)
+    wrappers_eval: List[Any] = field(default_factory=list)
+    frozen: bool = False
+    meta: Dict[str, Any] = field(default_factory=dict)
+    data_params: Dict[str, Any] = field(default_factory=dict)
+
+    def init(self, rng, x, **kwargs):
+        return self.module.init(rng, x, **kwargs)
+
+    def has_batch_stats(self, variables):
+        return "batch_stats" in variables and jax.tree_util.tree_leaves(
+            variables["batch_stats"])
+
+    def apply(self, variables, x, train=False, ctx=None, mutable=False,
+              rngs=None, **kwargs):
+        """Apply with the stage-appropriate wrapper chain staged around the
+        module (network.py:133 dispatch: train wrappers when training)."""
+        wrappers = self.wrappers_train if train else self.wrappers_eval
+        call_kw = dict(kwargs)
+        if self._accepts_train():
+            call_kw["train"] = train and not self.frozen
+
+        updates = {}
+
+        def forward(xx):
+            nonlocal updates
+            if mutable:
+                out, upd = self.module.apply(variables, xx, mutable=mutable,
+                                             rngs=rngs, **call_kw)
+                updates = upd
+                return out
+            return self.module.apply(variables, xx, rngs=rngs, **call_kw)
+
+        y = apply_wrapped(wrappers, forward, x, ctx)
+        if mutable:
+            return y, updates
+        return y
+
+    def _accepts_train(self):
+        import inspect
+        try:
+            sig = inspect.signature(self.module.__call__)
+            return "train" in sig.parameters
+        except (ValueError, TypeError):
+            return False
+
+
+@dataclass
+class ModelSet:
+    """Named bag of WrappedNets (cf. NetworkSet)."""
+    nets: Dict[str, WrappedNet]
+
+    def __getitem__(self, name):
+        return self.nets[name]
+
+    def init_all(self, rng, sample_inputs, init_specs=None):
+        """Initialize variables for every subnet. `sample_inputs[name]` is the
+        example input; `init_specs[name]` optionally holds a weight-init config
+        ({'weights': 'kaiming_p2p', 'seed': 0})."""
+        variables = {}
+        for i, (name, net) in enumerate(self.nets.items()):
+            key = jax.random.fold_in(rng, i)
+            var = dict(net.init(key, sample_inputs[name]))
+            spec = (init_specs or {}).get(name)
+            if spec:
+                var["params"] = initialize_weights(var["params"], key, **spec)
+            variables[name] = var
+        return variables
+
+
+def build_single_net(config):
+    """Build a WrappedNet from a reference-style SingleNetwork config subtree
+    ({model: {...}, runtime: {wrappers, data}, initialize: ...})."""
+    config = dict(config)
+    model_params = dict(config.get("model", {}))
+    model_params.pop("pretrained", None)  # checkpoint loading is external
+    module = initialize_model(model_params)
+    runtime = dict(config.get("runtime", {}))
+    wrappers_cfg = runtime.get("wrappers", "")
+    frozen = bool(runtime.get("frozen", False))
+    if isinstance(wrappers_cfg, dict):
+        train_w = initialize_wrappers(wrappers_cfg.get("train"))
+        eval_w = initialize_wrappers(wrappers_cfg.get("eval"))
+    else:
+        train_w = eval_w = initialize_wrappers(wrappers_cfg)
+    return WrappedNet(module=module, wrappers_train=train_w, wrappers_eval=eval_w,
+                      frozen=frozen, meta=getattr(module, "meta", {}) or {},
+                      data_params=runtime.get("data", {}) or {})
+
+
+def build_model_set(config):
+    """Build a ModelSet from a NetworkSet config ({type: NetworkSet, <name>:
+    {...}, ...}). Returns (model_set, init_specs)."""
+    config = dict(config)
+    assert config.pop("type", "NetworkSet") == "NetworkSet"
+    nets, init_specs = {}, {}
+    for name, sub in config.items():
+        sub = dict(sub)
+        sub.pop("type", None)
+        sub.pop("path", None)
+        init_spec = sub.pop("initialize", None)
+        nets[name] = build_single_net(sub)
+        if init_spec:
+            init_specs[name] = dict(init_spec)
+    return ModelSet(nets), init_specs

@@ -1,0 +1,177 @@
+"""Epoch-level training orchestration (host side).
+
+The functional counterpart of the reference's EpochTraining/TrainValLearning
+(/root/reference/mdir/learning/{training,learning}.py): per-epoch derived
+seeds (seed+epoch, training.py:40-42), dataset prepare_epoch (re-sampling /
+mining), per-epoch LR schedule factors injected into the optimizer hyperparams,
+event logging, epoch checkpoints with best/last bookkeeping, and
+epoch-granular resume.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gandtr_tpu.data import transforms as T
+from gandtr_tpu.learning.events import EventBroker
+from gandtr_tpu.learning.checkpoints import Checkpoints
+
+
+def set_epoch_lr(opt_state, base_lr, factor):
+    """Inject this epoch's learning rate into an inject_hyperparams state."""
+    return opt_state._replace(hyperparams={
+        **opt_state.hyperparams,
+        "learning_rate": jnp.asarray(base_lr * factor, jnp.float32)})
+
+
+class EpochLoop:
+    """Generic epoch loop driving a jitted step function over a Loader.
+
+    step_fn(state, *batch_arrays) -> (state, metrics_dict[, debug_dict])
+    """
+
+    def __init__(self, step_fn, loader, events=None, prefix="train/learning",
+                 batch_to_args=None):
+        self.step_fn = step_fn
+        self.loader = loader
+        self.events = events
+        self.prefix = prefix
+        self.batch_to_args = batch_to_args or (lambda batch: batch)
+
+    def run_epoch(self, state, epoch):
+        logger = (self.events.logger(self.prefix, epoch, len(self.loader))
+                  if self.events else (lambda *a, **k: None))
+        if hasattr(self.loader.dataset, "prepare_epoch"):
+            self.loader.dataset.prepare_epoch()
+        last_debug = None
+        for it, batch in enumerate(self.loader):
+            args = self.batch_to_args(batch)
+            out = self.step_fn(state, *args)
+            if len(out) == 3:
+                state, metrics, last_debug = out
+            else:
+                state, metrics = out
+            for key, value in metrics.items():
+                logger(key, float(value), "scalar/loss", iteration=it)
+        return state, last_debug
+
+
+class Training:
+    """TrainValLearning equivalent: loop epochs with schedules, validation,
+    events, checkpoints, resume."""
+
+    def __init__(self, *, step_fn, loader, epochs, seed=0,
+                 optimizers_base_lr=None, schedules=None, events=None,
+                 checkpoints=None, validations=(), frozen=(),
+                 batch_to_args=None, state_hook=None):
+        self.loop = EpochLoop(step_fn, loader, events,
+                              batch_to_args=batch_to_args)
+        self.epochs = epochs
+        self.seed = seed
+        self.base_lr = optimizers_base_lr or {}
+        self.schedules = schedules or {}
+        self.events = events
+        self.checkpoints = checkpoints
+        self.validations = list(validations)
+        self.frozen = tuple(frozen)
+        self.state_hook = state_hook
+
+    def _apply_schedules(self, state, epoch):
+        opt_states = dict(state.opt_states)
+        for name, sched in self.schedules.items():
+            if name in opt_states:
+                opt_states[name] = set_epoch_lr(
+                    opt_states[name], self.base_lr.get(name, 1.0), sched(epoch - 1))
+        return state.replace(opt_states=opt_states)
+
+    def run(self, state, start_epoch=1):
+        for epoch in range(start_epoch, self.epochs + 1):
+            T.seed_transforms(self.seed + epoch)
+            np.random.seed(self.seed + epoch)
+            if hasattr(state, "opt_states"):
+                state = self._apply_schedules(state, epoch)
+
+            state, debug = self.loop.run_epoch(state, epoch)
+
+            for val in self.validations:
+                val(state, epoch, self.events)
+
+            is_best = True
+            if self.events:
+                self.events.close_epoch(epoch)
+                is_best = self.events.metadata.is_last_best()
+
+            if self.checkpoints:
+                self.checkpoints.save_epoch(
+                    epoch, dict(state.variables),
+                    train_state={"epoch": epoch,
+                                 "events": self.events.state_dict() if self.events else None},
+                    frozen=self.frozen, is_best=is_best, is_last=True)
+            if self.state_hook:
+                self.state_hook(state, epoch, debug)
+        return state
+
+    def resume_or_start(self, state, templates=None):
+        """Epoch-granular resume (learning.py:40-59): reload latest epoch's
+        variables + events, return (state, start_epoch)."""
+        if not self.checkpoints:
+            return state, 1
+        epoch, train_meta = self.checkpoints.load_latest_epoch()
+        if epoch is None:
+            return state, 1
+        variables = {
+            name: self.checkpoints.load_net(name, epoch, state.variables[name])
+            for name in state.variables}
+        state = state.replace(variables=variables)
+        if self.events and train_meta and train_meta.get("events"):
+            self.events.load_state_dict(train_meta["events"])
+        return state, epoch + 1
+
+
+class VisualValidation:
+    """Run the generator over fixed validation images and log outputs as blobs
+    (reference optim/score/visual.py:12-91)."""
+
+    def __init__(self, model, images, mean_std=((0.5,) * 3, (0.5,) * 3),
+                 net_name="generator_X", key="val/visual"):
+        self.model = model
+        self.images = images  # (N, H, W, C) normalized
+        self.mean = np.asarray(mean_std[0])
+        self.std = np.asarray(mean_std[1])
+        self.net_name = net_name
+        self.key = key
+        self._jit = None
+
+    def __call__(self, state, epoch, events):
+        if events is None:
+            return
+        if self._jit is None:
+            self._jit = jax.jit(lambda v, x: self.model.apply(v, x, train=False))
+        out = np.asarray(self._jit(state.variables[self.net_name], self.images))
+        logger = events.logger("", epoch)
+        for i, img in enumerate(out):
+            rgb = np.clip(img * self.std + self.mean, 0, 1)
+            logger(f"{self.key}_{i}", rgb, "blob")
+
+
+class LossValidation:
+    """SingleValidation equivalent (validation.py:60-118): criterion loss over
+    a val loader every `frequency` epochs."""
+
+    def __init__(self, loss_fn, loader, frequency=1, key="val/learning/total",
+                 batch_to_args=None):
+        self.loss_fn = loss_fn
+        self.loader = loader
+        self.frequency = frequency
+        self.key = key
+        self.batch_to_args = batch_to_args or (lambda b: b)
+
+    def __call__(self, state, epoch, events):
+        if self.frequency and epoch % self.frequency != 0:
+            return
+        if hasattr(self.loader.dataset, "prepare_epoch"):
+            self.loader.dataset.prepare_epoch()
+        losses = []
+        for batch in self.loader:
+            losses.append(float(self.loss_fn(state, *self.batch_to_args(batch))))
+        if events and losses:
+            events.logger("", epoch)(self.key, float(np.mean(losses)), "scalar/loss")

@@ -24,10 +24,20 @@ class GemRetrievalNet(nn.Module):
     gem_p_init: float = 3.0
 
     @nn.compact
-    def __call__(self, x):
-        """x: (N, H, W, C) normalized images -> (N, D) L2-normalized descriptors."""
+    def __call__(self, x, mask=None):
+        """x: (N, H, W, C) normalized images -> (N, D) L2-normalized descriptors.
+
+        `mask` (N, H, W) marks valid pixels when inputs are padded to a bucket
+        shape; it is downsampled to the feature stride for masked pooling.
+        """
         features, dim = make_features(self.architecture, name="backbone")
         o = features(x)
+        feat_mask = None
+        if mask is not None:
+            fh, fw = o.shape[1], o.shape[2]
+            sh = x.shape[1] // fh
+            sw = x.shape[2] // fw
+            feat_mask = mask[:, ::sh, ::sw][:, :fh, :fw]
 
         if self.local_whitening:
             lw = nn.Dense(dim, name="lwhiten")
@@ -36,10 +46,12 @@ class GemRetrievalNet(nn.Module):
 
         if self.pooling == "gem":
             p = self.param("gem_p", nn.initializers.constant(self.gem_p_init), (1,))
-            o = pool_ops.gem(o, p=p[0])
+            o = pool_ops.gem(o, p=p[0], mask=feat_mask)
         elif self.pooling == "gemmp":
             p = self.param("gem_p", nn.initializers.constant(self.gem_p_init), (dim,))
-            o = pool_ops.gem(o, p=p)
+            o = pool_ops.gem(o, p=p, mask=feat_mask)
+        elif self.pooling in ("mac", "spoc"):
+            o = pool_ops.POOLINGS[self.pooling](o, mask=feat_mask)
         else:
             o = pool_ops.POOLINGS[self.pooling](o)
 

@@ -11,24 +11,37 @@ import jax
 import jax.numpy as jnp
 
 
-def mac(x):
-    """Max pooling over spatial dims. x: (N, H, W, C) -> (N, C)."""
+def mac(x, mask=None):
+    """Max pooling over spatial dims. x: (N, H, W, C) -> (N, C).
+
+    `mask` (N, H, W) marks valid positions when images are padded to a static
+    bucket shape (TPU static-shape strategy, SURVEY.md §5.7)."""
+    if mask is not None:
+        x = jnp.where(mask[..., None] > 0, x, -jnp.inf)
     return jnp.max(x, axis=(1, 2))
 
 
-def spoc(x):
+def spoc(x, mask=None):
     """Average (sum) pooling over spatial dims. x: (N, H, W, C) -> (N, C)."""
+    if mask is not None:
+        m = mask[..., None]
+        return jnp.sum(x * m, axis=(1, 2)) / jnp.sum(m, axis=(1, 2))
     return jnp.mean(x, axis=(1, 2))
 
 
-def gem(x, p=3.0, eps=1e-6):
+def gem(x, p=3.0, eps=1e-6, mask=None):
     """Generalized-mean pooling: mean(clamp(x, eps)^p)^(1/p) over H, W.
 
     Matches reference `gem` (functional.py:21-23). x: (N, H, W, C) -> (N, C).
-    p broadcasts: scalar or (C,) for the per-channel GeMmp variant.
-    """
+    p broadcasts: scalar or (C,) for the per-channel GeMmp variant. With
+    `mask` (N, H, W), the mean runs over valid positions only (padded-bucket
+    extraction mode)."""
     p = jnp.asarray(p, dtype=x.dtype)
     x = jnp.clip(x, min=eps)
+    if mask is not None:
+        m = mask[..., None]
+        pooled = jnp.sum((x ** p) * m, axis=(1, 2)) / jnp.sum(m, axis=(1, 2))
+        return pooled ** (1.0 / p)
     return jnp.mean(x ** p, axis=(1, 2)) ** (1.0 / p)
 
 

@@ -1,0 +1,105 @@
+"""Fine-tune step: GAN augmentation in-loop + masked GeM + contrastive."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gandtr_tpu.learning.network import build_single_net
+from gandtr_tpu.learning.optimizers import initialize_optimizer
+from gandtr_tpu.learning import supervised
+from gandtr_tpu.ops import pooling
+
+
+MEANSTD_GEN = "[[0.5,0.5,0.5],[0.5,0.5,0.5]]"
+MEANSTD_IMNET = "[[0.485,0.456,0.406],[0.229,0.224,0.225]]"
+
+
+def build_models():
+    augment = build_single_net({
+        "model": {"architecture": "official_resnet_generator", "ngf": 4,
+                  "n_blocks": 1, "norm_layer": "instance"},
+        "runtime": {"frozen": True,
+                    "wrappers": f"meanstd_post:{MEANSTD_GEN}:{MEANSTD_IMNET},"
+                                f"clahepost:{MEANSTD_GEN}:1.0,"
+                                f"cir_ratio_pass_through:0.25:anc",
+                    "data": {}}})
+    # tiny custom retrieval net (vgg16 too slow for unit test): use gem pooling
+    # through the real GemRetrievalNet with a small custom backbone is not
+    # configurable; use vgg16 but at 32x32 input it is still heavy on CPU —
+    # instead exercise with architecture vgg16 but only 2 tuples x 3 images.
+    embed = build_single_net({
+        "model": {"architecture": "cirnet", "cir_architecture": "vgg16",
+                  "pooling": "gem", "local_whitening": False,
+                  "whitening": False},
+        "runtime": {"wrappers": "", "data": {}}})
+    return {"augment": augment, "embed": embed}
+
+
+class TestMaskedGem:
+    def test_masked_equals_cropped(self):
+        rng = np.random.RandomState(0)
+        x_small = jnp.asarray(rng.rand(1, 4, 6, 8).astype(np.float32))
+        # pad to (8, 8) and mask
+        x_pad = jnp.pad(x_small, ((0, 0), (0, 4), (0, 2), (0, 0)))
+        mask = jnp.zeros((1, 8, 8)).at[:, :4, :6].set(1.0)
+        a = pooling.gem(x_small, p=3.0)
+        b = pooling.gem(x_pad, p=3.0, mask=mask)
+        np.testing.assert_allclose(a, b, rtol=1e-5)
+
+
+class TestFinetuneStep:
+    def test_step_runs_and_updates_embed_only(self):
+        models = build_models()
+        rng = jax.random.PRNGKey(0)
+        T, S, H, W = 2, 3, 32, 32
+        imgs = jax.random.uniform(rng, (T, S, H, W, 3)) * 2 - 1
+        masks = jnp.ones((T, S, H, W))
+        labels = jnp.asarray([[-1, 1, 0]] * T, jnp.float32)
+        pass_mask = jnp.asarray([[True, False, False], [False, False, False]])
+
+        variables = {
+            "augment": dict(models["augment"].init(rng, imgs[0], train=False)),
+            "embed": dict(models["embed"].init(rng, imgs[0])),
+        }
+        tx, _ = initialize_optimizer({"algorithm": "adam", "lr": 5e-5,
+                                      "beta1": 0.9, "beta2": 0.999,
+                                      "weight_decay": 0.0005})
+        state = supervised.make_finetune_state(variables, tx)
+        step = jax.jit(supervised.build_finetune_step(models, tx, margin=0.75))
+        new_state, metrics = step(state, imgs, masks, labels, pass_mask)
+        assert np.isfinite(float(metrics["total"]))
+        # embed params moved, augment untouched
+        delta = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()),
+            state.variables["embed"]["params"], new_state.variables["embed"]["params"])
+        assert max(jax.tree_util.tree_leaves(delta)) > 0
+        adelta = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()),
+            state.variables["augment"]["params"], new_state.variables["augment"]["params"])
+        assert max(jax.tree_util.tree_leaves(adelta)) == 0
+
+    def test_fakebatch_matches_plain_batch_grads(self):
+        """scan-accumulated grads == full-batch grads (same total loss)."""
+        models = build_models()
+        rng = jax.random.PRNGKey(1)
+        T, S, H, W = 2, 3, 16, 16
+        imgs = jax.random.uniform(rng, (T, S, H, W, 3)) * 2 - 1
+        masks = jnp.ones((T, S, H, W))
+        labels = jnp.asarray([[-1, 1, 0]] * T, jnp.float32)
+        pass_mask = jnp.zeros((T, S), bool)
+        variables = {
+            "augment": dict(models["augment"].init(rng, imgs[0], train=False)),
+            "embed": dict(models["embed"].init(rng, imgs[0])),
+        }
+        tx, _ = initialize_optimizer({"algorithm": "adam", "lr": 5e-5})
+        state = supervised.make_finetune_state(variables, tx)
+        s_fake = jax.jit(supervised.build_finetune_step(models, tx, fakebatch=True))
+        s_full = jax.jit(supervised.build_finetune_step(models, tx, fakebatch=False))
+        out_fake, m_fake = s_fake(state, imgs, masks, labels, pass_mask)
+        out_full, m_full = s_full(state, imgs, masks, labels, pass_mask)
+        np.testing.assert_allclose(float(m_fake["total"]), float(m_full["total"]),
+                                   rtol=1e-4)
+        leaves_a = jax.tree_util.tree_leaves(out_fake.variables["embed"]["params"])
+        leaves_b = jax.tree_util.tree_leaves(out_full.variables["embed"]["params"])
+        for a, b in zip(leaves_a, leaves_b):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-4)

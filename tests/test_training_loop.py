@@ -1,0 +1,122 @@
+"""End-to-end tiny GAN training: dataset -> loader -> jitted step -> events ->
+checkpoints -> resume."""
+import os
+
+import numpy as np
+from PIL import Image
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gandtr_tpu.data.datasets import RandomDomainsPairDataset, Loader
+from gandtr_tpu.data.transforms import initialize_transforms
+from gandtr_tpu.learning.network import build_model_set
+from gandtr_tpu.learning.optimizers import initialize_optimizer
+from gandtr_tpu.learning import gan_steps
+from gandtr_tpu.learning.schedules import initialize_schedule
+from gandtr_tpu.learning.events import initialize_processor
+from gandtr_tpu.learning.checkpoints import Checkpoints
+from gandtr_tpu.learning.training import Training, VisualValidation
+
+
+@pytest.fixture(scope="module")
+def image_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("imgs")
+    rng = np.random.RandomState(0)
+    for i in range(6):
+        arr = (rng.rand(40, 40, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(d / f"img{i}.jpg")
+    return str(d)
+
+
+def test_tiny_gan_training_with_resume(image_dir, tmp_path):
+    names = sorted(os.listdir(image_dir))
+    tf = initialize_transforms("pil2np | scalecrop:32_32:0.8_1 | totensor | normalize",
+                               [[0.5] * 3, [0.5] * 3])
+    ds = RandomDomainsPairDataset([], tf, names[:3], names[3:], image_dir + "/*",
+                                  size=4)
+    loader = Loader(ds, batch_size=2, shuffle=True, drop_last=True, num_workers=1)
+
+    cfg = {"type": "NetworkSet",
+           "generator_X": {"model": {"architecture": "official_resnet_generator",
+                                     "ngf": 4, "n_blocks": 1,
+                                     "norm_layer": "instance"},
+                           "runtime": {"wrappers": "", "data": {}}},
+           "discriminator_Y": {"model": {"architecture": "official_p2p_discriminator",
+                                         "ndf": 4, "n_layers": 2,
+                                         "norm_layer": "instance"},
+                               "runtime": {"wrappers": "", "data": {}}}}
+    ms, _ = build_model_set(cfg)
+    x0 = jnp.zeros((2, 32, 32, 3))
+    variables = ms.init_all(jax.random.PRNGKey(0), {n: x0 for n in ms.nets})
+    adam_cfg = {"algorithm": "adam", "lr": 2e-4, "beta1": 0.5, "beta2": 0.999}
+    optimizers, base_lr = {}, {}
+    for n in ("generator_X", "discriminator_Y"):
+        optimizers[n], base_lr[n] = initialize_optimizer(dict(adam_cfg))
+    state = gan_steps.make_gan_state(variables, optimizers)
+
+    # hedgan-without-detector is not a reference config; use a 2-net adversarial
+    # step by reusing the hedgan builder with a zero edge weight and an
+    # identity detector is overkill — instead use cyclegan-style D/G: simplest
+    # smoke: build_hedgan_step requires a detector; use cut without featdown?
+    # -> use plain hedgan with detector = identity-ish HED is heavy; so use
+    # build_cyclegan? needs 4 nets. Use hedgan with tiny detector:
+    cfg_det = {"model": {"architecture": "hed_interpolation"},
+               "runtime": {"wrappers": "", "data": {}}}
+    from gandtr_tpu.learning.network import build_single_net
+    det = build_single_net(cfg_det)
+    ms.nets["detector"] = det
+    variables["detector"] = dict(det.init(jax.random.PRNGKey(1), x0))
+    optimizers["detector"], base_lr["detector"] = initialize_optimizer(dict(adam_cfg))
+    state = gan_steps.make_gan_state(variables, optimizers)
+
+    step = jax.jit(gan_steps.build_hedgan_step(
+        ms.nets, optimizers, {"adversarial": 1, "edge": 5}))
+
+    schedules = {n: initialize_schedule(4, {"algorithm": "lambda_p2p",
+                                            "n_epochs_decay": 2})
+                 for n in optimizers}
+    events = initialize_processor({"progress": {"print_each": 100}},
+                                  directory=str(tmp_path))
+    ckpts = Checkpoints(str(tmp_path), store_every=2, checkpoint_every=1)
+    val_images = jnp.zeros((1, 32, 32, 3))
+    training = Training(
+        step_fn=step, loader=loader, epochs=2, seed=0,
+        optimizers_base_lr=base_lr, schedules=schedules, events=events,
+        checkpoints=ckpts,
+        validations=[VisualValidation(ms["generator_X"].module, val_images)],
+        batch_to_args=lambda b: (jnp.asarray(b[0]), jnp.asarray(b[1])))
+
+    final = training.run(state)
+    assert int(final.step) == 4  # 2 epochs x 2 batches
+
+    # events recorded
+    assert len(events.history) == 2
+    assert "train/learning/total" in events.history[0]["metrics"]
+    # checkpoints on disk with best/last links
+    eps = os.listdir(os.path.join(str(tmp_path), "epochs"))
+    assert any("generator_X_best" in e for e in eps)
+    assert any("generator_X_epoch_02" in e for e in eps)
+    # blobs from visual validation
+    blobs = os.listdir(os.path.join(str(tmp_path), "epochs", "blobs"))
+    assert blobs
+
+    # resume: fresh state, reload epoch 2
+    state2 = gan_steps.make_gan_state(variables, optimizers)
+    events2 = initialize_processor({}, directory=str(tmp_path))
+    training2 = Training(
+        step_fn=step, loader=loader, epochs=4, seed=0,
+        optimizers_base_lr=base_lr, schedules=schedules, events=events2,
+        checkpoints=Checkpoints(str(tmp_path), store_every=2, checkpoint_every=1),
+        batch_to_args=lambda b: (jnp.asarray(b[0]), jnp.asarray(b[1])))
+    state2, start = training2.resume_or_start(state2)
+    assert start == 3
+    # resumed weights equal saved ones
+    gx = final.variables["generator_X"]["params"]
+    gx2 = state2.variables["generator_X"]["params"]
+    d = max(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), gx, gx2)))
+    assert d == 0.0
+    # continue to epoch 4
+    final2 = training2.run(state2, start_epoch=start)
+    assert len(events2.history) == 4  # 2 replayed + epochs 3, 4
