@@ -1,0 +1,86 @@
+"""Benchmark: batched day→night generator inference at 256×256 on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline note: the reference (mohwald/gandtr) publishes no throughput numbers
+(BASELINE.md). The driver's north star is ≥5× A100 images/sec/chip on v5e for
+256px generator inference. We take 400 img/s as the A100 torch-fp16 estimate
+for the 9-block ResNet CycleGAN generator (≈0.11 TFLOP/image ⇒ ~40% MXU-peak
+equivalent), so vs_baseline = value / (5 × 400).
+
+The benched graph is the flagship inference path: the official 9-block ResNet
+generator (hub `cyclegan`/`hedngan` architecture) in bfloat16 (MXU-native),
+batch 32, steady-state, on the real TPU chip.
+"""
+import json
+import sys
+import time
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+A100_ESTIMATE_IMG_S = 400.0
+TARGET = 5 * A100_ESTIMATE_IMG_S
+
+
+def main():
+    from gandtr_tpu.models import initialize_model
+
+    gen = initialize_model({
+        "architecture": "official_resnet_generator",
+        "no_antialias": True, "no_antialias_up": True,
+        "input_nc": 3, "output_nc": 3, "n_blocks": 9,
+        "norm_layer": "instance"})
+
+    batch, hw = 32, 256
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.uniform(rng, (batch, hw, hw, 3), jnp.float32) * 2 - 1
+    variables = gen.init(jax.random.PRNGKey(1), x[:1], train=False)
+
+    # bfloat16 weights + inputs: MXU-native inference precision
+    bf16 = lambda t: jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, t)
+    variables_bf16 = bf16(variables)
+    x_bf16 = x.astype(jnp.bfloat16)
+
+    # The whole timing loop runs IN-GRAPH (lax.fori_loop over the generator,
+    # input perturbed per iteration so nothing folds away) and reduces to one
+    # scalar fetched to host: a single dispatch + 4-byte device_get, so tunnel
+    # RTT does not pollute the measurement (block_until_ready returns early on
+    # the axon backend; device_get is the only reliable barrier).
+    ITERS = 30
+
+    @jax.jit
+    def timed_loop(v, z):
+        def body(i, acc):
+            y = gen.apply(v, z + i.astype(jnp.bfloat16) * jnp.bfloat16(1e-4),
+                          train=False)
+            return acc + jnp.sum(y.astype(jnp.float32))
+        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+
+    acc = float(timed_loop(variables_bf16, x_bf16))  # compile + warmup
+    assert np.isfinite(acc)
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = float(timed_loop(variables_bf16, x_bf16))
+        best = min(best, (time.perf_counter() - t0) / ITERS)
+    assert np.isfinite(acc)
+
+    img_s = batch / best
+    print(json.dumps({
+        "metric": "generator_inference_images_per_sec_per_chip_256px",
+        "value": round(img_s, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(img_s / TARGET, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

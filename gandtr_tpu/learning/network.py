@@ -122,6 +122,8 @@ def build_model_set(config):
     assert config.pop("type", "NetworkSet") == "NetworkSet"
     nets, init_specs = {}, {}
     for name, sub in config.items():
+        if sub is None:  # overlay-removed subnet (key*: null)
+            continue
         sub = dict(sub)
         sub.pop("type", None)
         sub.pop("path", None)

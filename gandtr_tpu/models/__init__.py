@@ -5,10 +5,13 @@ import flax.linen as nn
 
 from gandtr_tpu.models.generators import (
     ResnetGenerator, ResnetEncoder, ResnetDecoder, UnetGenerator)
+from gandtr_tpu.models import unet as unet_mod
+from gandtr_tpu.models.rcf import RCF
 from gandtr_tpu.models.discriminators import NLayerDiscriminator, PatchDiscriminator
 from gandtr_tpu.models.patchsample import PatchSampleF
 from gandtr_tpu.models.hed import HedInterpolation
-from gandtr_tpu.models.retrieval import GemRetrievalNet
+from gandtr_tpu.models.retrieval import (
+    GemRetrievalNet, GemRetrievalNetPreprocessing, GemRetrievalNetAttention)
 
 
 class Identity(nn.Module):
@@ -56,8 +59,53 @@ def _cirnet(**kw):
     )
 
 
+def _cirnet_inchan(inputs=None, **kw):
+    """cirnet with input-channel handling + preprocessing (cirnet.py:85-105);
+    grayscale collapse is a weight-import concern in the functional design."""
+    inputs = inputs or {}
+    pre = inputs.get("preprocessing")
+    if pre:
+        pre = dict(pre)
+        return GemRetrievalNetPreprocessing(
+            architecture=kw.pop("cir_architecture", "vgg16"),
+            pooling=kw.pop("pooling", "gem"),
+            preprocessing=pre.pop("type", "edgefilter"),
+            preprocessing_params=pre)
+    return _cirnet(**kw)
+
+
+def _cirnet_attention(attention=None, **kw):
+    att = dict(attention or {"type": "l2norm"})
+    return GemRetrievalNetAttention(
+        architecture=kw.pop("cir_architecture", "vgg16"),
+        pooling=kw.pop("pooling", "gem"),
+        attention=att.pop("type", "l2norm"),
+        normalize_max=bool(att.pop("normalize_max", True)))
+
+
+class NormalizationL2(nn.Module):
+    """L2N single layer (single_layer.py:7-13)."""
+    meta = {"in_channels": 3, "out_channels": 3}
+
+    def __call__(self, x):
+        from gandtr_tpu.ops.norm import l2n
+        return l2n(x)
+
+
 MODEL_LABELS = {
     "identity": Identity,
+    "orig_unet": lambda **kw: unet_mod.OrigUNet(**kw),
+    "p2p_unet": lambda **kw: unet_mod.P2pUNet(**kw),
+    "outconv_unet": lambda **kw: unet_mod.OutconvP2pUNet(**kw),
+    "outconv_dynint_unet": lambda **kw: unet_mod.OutconvP2pUNetDynamicInterpolate(**kw),
+    "shallow_p2p_unet": lambda **kw: unet_mod.ShallowP2pUNet(**kw),
+    "inconv_p2p_unet": lambda **kw: unet_mod.InconvP2pUNet(**kw),
+    "aligned_p2p_unet": lambda **kw: unet_mod.AlignedP2pUNet(**kw),
+    "official_p2p_unet_generator": _unet_generator,
+    "cirnet_inchan": _cirnet_inchan,
+    "cirnet_attention": _cirnet_attention,
+    "normalization_l2": lambda **kw: NormalizationL2(),
+    "rcf": lambda **kw: RCF(),
     "official_resnet_generator": _resnet_generator,
     "official_resnet_encoder": lambda **kw: ResnetEncoder(**kw),
     "official_resnet_decoder": lambda **kw: ResnetDecoder(**kw),

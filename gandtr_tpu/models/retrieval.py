@@ -64,7 +64,7 @@ class GemRetrievalNet(nn.Module):
         return o
 
     @property
-    def meta(self):
+    def meta(self):  # noqa: D401
         _, dim = make_features(self.architecture)
         return {
             "architecture": self.architecture,
@@ -77,3 +77,46 @@ class GemRetrievalNet(nn.Module):
             "mean": [0.485, 0.456, 0.406],
             "std": [0.229, 0.224, 0.225],
         }
+
+
+class GemRetrievalNetPreprocessing(nn.Module):
+    """cirnet with a learnable preprocessing layer before the backbone
+    (CirRetrievalNetPreprocessing, /root/reference/mdir/components/model/
+    network/cirnet.py:70-104). Currently: EdgeFilter edge-map preprocessing."""
+    architecture: str = "vgg16"
+    pooling: str = "gem"
+    preprocessing: str = "edgefilter"
+    preprocessing_params: dict = None
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        from gandtr_tpu.models.extra_layers import EdgeFilter
+        assert self.preprocessing == "edgefilter", self.preprocessing
+        x = EdgeFilter(**(self.preprocessing_params or {}), name="preprocessing")(x)
+        return GemRetrievalNet(self.architecture, self.pooling,
+                               name="net")(x, mask=mask)
+
+
+class GemRetrievalNetAttention(nn.Module):
+    """cirnet with spatial attention before pooling (CirRetrievalNetAttention,
+    cirnet.py:109-137): features are weighted by an L2-norm attention map."""
+    architecture: str = "vgg16"
+    pooling: str = "gem"
+    attention: str = "l2norm"
+    normalize_max: bool = True
+    gem_p_init: float = 3.0
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        from gandtr_tpu.models.extra_layers import ATTENTIONS
+        from gandtr_tpu.models.backbones import make_features
+        features, dim = make_features(self.architecture, name="backbone")
+        o = features(x)
+        att = ATTENTIONS[self.attention](o, normalize_max=self.normalize_max)
+        o = o * att
+        if self.pooling == "gem":
+            p = self.param("gem_p", nn.initializers.constant(self.gem_p_init), (1,))
+            o = pool_ops.gem(o, p=p[0])
+        else:
+            o = pool_ops.POOLINGS[self.pooling](o)
+        return l2n(o)

@@ -1,0 +1,60 @@
+"""Device mesh + GSPMD sharding helpers.
+
+The reference is strictly single-device (SURVEY.md §2.11); here data
+parallelism is the first-class default: batch dims shard over the mesh 'data'
+axis, parameters/optimizer state replicate, and XLA inserts the psum/all-gather
+collectives over ICI. The same helpers drive the descriptor-extraction and
+ranking-matmul sharding for eval (scores = V.T @ Q sharded over queries).
+"""
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices=None, axis="data", devices=None):
+    devices = devices if devices is not None else jax.devices()
+    if n_devices:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def batch_sharding(mesh, axis="data"):
+    """Shard the leading (batch) dim over the mesh."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh, *arrays, axis="data"):
+    """Device_put arrays with their leading dim sharded over the mesh."""
+    sh = batch_sharding(mesh, axis)
+    out = tuple(jax.device_put(a, sh) for a in arrays)
+    return out if len(out) > 1 else out[0]
+
+
+def replicate_tree(mesh, tree):
+    """Fully replicate a pytree (params/optimizer state) over the mesh."""
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def data_parallel_step(step_fn, mesh, axis="data", num_batch_args=2):
+    """Wrap a `(state, *batches) -> (state, ...)` step for the mesh: state
+    replicated, batch args sharded on their leading dim. XLA all-reduces the
+    gradients (GSPMD) — no explicit collectives needed."""
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh, axis)
+
+    def in_shardings(state_example):
+        state_sh = jax.tree_util.tree_map(lambda _: rep, state_example)
+        return (state_sh,) + (bsh,) * num_batch_args
+
+    jitted = jax.jit(step_fn)
+
+    def wrapped(state, *batches):
+        batches = tuple(jax.device_put(b, bsh) for b in batches)
+        return jitted(state, *batches)
+
+    return wrapped

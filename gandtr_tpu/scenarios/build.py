@@ -1,0 +1,191 @@
+"""Build runnable experiments from reference-style scenario config trees.
+
+This is the counterpart of initialize_learning (/root/reference/mdir/learning/
+learning.py + training.py): the `network:`/`learning:`/`data:`/`output:`
+sections of a train scenario (e.g. iccv23 parameters/train_hedngan.yml) are
+resolved into flax models, optax optimizers, a jitted GAN/finetune step, data
+loaders, events, checkpoints and a Training loop.
+"""
+import copy
+import warnings
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gandtr_tpu.learning.network import build_model_set
+from gandtr_tpu.learning.optimizers import initialize_optimizer
+from gandtr_tpu.learning.schedules import initialize_schedule
+from gandtr_tpu.learning.events import initialize_processor
+from gandtr_tpu.learning.checkpoints import Checkpoints
+from gandtr_tpu.learning.training import Training, VisualValidation
+from gandtr_tpu.learning import gan_steps
+from gandtr_tpu.learning.image_pool import init_pool
+from gandtr_tpu.data.datasets import initialize_dataset_loader
+from gandtr_tpu.utils.io import load_torch_checkpoint
+from gandtr_tpu.utils import torch_import as ti
+
+
+EPOCH_ITERATION_FAMILIES = {
+    "SupervisedCycleGanEpoch": "cyclegan",
+    "SupervisedCUTEpoch": "cut",
+    "SupervisedCutEpoch": "cut",
+    "SupervisedHEDGANEpoch": "hedgan",
+    "SupervisedHedGanEpoch": "hedgan",
+    "SupervisedHEDNGANEpoch": "hedngan",
+    "SupervisedHedNGanEpoch": "hedngan",
+}
+
+
+def _load_pretrained_into(variables, model_cfg, name):
+    """Load a `pretrained:` URL/path from a model config into variables
+    (e.g. the HED detector checkpoint, train_hedngan.yml:25-27)."""
+    url = model_cfg.get("pretrained")
+    if not url or url is True:
+        return variables
+    try:
+        state = load_torch_checkpoint(url)
+        if "net" in state:
+            state = state["net"]["model_state"]
+        key_map = ti.hed_key_map if model_cfg.get("architecture", "").startswith("hed") else None
+        return ti.convert_torch_state(variables, state, key_map=key_map,
+                                      strict=False)
+    except Exception as exc:  # zero-egress envs: keep random init
+        warnings.warn("Could not load pretrained '%s' for %s: %s" % (url, name, exc))
+        return variables
+
+
+def build_gan_experiment(scenario, sample_hw=256, batch_size=None,
+                         directory=None, data_override=None):
+    """Returns dict with models, step (jitted), state, training, loaders.
+
+    `scenario` is the resolved config tree with `network`, `learning`, `data`,
+    `output` sections.
+    """
+    scenario = copy.deepcopy(scenario)
+    net_cfg = scenario["network"]
+    learn_cfg = scenario["learning"]
+    train_cfg = dict(learn_cfg["training"])
+    data_cfg = data_override or scenario.get("data", {})
+
+    models, init_specs = build_model_set(net_cfg)
+
+    # epoch iteration family
+    it_cfg = dict(train_cfg.get("epoch_iteration", {}))
+    family = EPOCH_ITERATION_FAMILIES[it_cfg.get("type", "SupervisedHEDNGANEpoch")]
+
+    # criterion weights
+    crit = dict(train_cfg.get("criterion", {}))
+    weights = dict(crit.get("weights", {}))
+
+    # sample inputs + init
+    rng = jax.random.PRNGKey(int(train_cfg.get("seed", 0)))
+    x0 = jnp.zeros((2, sample_hw, sample_hw, 3), jnp.float32)
+    sample_inputs = {}
+    for name, net in models.nets.items():
+        if net.module.__class__.__name__ == "PatchSampleF":
+            continue  # initialized below from generator taps
+        sample_inputs[name] = x0
+    variables = models.init_all(rng, sample_inputs, init_specs)
+
+    # PatchSampleF (CUT): init from generator feature taps
+    nce_layers = None
+    if family == "cut":
+        nce = crit.get("nce", {})
+        nce_layers = tuple(int(x) for x in str(nce.get("nce_layers", "4,8,12,16")).split(","))
+        feats = models["generator_X"].apply(
+            variables["generator_X"], x0, train=False,
+            layers=nce_layers, encode_only=True)
+        variables["featdown"] = dict(models["featdown"].module.init(
+            rng, feats, num_patches=int(nce.get("num_patches", 256)), rng=rng))
+
+    # pretrained subnet weights (e.g. HED teacher/student)
+    for name, sub in net_cfg.items():
+        if isinstance(sub, dict) and "model" in sub and name in variables:
+            variables[name] = _load_pretrained_into(variables[name],
+                                                    sub["model"], name)
+    if "detector_frozen" in variables and "detector" in variables:
+        variables["detector_frozen"] = jax.tree_util.tree_map(
+            lambda x: x, variables["detector"])
+
+    # optimizers + schedules
+    opt_cfg = dict(train_cfg.get("optimizer", {}))
+    opt_cfg.pop("composition", None)
+    optimizers, base_lr = {}, {}
+    for name, cfg in opt_cfg.items():
+        if cfg is None:
+            continue
+        optimizers[name], base_lr[name] = initialize_optimizer(dict(cfg))
+
+    epochs = int(train_cfg.get("epochs", 1))
+    sched_cfg = dict(train_cfg.get("scheduler", {}))
+    sched_cfg.pop("composition", None)
+    schedules = {name: initialize_schedule(epochs, dict(cfg))
+                 for name, cfg in sched_cfg.items() if cfg is not None}
+
+    # pools (cyclegan)
+    pools = {}
+    if family == "cyclegan":
+        pool_size = int(it_cfg.get("pool_size", 50))
+        pools = {"fake_X_pool": init_pool(pool_size, (sample_hw, sample_hw, 3)),
+                 "fake_Y_pool": init_pool(pool_size, (sample_hw, sample_hw, 3))}
+
+    state = gan_steps.make_gan_state(variables, optimizers, pools,
+                                     seed=int(train_cfg.get("seed", 0)))
+
+    # step builder
+    if family == "cyclegan":
+        wx = dict(crit.get("loss_G_X", {}).get("weights", {}))
+        wy = dict(crit.get("loss_G_Y", {}).get("weights", {}))
+        step = gan_steps.build_cyclegan_step(models.nets, optimizers, wx, wy)
+    elif family == "cut":
+        nce = crit.get("nce", {})
+        step = gan_steps.build_cut_step(
+            models.nets, optimizers, weights, nce_layers=nce_layers,
+            num_patches=int(nce.get("num_patches", 256)),
+            temperature=float(nce.get("temperature", 0.07)),
+            nce_weight=float(nce.get("weight", 1.0)),
+            batch_dim_for_bmm=int(nce.get("batch_dim_for_bmm", 1)))
+    elif family == "hedgan":
+        step = gan_steps.build_hedgan_step(models.nets, optimizers, weights)
+    else:
+        step = gan_steps.build_hedngan_step(models.nets, optimizers, weights)
+    step = jax.jit(step)
+
+    # data loader
+    loader = None
+    if data_cfg.get("train"):
+        dp = copy.deepcopy(data_cfg["train"])
+        gen_data = models["generator_X"].data_params
+        dp.setdefault("transforms", gen_data.get("transforms"))
+        dp.setdefault("mean_std", gen_data.get("mean_std"))
+        if batch_size:
+            dp.setdefault("loader", {})["batch_size"] = batch_size
+        loader = initialize_dataset_loader([], "train", dp, {"shuffle": True})
+
+    # events / checkpoints
+    out_cfg = (scenario.get("output") or {}).get("learning", {})
+    events = initialize_processor(out_cfg, directory=directory)
+    ckpt_cfg = dict(learn_cfg.get("checkpoints", {}))
+    checkpoints = None
+    if directory:
+        checkpoints = Checkpoints(
+            directory,
+            store_every=ckpt_cfg.get("store_every", 10) or 0,
+            checkpoint_every=ckpt_cfg.get("checkpoint_every", 2) or 0)
+
+    frozen = tuple(name for name, net in models.nets.items() if net.frozen)
+
+    training = None
+    if loader is not None:
+        training = Training(
+            step_fn=step, loader=loader, epochs=epochs,
+            seed=int(train_cfg.get("seed", 0)),
+            optimizers_base_lr=base_lr, schedules=schedules, events=events,
+            checkpoints=checkpoints, frozen=frozen,
+            batch_to_args=lambda b: (jnp.asarray(b[0]), jnp.asarray(b[1])))
+
+    return {"models": models, "variables": variables, "optimizers": optimizers,
+            "state": state, "step": step, "training": training,
+            "loader": loader, "events": events, "checkpoints": checkpoints,
+            "schedules": schedules, "base_lr": base_lr, "family": family}

@@ -1,0 +1,293 @@
+"""Build the GeM fine-tune experiment (CirSequentialNetwork scenarios,
+parameters/finetune.yml): augment (frozen generator + meanstd/clahe/ratio
+wrappers) → embed (GeM net), mined tuples, contrastive loss.
+
+TPU-first data layout: tuple images resize to `image_size` longest side, pad
+to a static square with validity masks (masked GeM — SURVEY.md §5.7), and the
+md5-name augmentation gates arrive as a per-image boolean mask
+(wrappers.cir_hash_passthrough; reference wrapper.py:137-143).
+"""
+import copy
+import os
+import pickle
+import warnings
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gandtr_tpu.data.datasets import Loader, imread
+from gandtr_tpu.data.mining import TuplesMiner, cid2filename
+from gandtr_tpu.data.transforms import initialize_transforms
+from gandtr_tpu.eval.retrieval import imresize
+from gandtr_tpu.learning.network import build_single_net
+from gandtr_tpu.learning.optimizers import initialize_optimizer
+from gandtr_tpu.learning.schedules import initialize_schedule
+from gandtr_tpu.learning.events import initialize_processor
+from gandtr_tpu.learning.checkpoints import Checkpoints
+from gandtr_tpu.learning.training import Training
+from gandtr_tpu.learning import supervised
+from gandtr_tpu.learning.wrappers import cir_hash_passthrough
+from gandtr_tpu.utils.io import resolve_path
+
+
+class TupleEpochDataset:
+    """Mined tuples as padded square batches.
+
+    Items: (images (S, HW, HW, C), masks (S, HW, HW), labels (S,),
+    pass_mask (S,)). Mining runs in prepare_epoch via the provided extract_fn.
+    """
+
+    loader_params = {"drop_last": True}
+
+    def __init__(self, db, images, transform, image_size, miner,
+                 augment_ratio=0.25, augment_label="anc", neg_num=5):
+        self.db = db
+        self.images = images
+        self.transform = transform
+        self.image_size = int(image_size)
+        self.miner = miner
+        self.augment_ratio = augment_ratio
+        self.augment_label = augment_label
+        self.neg_num = neg_num
+        self.extract_fn = None
+        self.tuples = None
+
+    def prepare_epoch(self, network=None, device=None):
+        assert self.extract_fn is not None, "set extract_fn before training"
+        qidxs, pidxs, nidxs, labels, stats = self.miner.create_epoch_tuples(
+            self.extract_fn)
+        self.tuples = list(zip(qidxs, pidxs, nidxs))
+        return stats
+
+    def __len__(self):
+        return len(self.tuples) if self.tuples else self.miner.qsize
+
+    def _load_padded(self, idx):
+        img = imread(self.images[idx])
+        img = imresize(img, self.image_size)
+        arr = self.transform(img)
+        H, W = arr.shape[:2]
+        hw = self.image_size
+        out = np.zeros((hw, hw, arr.shape[2]), np.float32)
+        out[:H, :W] = arr[:hw, :hw]
+        mask = np.zeros((hw, hw), np.float32)
+        mask[:min(H, hw), :min(W, hw)] = 1.0
+        return out, mask
+
+    def __getitem__(self, i):
+        q, p, negs = self.tuples[i]
+        idxs = [q, p] + list(negs)
+        labels = np.asarray([-1.0, 1.0] + [0.0] * len(negs), np.float32)
+        imgs, masks, pmask = [], [], []
+        tuple_labels = ["anc", "pos"] + ["neg"] * len(negs)
+        for idx, lbl in zip(idxs, tuple_labels):
+            im, m = self._load_padded(idx)
+            imgs.append(im)
+            masks.append(m)
+            pmask.append(lbl.startswith(self.augment_label) and
+                         cir_hash_passthrough(os.path.basename(self.images[idx]),
+                                              self.augment_ratio))
+        return (np.stack(imgs), np.stack(masks), labels,
+                np.asarray(pmask, bool))
+
+
+def load_tuples_db(dataset_pkl, split, ims_root):
+    """Load a retrieval-SfM-style training pkl: {split: {cids|ids, cluster,
+    qidxs, pidxs}} (traindataset.py:100-148)."""
+    with open(resolve_path(dataset_pkl), "rb") as f:
+        db_full = pickle.load(f)
+    db = db_full[split]
+    if "cids" in db:
+        images = [cid2filename(cid, resolve_path(ims_root)) for cid in db["cids"]]
+    else:
+        images = [os.path.join(resolve_path(ims_root), x) for x in db["ids"]]
+    return db, images
+
+
+def build_finetune_experiment(params, directory=None, db=None, images=None):
+    """params: the resolved finetune scenario tree (network/learning/data)."""
+    params = copy.deepcopy(params)
+    net_cfg = params["network"]
+    learn_cfg = params["learning"]
+    train_cfg = dict(learn_cfg["training"])
+    data_cfg = params.get("data", {})
+
+    # --- networks: augment (frozen generator) + embed (GeM) ---
+    seq = [x.strip() for x in net_cfg.get("sequence", "augment,embed").split(",")]
+    assert seq == ["augment", "embed"], seq
+
+    augment_cfg = dict(net_cfg["augment"])
+    augment_path = augment_cfg.pop("path", None)
+    augment_cfg.setdefault("model", {"architecture": "official_resnet_generator",
+                                     "no_antialias": True, "no_antialias_up": True,
+                                     "input_nc": 3, "output_nc": 3, "n_blocks": 9,
+                                     "norm_layer": "instance"})
+    augment = build_single_net(augment_cfg)
+
+    embed_cfg = dict(net_cfg["embed"])
+    embed_cfg.pop("path", None)
+    embed = build_single_net(embed_cfg)
+
+    models = {"augment": augment, "embed": embed}
+
+    rng = jax.random.PRNGKey(int(train_cfg.get("seed", 0)))
+    image_size = int(data_cfg.get("train", {}).get("dataset", {})
+                     .get("image_size", 362))
+    x0 = jnp.zeros((2, image_size, image_size, 3), jnp.float32)
+    variables = {
+        "augment": dict(augment.init(rng, x0, train=False)),
+        "embed": dict(embed.init(rng, x0)),
+    }
+    if augment_path:
+        try:
+            from gandtr_tpu.learning.checkpoints import load_network_file
+            variables["augment"] = load_network_file(resolve_path(augment_path),
+                                                     variables["augment"])
+        except Exception as exc:
+            warnings.warn("augment checkpoint '%s' not loaded: %s"
+                          % (augment_path, exc))
+
+    # --- optimizer / schedule / criterion ---
+    optimizer, base_lr = initialize_optimizer(dict(train_cfg["optimizer"]))
+    epochs = int(train_cfg.get("epochs", 1))
+    schedule = initialize_schedule(epochs, dict(train_cfg.get(
+        "scheduler", {"algorithm": "const"})))
+    crit = dict(train_cfg.get("criterion", {"loss": "contrastive", "margin": 0.75}))
+    margin = float(crit.get("margin", 0.75))
+    it_cfg = dict(train_cfg.get("epoch_iteration", {}))
+    fakebatch = bool(it_cfg.get("fakebatch", True))
+
+    state = supervised.make_finetune_state(variables, optimizer,
+                                           seed=int(train_cfg.get("seed", 0)))
+    step = jax.jit(supervised.build_finetune_step(models, optimizer,
+                                                  margin=margin,
+                                                  fakebatch=fakebatch))
+
+    # --- mining + dataset ---
+    ds_cfg = dict(data_cfg.get("train", {}).get("dataset", {}))
+    loader_cfg = dict(data_cfg.get("train", {}).get("loader", {}))
+    if db is None and ds_cfg.get("dataset_pkl"):
+        db, images = load_tuples_db(ds_cfg["dataset_pkl"],
+                                    ds_cfg.get("split", "train"),
+                                    ds_cfg.get("image_dir", ""))
+    loader = None
+    dataset = None
+    if db is not None:
+        miner = TuplesMiner(
+            db, nnum=int(ds_cfg.get("neg_num", 5)),
+            qsize=int(float(ds_cfg.get("query_size", 2000))),
+            poolsize=int(float(ds_cfg.get("pool_size", 22000))),
+            seed=int(train_cfg.get("seed", 0)),
+            qpool_size=(int(float(ds_cfg["qpool_size"]))
+                        if "qpool_size" in ds_cfg else None),
+            similar_exclude=ds_cfg.get("similar_exclude"),
+            similar_include=ds_cfg.get("similar_include"))
+        # dataset transform: generator-side normalization (augment data params)
+        gen_data = augment.data_params if augment.data_params and \
+            augment.data_params != "load_from_checkpoint" else {
+                "transforms": "pil2np | totensor | normalize",
+                "mean_std": [[0.5, 0.5, 0.5], [0.5, 0.5, 0.5]]}
+        transform = initialize_transforms(gen_data["transforms"],
+                                          gen_data["mean_std"])
+        # augmentation gate from the wrapper spec
+        ratio, label = _parse_ratio(augment_cfg.get("runtime", {})
+                                    .get("wrappers", ""))
+        dataset = TupleEpochDataset(db, images, transform, image_size, miner,
+                                    augment_ratio=ratio, augment_label=label,
+                                    neg_num=int(ds_cfg.get("neg_num", 5)))
+        dataset.extract_fn = _make_extract_fn(models, state, images, transform,
+                                              image_size)
+        loader = Loader(dataset, batch_size=int(loader_cfg.get("batch_size", 5)),
+                        shuffle=True, drop_last=True,
+                        num_workers=int(loader_cfg.get("num_workers", 6)))
+
+    out_cfg = (params.get("output") or {}).get("learning", {})
+    events = initialize_processor(out_cfg, directory=directory)
+    checkpoints = Checkpoints(directory) if directory else None
+
+    training = None
+    if loader is not None:
+        training = Training(
+            step_fn=step, loader=loader, epochs=epochs,
+            seed=int(train_cfg.get("seed", 0)),
+            optimizers_base_lr={"embed": base_lr},
+            schedules={"embed": schedule},
+            events=events, checkpoints=checkpoints, frozen=("augment",),
+            batch_to_args=lambda b: tuple(jnp.asarray(x) for x in b))
+        # FinetuneState has a single opt_state: adapt the schedule application
+        training._apply_schedules = _finetune_schedule_hook(
+            training, base_lr, schedule)
+        # mining must see the latest weights each epoch (reference re-mines
+        # with the current network, traindataset.py:295-303)
+        training.state_hook = lambda s, epoch, dbg: \
+            dataset.extract_fn.holder.__setitem__("state", s)
+
+    return {"models": models, "variables": variables, "state": state,
+            "step": step, "training": training, "loader": loader,
+            "events": events, "checkpoints": checkpoints, "dataset": dataset}
+
+
+def _parse_ratio(wrappers_str):
+    """Extract (ratio, label) from `...cir_ratio_pass_through:0.25:anc`."""
+    if isinstance(wrappers_str, str) and "cir_ratio_pass_through" in wrappers_str:
+        part = wrappers_str.split("cir_ratio_pass_through:", 1)[1]
+        bits = part.split(",")[0].split(":")
+        return float(bits[0]), bits[1] if len(bits) > 1 else "anc"
+    return 0.0, "anc"
+
+
+def _finetune_schedule_hook(training, base_lr, schedule):
+    from gandtr_tpu.learning.training import set_epoch_lr
+
+    def apply(state, epoch):
+        return state.replace(opt_state=set_epoch_lr(
+            state.opt_state, base_lr, schedule(epoch - 1)))
+    return apply
+
+
+def _make_extract_fn(models, state_ref, images, transform, image_size):
+    """Descriptor extraction over dataset indices for mining: batched
+    square-padded masked embedding (mining runs through the SAME augment+embed
+    pipeline as training, reference traindataset.py:216-243)."""
+    embed = models["embed"]
+    augment = models["augment"]
+    holder = {"state": state_ref}
+
+    batch = 8
+
+    @jax.jit
+    def fwd(variables, imgs, masks, pmask):
+        x = augment.apply(variables["augment"], imgs, train=True,
+                          ctx={"pass_mask": pmask})
+        return embed.apply(variables["embed"], x, train=False, mask=masks)
+
+    def extract(idxs):
+        state = holder["state"]
+        vecs = []
+        for i0 in range(0, len(idxs), batch):
+            chunk = idxs[i0:i0 + batch]
+            imgs, masks, pmask = [], [], []
+            for idx in chunk:
+                img = imresize(imread(images[idx]), image_size)
+                arr = transform(img)
+                H, W = arr.shape[:2]
+                out = np.zeros((image_size, image_size, 3), np.float32)
+                out[:H, :W] = arr[:image_size, :image_size]
+                m = np.zeros((image_size, image_size), np.float32)
+                m[:min(H, image_size), :min(W, image_size)] = 1.0
+                imgs.append(out)
+                masks.append(m)
+                pmask.append(cir_hash_passthrough(
+                    os.path.basename(images[idx]), 0.25))
+            n = len(imgs)
+            while len(imgs) < batch:  # pad last chunk to the static batch
+                imgs.append(imgs[-1]); masks.append(masks[-1]); pmask.append(False)
+            out = fwd(holder["state"].variables, jnp.asarray(np.stack(imgs)),
+                      jnp.asarray(np.stack(masks)),
+                      jnp.asarray(np.asarray(pmask)))
+            vecs.append(np.asarray(out)[:n])
+        return np.concatenate(vecs, axis=0).T  # (D, N)
+
+    extract.holder = holder
+    return extract

@@ -1,0 +1,151 @@
+"""Infer stage: batched network inference with image/embedding output sinks.
+
+Counterpart of /root/reference/mdir/stages/infer.py:17-84 + data/output.py:
+loads a network checkpoint, runs each input image through the jitted forward,
+writes RGB images (denormalized, async thread pool) or assembles an embedding
+matrix. Skip-if-done idempotency preserved (infer.py:23-27).
+"""
+import os
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from PIL import Image
+
+from gandtr_tpu.utils.io import resolve_path
+from gandtr_tpu.data.transforms import initialize_transforms
+from gandtr_tpu.data.datasets import imread, path_join
+
+
+class RgbImageSaver:
+    """Denormalize + save (output.py:29-87), flat or input-dir structure, with
+    a write-behind thread pool (AsyncOutput, output.py:90-115)."""
+
+    def __init__(self, directory, mean_std, structure="flat", append=False,
+                 workers=6):
+        self.directory = resolve_path(directory)
+        self.mean = np.asarray(mean_std[0], np.float32)
+        self.std = np.asarray(mean_std[1], np.float32)
+        self.structure = structure
+        self.append = append
+        os.makedirs(self.directory, exist_ok=True)
+        self.pool = ThreadPoolExecutor(workers)
+        self.futures = []
+
+    def target_path(self, name):
+        if self.structure == "flat":
+            name = name.replace("/", "_")
+        path = os.path.join(self.directory, name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        return path
+
+    def exclude_existing(self, names):
+        if not self.append:
+            return names
+        return [n for n in names if not os.path.exists(self.target_path(n))]
+
+    def add(self, name, image_nhwc):
+        def write(n, arr):
+            rgb = np.clip(arr * self.std + self.mean, 0, 1)
+            Image.fromarray((rgb * 255).astype(np.uint8)).save(self.target_path(n))
+        self.futures.append(self.pool.submit(write, name, np.asarray(image_nhwc)))
+
+    def close(self):
+        for f in self.futures:
+            f.result()
+        self.pool.shutdown()
+
+
+class EmbeddingOutput:
+    """Assemble a (D, N) descriptor matrix; NaN rows for failures
+    (output.py:118-156)."""
+
+    def __init__(self, dimensions):
+        self.dimensions = dimensions
+        self.names = []
+        self.vecs = []
+
+    def exclude_existing(self, names):
+        return names
+
+    def add(self, name, vec):
+        self.names.append(name)
+        self.vecs.append(np.asarray(vec).reshape(-1))
+
+    def matrix(self):
+        return np.stack(self.vecs, axis=1) if self.vecs else \
+            np.zeros((self.dimensions, 0))
+
+    def close(self):
+        pass
+
+
+def infer(params, data):
+    """params: {network: {path|model...}, data: {...}, output: {...}};
+    data[0] = list of image names (stdin)."""
+    params = dict(params)
+    names = list(data[0]) if data else []
+
+    out_cfg = dict(params.pop("output", {}))
+    out_type = out_cfg.pop("type", "image")
+
+    data_cfg = dict(params.pop("data", {}))
+    image_dir = resolve_path(data_cfg.pop("image_dir", ""))
+    transforms = initialize_transforms(
+        data_cfg.get("transforms", "pil2np | totensor | normalize"),
+        data_cfg.get("mean_std", [[0.5] * 3, [0.5] * 3]))
+    mean_std = data_cfg.get("mean_std", [[0.5] * 3, [0.5] * 3])
+
+    model, variables = _load_network(params.pop("network"))
+
+    if out_type == "image":
+        sink = RgbImageSaver(out_cfg.pop("directory"), mean_std,
+                             structure=out_cfg.pop("structure", "flat"),
+                             append=bool(out_cfg.pop("append", False)))
+    else:
+        sink = EmbeddingOutput(out_cfg.pop("dimensions", 512))
+
+    names = sink.exclude_existing(names)
+    jit_cache = {}
+    for name in names:
+        img = imread(path_join(image_dir, name))
+        arr = transforms(img)
+        key = arr.shape
+        if key not in jit_cache:
+            jit_cache[key] = jax.jit(
+                lambda v, x: model.apply(v, x, train=False))
+        out = jit_cache[key](variables, jnp.asarray(arr)[None])
+        sink.add(name, np.asarray(out)[0])
+    sink.close()
+
+    meta = {"count": len(names)}
+    if out_type != "image":
+        meta["vecs"] = sink.matrix()
+    return (meta,)
+
+
+def _load_network(net_cfg):
+    """Build model + load checkpoint per the network section."""
+    from gandtr_tpu.learning.network import build_single_net
+    from gandtr_tpu.learning.checkpoints import load_network_file
+    import jax.random
+
+    net_cfg = dict(net_cfg)
+    net_cfg.pop("type", None)
+    path = net_cfg.pop("path", None)
+    net = build_single_net(net_cfg)
+    x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = dict(net.init(jax.random.PRNGKey(0), x0))
+    if path:
+        path = resolve_path(path)
+        if path.endswith((".pth", ".pt")):
+            from gandtr_tpu.utils.io import load_torch_checkpoint
+            from gandtr_tpu.utils import torch_import as ti
+            state = load_torch_checkpoint(path)
+            if "net" in state:
+                state = state["net"]["model_state"]
+            variables = ti.convert_torch_state(variables, state, strict=False)
+        else:
+            variables = load_network_file(path, variables)
+    return net, variables

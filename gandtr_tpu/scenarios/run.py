@@ -1,0 +1,147 @@
+"""Scenario CLI — counterpart of the reference's perform_scenario.py
+(/root/reference/mdir/examples/perform_scenario.py): load + overlay YAML
+scenarios, list/validate targets, run sorted steps threading
+`${step._output_metadata}` context between them.
+
+Usage: python -m gandtr_tpu.scenarios.run <target|list|validate> scenario.yml
+       [overlay.yml ...] [section.key=value ...]
+"""
+import argparse
+import copy
+import sys
+
+from gandtr_tpu.scenarios.engine import load_yaml_scenario, resolve_variables
+from gandtr_tpu.scenarios import stages as stage_mod
+
+
+def print_scores(parameters, _data):
+    scores = {
+        "roxford5k/validation/score_avg:map_medium": "roxford.5k medium",
+        "rparis6k/validation/score_avg:map_medium": "rparis.6k medium",
+        "247tokyo1k/validation/score_avg:map": "247tokyo.1k",
+        "val/validation/roxford5k/score_avg:map_medium": "roxford.5k medium",
+        "val/validation/rparis6k/score_avg:map_medium": "rparis.6k medium",
+    }
+    assert parameters.keys() == {"metadata"}, parameters.keys()
+    for heading, section in parameters["metadata"].items():
+        print("\n%s\n" % heading.capitalize())
+        for key, value in section.items():
+            if key in scores:
+                print("    %-20s %s" % (scores[key], round(100 * value, 2)))
+        print()
+    return ({},)
+
+
+def _download_stub(name):
+    def stage(_params, _data):
+        print(">> download step '%s': datasets must be fetched out-of-band in "
+              "this environment (zero egress); expected under $GANDTR_ROOT/data"
+              % name, file=sys.stderr)
+        return ({},)
+    return stage
+
+
+def _lazy_train(params, data):
+    from gandtr_tpu.scenarios.train_stage import train
+    return train(params, data)
+
+
+def _lazy_infer(params, data):
+    from gandtr_tpu.scenarios.infer_stage import infer
+    return infer(params, data)
+
+
+def _lazy_validate(params, data):
+    from gandtr_tpu.scenarios.validate_stage import validate
+    return validate(params, data)
+
+
+FUNCTIONS = {
+    # our names
+    "gandtr_tpu.stages.train": _lazy_train,
+    "gandtr_tpu.stages.infer": _lazy_infer,
+    "gandtr_tpu.stages.validate": _lazy_validate,
+    **stage_mod.FUNCTIONS,
+    # reference names — the original iccv23 YAMLs resolve unchanged
+    "mdir.stages.train.train": _lazy_train,
+    "mdir.stages.validate.validate": _lazy_validate,
+    "mdir.stages.infer.infer": _lazy_infer,
+    "mdir.stages.multistep.infer_and_learn_whitening": stage_mod.learn_lw_whitening,
+    "cirtorch.utils.download.download_train": _download_stub("cirtorch-train"),
+    "cirtorch.utils.download.download_test": _download_stub("cirtorch-test"),
+    "mdir.utils.download.rsfm120k": _download_stub("rsfm120k"),
+    "mdir.utils.download.roxf5k_rpar6k_247tokyo1k": _download_stub("test-sets"),
+    "print_scores": print_scores,
+}
+
+NEEDS_DATA = {"mdir.stages.infer.infer", "gandtr_tpu.stages.infer"}
+
+
+def parse_targets(scenario, targets, path=""):
+    acc = []
+    for target in targets:
+        target_acc = []
+        steps = {x: scenario[target][x] for x in sorted(scenario[target])
+                 if not x.startswith("_")}
+        for step, section in steps.items():
+            if not isinstance(section, dict):
+                continue
+            function = section.pop("__function__", None)
+            if function not in FUNCTIONS:
+                raise ValueError("Step '%s' in target '%s' needs undefined "
+                                 "function '%s'" % (step, target, function))
+            target_acc.append((step, function, section))
+        acc.append((target, target_acc))
+    return acc
+
+
+def run_target(scenario, target, scenario_name, stdin_data=None):
+    """Run one target's sorted steps, threading metadata context
+    (perform_scenario.py:108-131)."""
+    (target_name, steps), = parse_targets(scenario, [target])
+    context = {"SCENARIO_NAME": scenario_name}
+    results = {}
+    for step, function, section in steps:
+        params = resolve_variables(copy.deepcopy(section), {**scenario[target],
+                                                            **context})
+        params.pop("__doc__", None)
+        data = ()
+        if function in NEEDS_DATA and stdin_data is not None:
+            data = (stdin_data,)
+        out = FUNCTIONS[function](params, data)
+        metadata = out[0] if out else {}
+        context[step] = {"_output_metadata": metadata}
+        results[step] = metadata
+    return results
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("action", help="target name, 'list' or 'validate'")
+    parser.add_argument("scenario", nargs="+",
+                        help="yaml files / key=value overrides (later wins)")
+    args = parser.parse_args(argv)
+
+    scenario = load_yaml_scenario(args.scenario)
+    targets = [k for k in scenario if isinstance(scenario.get(k), dict)]
+
+    if args.action == "list":
+        for t in targets:
+            doc = scenario[t].get("__doc__", "")
+            print("%-12s %s" % (t, doc))
+        return 0
+    if args.action == "validate":
+        parse_targets(scenario, targets)
+        print("OK: %d targets, all step functions resolve" % len(targets))
+        return 0
+
+    scenario_name = args.scenario[0].rsplit("/", 1)[-1].rsplit(".", 1)[0]
+    stdin_data = None
+    if not sys.stdin.isatty():
+        stdin_data = [x.strip() for x in sys.stdin.readlines() if x.strip()]
+    run_target(scenario, args.action, scenario_name, stdin_data)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

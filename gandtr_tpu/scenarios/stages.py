@@ -1,0 +1,84 @@
+"""Pipeline stage functions with the uniform `(params, data) -> (metadata,
+*data)` signature (reference mdir/stages/, SURVEY.md §2.3) — the units that
+YAML scenarios compose.
+
+Implemented stages: train (GAN + finetune), infer (generator batch inference /
+image dump), validate (retrieval eval), whiten (learn/apply), l2_normalize,
+multistep.infer_and_learn_whitening.
+"""
+import os
+import pickle
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gandtr_tpu.utils.io import resolve_path
+from gandtr_tpu.ops import whiten as whiten_ops
+
+
+def whiten_stage(params, data):
+    """Apply learned whitening to a descriptor matrix (stages/whiten.py:10-27).
+
+    data: (vecs (D, N),) ; params: {whitening: path-to-pkl, dimensions}.
+    """
+    params = dict(params)
+    lw = params.pop("whitening")
+    dimensions = params.pop("dimensions", None)
+    assert not params, params
+    if isinstance(lw, str):
+        with open(resolve_path(lw), "rb") as f:
+            lw = pickle.load(f)
+    vecs = data[0]
+    out = whiten_ops.whitenapply(np.asarray(vecs), lw["m"], lw["P"], dimensions)
+    return {}, out
+
+
+def learn_lw_whitening(params, data):
+    """Learn Lw whitening from descriptors + q/p index lists with the
+    retry-on-non-PSD loop (stages/whiten.py:48-67)."""
+    params = dict(params)
+    qidxs = params.pop("qidxs")
+    pidxs = params.pop("pidxs")
+    output = params.pop("output", None)
+    assert not params, params
+    vecs = np.asarray(data[0])
+    m, P = whiten_ops.whitenlearn_with_retry(vecs, qidxs, pidxs)
+    result = {"m": m, "P": P}
+    if output:
+        output = resolve_path(output)
+        os.makedirs(os.path.dirname(output), exist_ok=True)
+        with open(output, "wb") as f:
+            pickle.dump(result, f)
+    return {"whitening": output or result}, vecs
+
+
+def learn_pca_whitening(params, data):
+    params = dict(params)
+    shrink = params.pop("shrink", None)
+    output = params.pop("output", None)
+    assert not params, params
+    vecs = np.asarray(data[0])
+    m, P = whiten_ops.pcawhitenlearn(vecs, shrink)
+    result = {"m": m, "P": P}
+    if output:
+        output = resolve_path(output)
+        os.makedirs(os.path.dirname(output), exist_ok=True)
+        with open(output, "wb") as f:
+            pickle.dump(result, f)
+    return {"whitening": output or result}, vecs
+
+
+def l2_normalize(params, data):
+    """L2-normalize descriptor columns (stages/whiten.py:130-135)."""
+    assert not params
+    vecs = np.asarray(data[0])
+    return {}, vecs / (np.linalg.norm(vecs, axis=0, keepdims=True) + 1e-6)
+
+
+FUNCTIONS = {
+    "gandtr_tpu.stages.whiten.whiten": whiten_stage,
+    "gandtr_tpu.stages.whiten.learn_lw_whitening": learn_lw_whitening,
+    "gandtr_tpu.stages.whiten.learn_pca_whitening": learn_pca_whitening,
+    "gandtr_tpu.stages.whiten.l2_normalize": l2_normalize,
+}

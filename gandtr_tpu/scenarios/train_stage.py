@@ -1,0 +1,57 @@
+"""Train stage: `(params, data) -> (metadata,)`.
+
+Counterpart of /root/reference/mdir/stages/train.py:12-47: builds the learning
+from the scenario section, resumes from the latest epoch if present, runs the
+epoch loop and returns the learning metadata. Dispatches on the network type:
+NetworkSet → GAN families, CirSequentialNetwork → GeM fine-tune.
+"""
+import os
+
+from gandtr_tpu.utils.io import resolve_path
+
+
+def train(params, data):
+    params = dict(params)
+    net_type = params.get("network", {}).get("type", "NetworkSet")
+    if net_type == "NetworkSet":
+        return _train_gan(params)
+    if net_type in ("CirSequentialNetwork", "SequentialNetwork"):
+        return _train_finetune(params)
+    raise NotImplementedError("network type %s" % net_type)
+
+
+def _train_gan(params):
+    from gandtr_tpu.scenarios.build import build_gan_experiment
+
+    directory = resolve_path(
+        params.get("learning", {}).get("checkpoints", {}).get("directory"))
+    sample_hw = int(params.pop("sample_hw", 256))
+    exp = build_gan_experiment(params, sample_hw=sample_hw, directory=directory)
+
+    training = exp["training"]
+    if training is None:
+        raise ValueError("train stage needs a data.train section")
+    state, start_epoch = training.resume_or_start(exp["state"])
+    state = training.run(state, start_epoch=start_epoch)
+
+    events = exp["events"]
+    metadata = {"metrics": events.history[-1]["metrics"] if events.history else {},
+                "best_epoch": events.metadata.best_epoch(),
+                "directory": directory}
+    return (metadata,)
+
+
+def _train_finetune(params):
+    from gandtr_tpu.scenarios.finetune_build import build_finetune_experiment
+
+    directory = resolve_path(
+        params.get("learning", {}).get("checkpoints", {}).get("directory"))
+    exp = build_finetune_experiment(params, directory=directory)
+    training = exp["training"]
+    state, start_epoch = training.resume_or_start(exp["state"])
+    state = training.run(state, start_epoch=start_epoch)
+    events = exp["events"]
+    metadata = {"metrics": events.history[-1]["metrics"] if events.history else {},
+                "best_epoch": events.metadata.best_epoch(),
+                "directory": directory}
+    return (metadata,)

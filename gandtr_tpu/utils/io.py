@@ -1,0 +1,86 @@
+"""Path resolution + local/http file drivers with sha validation.
+
+Mirrors daan's fs layer (/root/reference/mdir/external/daan/{core/
+path_resolver.py, data/fs_driver.py}): `resolve_path` applies regex rewrite
+rules (default: relative paths root at $GANDTR_ROOT), URLs download into a
+local cache with optional sha256 content validation.
+"""
+import hashlib
+import os
+import re
+import urllib.request
+
+
+DEFAULT_RULES = [("^", os.environ.get("GANDTR_ROOT", os.environ.get("CIRTORCH_ROOT", "")))]
+CACHE_DIR = os.path.expanduser(os.environ.get(
+    "GANDTR_CACHE", "~/.cache/gandtr_tpu"))
+
+
+def resolve_path(path, rules=None):
+    """Rewrite a path by the first matching rule (path_resolver.py:38-54);
+    absolute paths and URLs pass through."""
+    if path is None:
+        return None
+    path = os.path.expandvars(path)
+    if path.startswith(("http://", "https://")) or os.path.isabs(path):
+        return path
+    for pattern, repl in (rules or DEFAULT_RULES):
+        if re.search(pattern, path):
+            return re.sub(pattern, repl.rstrip("/") + "/" if repl else "", path)
+    return path
+
+
+def sha256_of(path):
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def fetch(path_or_url, sha256=None, cache_dir=None):
+    """Return a local path for a file or URL; downloads into the cache with
+    optional sha256 validation (fs_driver.py:101-122 semantics)."""
+    if not path_or_url.startswith(("http://", "https://")):
+        return path_or_url
+    cache_dir = cache_dir or CACHE_DIR
+    os.makedirs(cache_dir, exist_ok=True)
+    fname = os.path.basename(path_or_url.split("?")[0])
+    local = os.path.join(cache_dir, fname)
+    if not os.path.exists(local):
+        tmp = local + ".tmp"
+        urllib.request.urlretrieve(path_or_url, tmp)
+        os.replace(tmp, local)
+    if sha256 and sha256_of(local) != sha256:
+        os.remove(local)
+        raise IOError("sha256 mismatch for %s" % path_or_url)
+    return local
+
+
+def load_torch_checkpoint(path_or_url):
+    """Load a torch .pth checkpoint into numpy (host-side torch dependency).
+
+    Returns the raw object with tensors converted to numpy arrays.
+    """
+    import torch
+    import numpy as np
+
+    local = fetch(path_or_url)
+    obj = torch.load(local, map_location="cpu", weights_only=False)
+
+    def conv(o):
+        if isinstance(o, torch.Tensor):
+            return o.detach().cpu().numpy()
+        if isinstance(o, dict):
+            return {k: conv(v) for k, v in o.items()}
+        if isinstance(o, (list, tuple)):
+            return type(o)(conv(v) for v in o)
+        return o
+
+    return conv(obj)
+
+
+def load_pickle(path_or_url):
+    import pickle
+    with open(fetch(path_or_url), "rb") as f:
+        return pickle.load(f)

@@ -1,0 +1,112 @@
+"""Full fine-tune experiment on synthetic data: mining -> tuples -> GAN
+augmentation in-loop -> contrastive updates -> checkpoints."""
+import os
+import pickle
+
+import numpy as np
+from PIL import Image
+import jax
+import pytest
+
+from gandtr_tpu.scenarios.finetune_build import build_finetune_experiment
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ft")
+    imgdir = d / "ims"
+    imgdir.mkdir()
+    rng = np.random.RandomState(0)
+    images = []
+    for i in range(16):
+        n = f"im{i:02d}.jpg"
+        Image.fromarray((rng.rand(48, 40, 3) * 255).astype(np.uint8)
+                        ).save(imgdir / n)
+        images.append(str(imgdir / n))
+    db = {
+        "cids": [f"im{i:02d}" for i in range(16)],
+        "cluster": [i // 2 for i in range(16)],     # 8 clusters of 2
+        "qidxs": [0, 2, 4, 6],
+        "pidxs": [1, 3, 5, 7],
+    }
+    return db, images
+
+
+def micro_params(tmp_path):
+    return {
+        "network": {
+            "type": "CirSequentialNetwork",
+            "sequence": "augment,embed",
+            "augment": {
+                "model": {"architecture": "official_resnet_generator",
+                          "ngf": 4, "n_blocks": 1, "norm_layer": "instance"},
+                "runtime": {
+                    "frozen": True,
+                    "wrappers": "meanstd_post:[[0.5,0.5,0.5],[0.5,0.5,0.5]]:"
+                                "[[0.485,0.456,0.406],[0.229,0.224,0.225]],"
+                                "clahepost:[[0.5,0.5,0.5],[0.5,0.5,0.5]]:1.0,"
+                                "cir_ratio_pass_through:0.5:anc",
+                    "data": {"transforms": "pil2np | totensor | normalize",
+                             "mean_std": [[0.5] * 3, [0.5] * 3]}},
+            },
+            "embed": {
+                "model": {"architecture": "cirnet", "cir_architecture": "vgg16",
+                          "pooling": "gem", "local_whitening": False,
+                          "whitening": False},
+                "runtime": {"wrappers": "", "data": {}},
+            },
+        },
+        "learning": {
+            "checkpoints": {"directory": str(tmp_path / "exp")},
+            "training": {
+                "epochs": 1, "seed": 0,
+                "criterion": {"loss": "contrastive", "margin": 0.75},
+                "epoch_iteration": {"type": "SupervisedEpoch",
+                                    "batch_average": False, "fakebatch": True,
+                                    "data": "train", "criterion": "default"},
+                "optimizer": {"algorithm": "adam", "lr": 5e-5, "beta1": 0.9,
+                              "beta2": 0.999, "weight_decay": 0.0005},
+                "scheduler": {"algorithm": "gamma", "gamma": 0.99},
+            },
+        },
+        "output": {"learning": {"progress": {"print_each": 10}}},
+        "data": {"train": {
+            "dataset": {"name": "CirDiverseAnchors", "image_size": 32,
+                        "neg_num": 2, "pool_size": 12, "query_size": 3,
+                        "qpool_size": 4, "similar_exclude": 0.2,
+                        "similar_include": 0.8, "split": "train"},
+            "loader": {"batch_size": 3, "num_workers": 1},
+        }},
+    }
+
+
+def test_finetune_experiment_end_to_end(synth, tmp_path):
+    db, images = synth
+    exp = build_finetune_experiment(micro_params(tmp_path),
+                                    directory=str(tmp_path / "exp"),
+                                    db=db, images=images)
+    training = exp["training"]
+    assert training is not None
+    state0 = exp["state"]
+    state = training.run(state0)
+
+    # embed weights moved, augment frozen
+    d_embed = max(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        state0.variables["embed"]["params"], state.variables["embed"]["params"])))
+    assert d_embed > 0
+    d_aug = max(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        state0.variables["augment"]["params"], state.variables["augment"]["params"])))
+    assert d_aug == 0
+
+    # events + mining ran
+    assert exp["events"].history
+    assert "train/learning/total" in exp["events"].history[0]["metrics"]
+    assert exp["dataset"].tuples is not None
+    # negatives obey cluster dedup (no negative from the query's cluster)
+    for q, p, negs in exp["dataset"].tuples:
+        qc = db["cluster"][q]
+        assert all(db["cluster"][n] != qc for n in negs)
+    # checkpoints written
+    assert os.path.isdir(tmp_path / "exp" / "epochs")

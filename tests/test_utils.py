@@ -1,0 +1,82 @@
+"""Utils: stats meters, imgtools, file readers, io path resolution."""
+import json
+import pickle
+
+import numpy as np
+import pytest
+
+from gandtr_tpu.utils import stats, imgtools, file_readers, io
+
+
+class TestStats:
+    def test_average_meter(self):
+        m = stats.AverageMeter()
+        for v in (1.0, 2.0, 3.0):
+            m.update(v)
+        assert m.avg == 2.0
+
+    def test_stopwatch(self):
+        sw = stats.StopWatch()
+        sw.lap("a")
+        sw.lap("b")
+        assert set(sw.laps) == {"a", "b"}
+        logged = []
+        sw.emit(lambda k, v, d: logged.append((k, d)))
+        assert ("time/a", "scalar/time") in logged
+
+    def test_resource_usage(self):
+        r = stats.ResourceUsage()
+        snap = r.snapshot()
+        assert "cpu_seconds" in snap
+
+    def test_code_version(self):
+        cv = stats.CodeVersion(root="/root/repo")
+        snap = cv.snapshot()
+        assert "jax" in snap
+        assert "git_head" in snap
+
+
+class TestImgtools:
+    def test_unnormalize_roundtrip(self):
+        rng = np.random.RandomState(0)
+        img = rng.rand(8, 8, 3).astype(np.float32)
+        norm = (img - 0.5) / 0.5
+        out = imgtools.unnormalize(norm)
+        np.testing.assert_allclose(out, img, atol=1e-6)
+
+    def test_grid(self):
+        imgs = [np.zeros((4, 4, 3), np.float32) for _ in range(5)]
+        grid = imgtools.image_grid(imgs, cols=3)
+        assert grid.shape == (2 * 6 - 2, 3 * 6 - 2, 3)
+
+
+class TestFileReaders:
+    def test_tsv(self, tmp_path):
+        p = tmp_path / "d.tsv"
+        p.write_text("a\tb\n1\tx\n2\ty\n")
+        with file_readers.initialize_file_reader(str(p), keys=["a"]) as r:
+            assert r.get()["a"] == ["1", "2"]
+
+    def test_pkl_with_slice(self, tmp_path):
+        p = tmp_path / "d.pkl"
+        with open(p, "wb") as f:
+            pickle.dump({"xs": list(range(10))}, f)
+        with file_readers.initialize_file_reader(str(p) + "#2:5", keys=["xs"]) as r:
+            assert r.get()["xs"] == [2, 3, 4]
+
+    def test_json(self, tmp_path):
+        p = tmp_path / "d.json"
+        p.write_text(json.dumps({"k": [1, 2]}))
+        with file_readers.initialize_file_reader(str(p)) as r:
+            assert r.get()["k"] == [1, 2]
+
+
+class TestIo:
+    def test_resolve_path_passthrough(self):
+        assert io.resolve_path("/abs/path") == "/abs/path"
+        assert io.resolve_path("http://x/y") == "http://x/y"
+
+    def test_resolve_path_root(self, monkeypatch):
+        monkeypatch.setenv("GANDTR_ROOT", "/data/root")
+        out = io.resolve_path("experiments/x", rules=[("^", "/data/root")])
+        assert out == "/data/root/experiments/x"
