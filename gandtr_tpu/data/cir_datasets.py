@@ -1,0 +1,173 @@
+"""cirtorch-style dataset adapters: tuple mining datasets + eval image lists.
+
+Counterparts of /root/reference/mdir/components/data/dataset/
+cirtorch_datasets.py: `CirTuples` (random-query mining), `CirDiverseAnchors`
+(diverse-anchor mining), `CirImageList` (bbx crop + longest-side resize eval
+list). The mining datasets produce padded square tuple batches with validity
+masks and md5 augmentation gates (TupleEpochDataset) — the static-shape feed
+for the jitted fine-tune step.
+"""
+import os
+
+import numpy as np
+
+from gandtr_tpu.data.datasets import imread, path_join
+from gandtr_tpu.data.mining import TuplesMiner, cid2filename
+from gandtr_tpu.learning.wrappers import cir_hash_passthrough
+from gandtr_tpu.utils.io import resolve_path
+
+
+def imresize(img, imsize):
+    from PIL import Image
+    img.thumbnail((int(imsize), int(imsize)), Image.LANCZOS)
+    return img
+
+
+class TupleEpochDataset:
+    """Mined tuples as padded square batches (see finetune_build docstring)."""
+
+    loader_params = {"drop_last": True}
+
+    def __init__(self, db, images, transform, image_size, miner,
+                 augment_ratio=0.25, augment_label="anc", neg_num=5):
+        self.db = db
+        self.images = images
+        self.transform = transform
+        self.image_size = int(image_size)
+        self.miner = miner
+        self.augment_ratio = augment_ratio
+        self.augment_label = augment_label
+        self.neg_num = neg_num
+        self.extract_fn = None
+        self.tuples = None
+
+    def prepare_epoch(self, network=None, device=None):
+        assert self.extract_fn is not None, "set extract_fn before training"
+        qidxs, pidxs, nidxs, labels, stats = self.miner.create_epoch_tuples(
+            self.extract_fn)
+        self.tuples = list(zip(qidxs, pidxs, nidxs))
+        return stats
+
+    def __len__(self):
+        return len(self.tuples) if self.tuples else self.miner.qsize
+
+    def _load_padded(self, idx):
+        img = imread(self.images[idx])
+        img = imresize(img, self.image_size)
+        arr = self.transform(img)
+        H, W = arr.shape[:2]
+        hw = self.image_size
+        out = np.zeros((hw, hw, arr.shape[2]), np.float32)
+        out[:H, :W] = arr[:hw, :hw]
+        mask = np.zeros((hw, hw), np.float32)
+        mask[:min(H, hw), :min(W, hw)] = 1.0
+        return out, mask
+
+    def __getitem__(self, i):
+        q, p, negs = self.tuples[i]
+        idxs = [q, p] + list(negs)
+        labels = np.asarray([-1.0, 1.0] + [0.0] * len(negs), np.float32)
+        imgs, masks, pmask = [], [], []
+        tuple_labels = ["anc", "pos"] + ["neg"] * len(negs)
+        for idx, lbl in zip(idxs, tuple_labels):
+            im, m = self._load_padded(idx)
+            imgs.append(im)
+            masks.append(m)
+            pmask.append(lbl.startswith(self.augment_label) and
+                         cir_hash_passthrough(os.path.basename(self.images[idx]),
+                                              self.augment_ratio))
+        return (np.stack(imgs), np.stack(masks), labels,
+                np.asarray(pmask, bool))
+
+
+def _load_db(dataset_pkl, split, ims_root, dataset_name=None):
+    import pickle
+    path = resolve_path(dataset_pkl) if dataset_pkl else None
+    if path is None and dataset_name:
+        path = resolve_path(
+            f"data/train/{dataset_name}/{dataset_name}.pkl")
+    with open(path, "rb") as f:
+        db_full = pickle.load(f)
+    db = db_full[split]
+    root = resolve_path(ims_root or "")
+    if "cids" in db:
+        images = [cid2filename(cid, root) for cid in db["cids"]]
+    else:
+        images = [os.path.join(root, x) for x in db["ids"]]
+    return db, images
+
+
+def cir_tuples_dataset(data, transform, **params):
+    """`CirTuples` (cirtorch_datasets.py:7-8): random-query hard-negative
+    mining."""
+    assert not data
+    db, images = _load_db(params.pop("dataset_pkl", None), params.pop("split"),
+                          params.pop("image_dir", ""),
+                          params.pop("dataset", None))
+    image_size = params.pop("image_size")
+    miner = TuplesMiner(db, nnum=int(params.pop("neg_num", 5)),
+                        qsize=int(float(params.pop("query_size", 2000))),
+                        poolsize=int(float(params.pop("pool_size", 22000))))
+    params.pop("qpool_size", None)
+    return TupleEpochDataset(db, images, transform, image_size, miner,
+                             neg_num=miner.nnum)
+
+
+def cir_diverse_anchors_dataset(data, transform, **params):
+    """`CirDiverseAnchors` (cirtorch_datasets.py:10-11, 53-115)."""
+    assert not data
+    db, images = _load_db(params.pop("dataset_pkl", None), params.pop("split"),
+                          params.pop("image_dir", ""),
+                          params.pop("dataset", None))
+    image_size = params.pop("image_size")
+    miner = TuplesMiner(
+        db, nnum=int(params.pop("neg_num", 5)),
+        qsize=int(float(params.pop("query_size", 2000))),
+        poolsize=int(float(params.pop("pool_size", 22000))),
+        qpool_size=int(float(params.pop("qpool_size", 10000))),
+        similar_exclude=float(params.pop("similar_exclude", 0.2)),
+        similar_include=float(params.pop("similar_include", 0.8)))
+    params.pop("mark_easy", None)
+    return TupleEpochDataset(db, images, transform, image_size, miner,
+                             neg_num=miner.nnum)
+
+
+class CirImageListDataset:
+    """`CirImageList` (cirtorch_datasets.py:33-50 + ImagesFromList): image
+    paths (+ optional bbxs + labels), longest-side resize, error tolerance."""
+
+    loader_params = {}
+
+    def __init__(self, data, transform, image_dir="", image_size=None,
+                 image_labels=False, ignore_errors=False, **_):
+        if image_labels:
+            *data, self.labels = data
+        else:
+            self.labels = None
+        self.images, self.bbxs = (data[0], None) if len(data) == 1 else data[:2]
+        self.image_dir = resolve_path(image_dir)
+        self.image_size = image_size
+        self.transform = transform
+        self.ignore_errors = ignore_errors
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, i):
+        path = path_join(self.image_dir, self.images[i])
+        try:
+            img = imread(path)
+        except Exception:
+            if self.ignore_errors:
+                return {}
+            raise
+        imfullsize = max(img.size)
+        if self.bbxs is not None and self.bbxs[i]:
+            img = img.crop(self.bbxs[i])
+        if self.image_size is not None:
+            scale = max(img.size) / imfullsize if (self.bbxs is not None and
+                                                   self.bbxs[i]) else 1.0
+            img = imresize(img, self.image_size * scale)
+        if self.transform:
+            img = self.transform(img)
+        return img

@@ -252,12 +252,27 @@ def stack_collate(items):
     return items
 
 
+def _lazy_cir(name):
+    def build(data, transform, **params):
+        from gandtr_tpu.data import cir_datasets
+        return getattr(cir_datasets, name)(data, transform, **params)
+    return build
+
+
+def _lazy_cir_imagelist(data, transform, **params):
+    from gandtr_tpu.data.cir_datasets import CirImageListDataset
+    return CirImageListDataset(data, transform, **params)
+
+
 DATASET_LABELS = {
     "ImageList": ImageListDataset,
     "InferImageList": InferImageListDataset,
     "RandomImageTuple": RandomImageTupleDataset,
     "PregeneratedImageTuple": PregeneratedImageTupleDataset,
     "RandomDomainsPair": RandomDomainsPairDataset,
+    "CirTuples": _lazy_cir("cir_tuples_dataset"),
+    "CirDiverseAnchors": _lazy_cir("cir_diverse_anchors_dataset"),
+    "CirImageList": _lazy_cir_imagelist,
 }
 
 

@@ -101,9 +101,10 @@ class EventBroker:
     AGGREGATIONS = {"scalar/loss": "avg", "scalar/score": "avg",
                     "scalar/time": "sum"}
 
-    def __init__(self, directory=None, streamers=(), metadata=None):
+    def __init__(self, directory=None, streamers=(), metadata=None, sinks=()):
         self.directory = directory
         self.streamers = list(streamers)
+        self.sinks = list(sinks)
         self.metadata = metadata or MetadataKeeper()
         self._epoch_acc = defaultdict(list)
         self.history = []
@@ -148,6 +149,8 @@ class EventBroker:
         if self.directory:
             with open(os.path.join(self.directory, "epochs", "events.json"), "w") as f:
                 json.dump(self.history, f, indent=1)
+        for sink in self.sinks:
+            sink.close_epoch(epoch, history=self.history, metadata=self.metadata)
         return aggregated
 
     def state_dict(self):
@@ -167,7 +170,12 @@ def initialize_processor(params, directory=None, decisive_criterion=None,
     if "progress" in params:
         streamers.append(DebugPrinter(**{
             k: int(v) for k, v in (params.pop("progress") or {}).items()}))
-    params.pop("htmlreport", None)  # visual dashboard: events.json holds data
+    sinks = []
+    if "htmlreport" in params and directory:
+        from gandtr_tpu.learning.html_report import HtmlReport
+        sinks.append(HtmlReport(directory))
+    params.pop("htmlreport", None)
     params.pop("tensorboard", None)
     keeper = MetadataKeeper(decisive_criterion, decisive_should_decrease)
-    return EventBroker(directory=directory, streamers=streamers, metadata=keeper)
+    return EventBroker(directory=directory, streamers=streamers, metadata=keeper,
+                       sinks=sinks)

@@ -1,0 +1,74 @@
+"""HTML report sink: per-experiment dashboard with loss curves and sample
+images.
+
+Counterpart of the reference HtmlReport (/root/reference/mdir/tools/
+eventprocessor.py:464-666 + daan/presentation): at every close_epoch, render
+`<dir>/epochs/htmlreport/index.html` with inline-SVG metric curves (no
+matplotlib dependency on the training path) and thumbnails of the blob images.
+"""
+import html
+import os
+
+
+def _svg_curve(series, width=420, height=140, color="#06c"):
+    if not series:
+        return ""
+    xs = list(range(len(series)))
+    lo, hi = min(series), max(series)
+    span = (hi - lo) or 1.0
+    pts = " ".join(
+        "%.1f,%.1f" % (10 + x * (width - 20) / max(len(xs) - 1, 1),
+                       height - 15 - (v - lo) * (height - 30) / span)
+        for x, v in zip(xs, series))
+    return (f'<svg width="{width}" height="{height}" '
+            f'style="background:#fafafa;border:1px solid #ddd">'
+            f'<polyline fill="none" stroke="{color}" stroke-width="1.5" '
+            f'points="{pts}"/>'
+            f'<text x="12" y="12" font-size="10">max {hi:.4g}</text>'
+            f'<text x="12" y="{height - 4}" font-size="10">min {lo:.4g}</text>'
+            f"</svg>")
+
+
+class HtmlReport:
+    """Sink with the streamer/sink interface of events.EventBroker."""
+
+    def __init__(self, directory):
+        self.directory = directory
+        self.report_dir = os.path.join(directory, "epochs", "htmlreport")
+        os.makedirs(self.report_dir, exist_ok=True)
+
+    def register(self, *args, **kwargs):
+        pass
+
+    def close_epoch(self, epoch, history=None, metadata=None):
+        if history is None:
+            return
+        keys = sorted({k for h in history for k in h["metrics"]})
+        rows = []
+        for key in keys:
+            series = [h["metrics"][key] for h in history if key in h["metrics"]]
+            rows.append(
+                f"<div class='metric'><h3>{html.escape(key)} "
+                f"<small>last {series[-1]:.5g}</small></h3>{_svg_curve(series)}</div>")
+
+        blob_dir = os.path.join(self.directory, "epochs", "blobs")
+        thumbs = ""
+        if os.path.isdir(blob_dir):
+            imgs = sorted(os.listdir(blob_dir))[-24:]
+            thumbs = "".join(
+                f"<figure><img src='../blobs/{html.escape(n)}' width='128'>"
+                f"<figcaption>{html.escape(n)}</figcaption></figure>"
+                for n in imgs if n.lower().endswith((".jpg", ".png")))
+
+        doc = f"""<!doctype html><html><head><meta charset="utf-8">
+<title>gandtr-tpu report</title>
+<style>body{{font-family:sans-serif;margin:20px}}
+.metric{{display:inline-block;margin:8px;vertical-align:top}}
+figure{{display:inline-block;margin:4px;text-align:center}}
+figcaption{{font-size:9px;max-width:128px;overflow:hidden}}</style></head>
+<body><h1>Experiment report — epoch {epoch}</h1>
+<h2>Metrics</h2>{''.join(rows)}
+<h2>Samples</h2>{thumbs}
+</body></html>"""
+        with open(os.path.join(self.report_dir, "index.html"), "w") as f:
+            f.write(doc)

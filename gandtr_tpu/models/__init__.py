@@ -113,7 +113,7 @@ MODEL_LABELS = {
     "official_p2p_discriminator": _discriminator,
     "official_patch_discriminator": _patch_discriminator,
     "official_p2p_mlp": _mlp,
-    "hed_interpolation": lambda **kw: HedInterpolation(),
+    "hed_interpolation": lambda **kw: HedInterpolation(width_mult=float(kw.get("width_mult", 1.0))),
     "cirnet": _cirnet,
     "gem_retrieval": lambda **kw: GemRetrievalNet(**kw),
 }

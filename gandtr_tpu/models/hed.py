@@ -19,6 +19,7 @@ _BLOCKS = ((3, (64, 64)), (64, (128, 128)), (128, (256, 256, 256)),
 
 class HedInterpolation(nn.Module):
     meta = {"in_channels": 3, "out_channels": 1}
+    width_mult: float = 1.0  # test-scale knob; 1.0 = the reference VGG widths
 
     @nn.compact
     def __call__(self, x, no_sigmoid=False, train=True):
@@ -29,6 +30,7 @@ class HedInterpolation(nn.Module):
             if bi > 1:
                 h = nn.max_pool(h, (2, 2), strides=(2, 2))
             for ci, w in enumerate(widths):
+                w = max(int(w * self.width_mult), 4)
                 h = Conv(w, 3, padding=1, name=f"vgg{bi}_{ci}")(h)
                 h = nn.relu(h)
             s = Conv(1, 1, name=f"score{bi}")(h)

@@ -1,0 +1,216 @@
+"""Pallas TPU kernel for CLAHE.
+
+The hot preprocessing op (every descriptor-model input, and the in-loop
+fine-tune augmentation) as two Pallas kernels instead of the XLA gather graph
+in ops/clahe.py:
+
+1. LUT build — grid over tiles; per-tile 256-bin histogram accumulated with
+   VPU compares (rows × (256 × tile_w) one-hot sums), clip + floor-uniform
+   redistribution, cumsum, round-half-even LUT. All in VMEM.
+2. Interpolation — grid over (tile_row_band, tile_col) pixel blocks. Within a
+   block all pixels share the same 4 neighbouring tile LUTs, so the per-pixel
+   lookup becomes `one_hot(v) @ lut_row` — four (P, 256)×(256,) matvecs on the
+   MXU instead of arbitrary gathers (TPU vector memory has no efficient
+   per-element gather).
+
+Semantics match ops/clahe.py (cv2-bit-exact algorithm); grid sizes must divide
+the image (the public wrapper pads with reflect-101 first, like cv2).
+"""
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _prefix_sum_256(hist):
+    """Inclusive prefix sum over (1, 256) as 8 shifted adds (Mosaic has no
+    cumsum primitive; counts stay < 2^24 so f32 adds are exact)."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
+    c = hist
+    for s in (1, 2, 4, 8, 16, 32, 64, 128):
+        shifted = pltpu.roll(c, s, axis=1)
+        c = c + jnp.where(idx >= s, shifted, 0.0)
+    return c
+
+
+def _lut_kernel(tiles_ref, lut_ref, *, tile_h, tile_w, climit, group):
+    """tiles_ref: (group, tile_h, tile_w) int32 -> lut_ref (group, 256) f32.
+
+    Groups of 8 tiles per grid step satisfy Mosaic's (8, 128) output tiling.
+    Everything stays 2-D with the 256-bin axis on lanes (Mosaic relayout of
+    1-D vectors is fragile)."""
+    bins = jax.lax.broadcasted_iota(jnp.int32, (tile_w, 256), 1)
+
+    for g in range(group):
+        def row_body(r, hist):
+            # dynamic row read straight from the ref (Mosaic supports dynamic
+            # ref indexing; dynamic_slice on a loaded value it does not)
+            row = tiles_ref[g, pl.ds(r, 1), :]        # (1, tile_w)
+            onehot = (row.reshape(tile_w, 1) == bins)  # (tile_w, 256)
+            return hist + jnp.sum(onehot.astype(jnp.float32), axis=0,
+                                  keepdims=True)
+
+        hist = jax.lax.fori_loop(0, tile_h, row_body,
+                                 jnp.zeros((1, 256), jnp.float32))
+
+        # clip + redistribute (integer semantics in f32: counts < 2^24)
+        climit_f = jnp.float32(climit)
+        clipped = jnp.sum(jnp.maximum(hist - climit_f, 0.0), axis=1,
+                          keepdims=True)                    # (1, 1)
+        hist = jnp.minimum(hist, climit_f)
+        redist = jnp.floor(clipped / 256.0)
+        residual = clipped - redist * 256.0
+        hist = hist + redist
+        step = jnp.maximum(jnp.floor(256.0 / jnp.maximum(residual, 1.0)), 1.0)
+        b = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1).astype(jnp.float32)
+        bonus = ((jnp.mod(b, step) == 0) & (jnp.floor(b / step) < residual))
+        hist = hist + bonus.astype(jnp.float32)
+
+        lut_scale = jnp.float32(255.0 / (tile_h * tile_w))
+        cdf = _prefix_sum_256(hist) * lut_scale
+        lut_ref[pl.ds(g, 1), :] = jnp.clip(jnp.round(cdf), 0.0, 255.0)
+
+
+def _interp_kernel(img_ref, luts_ref, ya_ref, xa_ref, tix_ref, out_ref, *,
+                   band_h, band_w, tiles_x):
+    """One (band_h, band_w) pixel block: interpolate between its 4 tile LUTs.
+
+    img_ref: (band_h, band_w) int32 pixel values
+    luts_ref: (tiles_total, 256) f32 — all LUTs resident in VMEM
+    ya_ref: (band_h, 1) f32 row weights; xa_ref: (1, band_w) f32 col weights
+    tix_ref: (1, 4) int32 — LUT row indices (y1x1, y1x2, y2x1, y2x2) in SMEM
+
+    Row-by-row: the per-row one-hot (band_w, 256) keeps VMEM bounded; the four
+    LUT lookups are (band_w, 256) × (256, 1) matvecs.
+    """
+    # the 4 LUT rows stacked as one (256, 4) matrix: a single MXU matmul per
+    # row-chunk yields all four interpolation corners
+    luts4 = jnp.concatenate(
+        [luts_ref[pl.ds(tix_ref[0, i], 1), :] for i in range(4)], axis=0).T
+    xa = xa_ref[:, :]                            # (1, band_w)
+    bins = jax.lax.broadcasted_iota(jnp.int32, (band_w, 256), 1)
+
+    CHUNK = 8
+    n_chunks = -(-band_h // CHUNK)
+
+    def row_body(r, _):
+        row = img_ref[pl.ds(r, 1), :]            # (1, band_w)
+        oh = (row.reshape(band_w, 1) == bins).astype(jnp.float32)
+        vals = jnp.dot(oh, luts4,
+                       preferred_element_type=jnp.float32)  # (band_w, 4)
+        v11 = vals[:, 0:1].reshape(1, band_w)
+        v12 = vals[:, 1:2].reshape(1, band_w)
+        v21 = vals[:, 2:3].reshape(1, band_w)
+        v22 = vals[:, 3:4].reshape(1, band_w)
+        ya = ya_ref[pl.ds(r, 1), :]              # (1, 1)
+        top = v11 * (1.0 - xa) + v12 * xa
+        bot = v21 * (1.0 - xa) + v22 * xa
+        res = top * (1.0 - ya) + bot * ya
+        out_ref[pl.ds(r, 1), :] = jnp.clip(jnp.round(res), 0.0, 255.0) \
+            .astype(jnp.int32)
+        return 0
+
+    jax.lax.fori_loop(0, band_h, row_body, 0)
+    del CHUNK, n_chunks
+
+
+@functools.partial(jax.jit, static_argnames=("clip_limit", "grid_size",
+                                             "interpret"))
+def clahe_u8_pallas(img, clip_limit=4.0, grid_size=(8, 8), interpret=False):
+    """CLAHE via Pallas kernels. img: (H, W) uint8, H/W divisible by grid after
+    reflect-101 padding (applied here, cropped after). Returns (H, W) uint8."""
+    if isinstance(grid_size, int):
+        grid_size = (grid_size, grid_size)
+    H, W = img.shape
+    ty, tx = grid_size
+    tile_h = -(-H // ty)
+    tile_w = -(-W // tx)
+    pad_h = tile_h * ty - H
+    pad_w = tile_w * tx - W
+    padded = jnp.pad(img, ((0, pad_h), (0, pad_w)), mode="reflect").astype(jnp.int32)
+
+    tile_area = tile_h * tile_w
+    climit = max(int(clip_limit * tile_area / 256.0), 1) if clip_limit > 0 \
+        else tile_area
+
+    # ---- phase 1: per-tile LUTs (8 tiles per grid step) ----
+    tiles = padded.reshape(ty, tile_h, tx, tile_w).transpose(0, 2, 1, 3)
+    tiles = tiles.reshape(ty * tx, tile_h, tile_w)
+    n_tiles = ty * tx
+    group = min(8, n_tiles)
+    n_groups = -(-n_tiles // group)
+    if n_groups * group != n_tiles:  # pad tile count to a group multiple
+        tiles = jnp.concatenate(
+            [tiles, jnp.zeros((n_groups * group - n_tiles, tile_h, tile_w),
+                              tiles.dtype)], axis=0)
+    luts = pl.pallas_call(
+        functools.partial(_lut_kernel, tile_h=tile_h, tile_w=tile_w,
+                          climit=climit, group=group),
+        out_shape=jax.ShapeDtypeStruct((n_groups * group, 256), jnp.float32),
+        grid=(n_groups,),
+        in_specs=[pl.BlockSpec((group, tile_h, tile_w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((group, 256), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(tiles)[:n_tiles]
+
+    # ---- phase 2: interpolation over bands ----
+    # band = the rows of one tile row-band × one tile column; all pixels in a
+    # band share ty1/ty2 and tx1/tx2 (host-computed per band, cv2 f32 coords
+    # computed like ops/clahe.py: numpy f32, bit-matching cv2)
+    def coords(n, ts, tc):
+        inv = np.float32(1.0) / np.float32(ts)
+        f = np.arange(n, dtype=np.float32) * inv - np.float32(0.5)
+        i1 = np.floor(f).astype(np.int32)
+        a = (f - i1).astype(np.float32)
+        return np.clip(i1, 0, tc - 1), np.clip(i1 + 1, 0, tc - 1), a
+
+    Hp, Wp = padded.shape
+    y1, y2, ya = coords(Hp, tile_h, ty)
+    x1, x2, xa = coords(Wp, tile_w, tx)
+
+    def bands_from(i1, i2):
+        """Group consecutive positions sharing the same (i1, i2) tile pair —
+        derived from the f32 coords themselves so band edges match cv2
+        bit-for-bit."""
+        bands, s = [], 0
+        for r in range(1, len(i1) + 1):
+            if r == len(i1) or (i1[r], i2[r]) != (i1[s], i2[s]):
+                bands.append((s, r - s, int(i1[s]), int(i2[s])))
+                s = r
+        return bands
+
+    row_bands = bands_from(y1, y2)
+    col_bands = bands_from(x1, x2)
+
+    out = jnp.zeros((Hp, Wp), jnp.int32)
+    for (rs, rl, by1, by2) in row_bands:
+        rl_pad = -(-rl // 8) * 8  # kernel processes rows in chunks of 8
+        for (cs, cl, bx1, bx2) in col_bands:
+            block = jax.lax.dynamic_slice(padded, (rs, cs), (rl, cl))
+            if rl_pad != rl:
+                block = jnp.pad(block, ((0, rl_pad - rl), (0, 0)))
+            tix_blk = jnp.asarray([[by1 * tx + bx1, by1 * tx + bx2,
+                                    by2 * tx + bx1, by2 * tx + bx2]], jnp.int32)
+            ya_blk = jnp.zeros((rl_pad,), np.float32).at[:rl].set(
+                jnp.asarray(ya[rs:rs + rl]))[:, None]
+            xa_blk = jnp.asarray(xa[cs:cs + cl])[None, :]
+            res = pl.pallas_call(
+                functools.partial(_interp_kernel, band_h=rl_pad, band_w=cl,
+                                  tiles_x=tx),
+                out_shape=jax.ShapeDtypeStruct((rl_pad, cl), jnp.int32),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                          pl.BlockSpec(memory_space=pltpu.VMEM),
+                          pl.BlockSpec(memory_space=pltpu.VMEM),
+                          pl.BlockSpec(memory_space=pltpu.VMEM),
+                          pl.BlockSpec(memory_space=pltpu.SMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                interpret=interpret,
+            )(block, luts, ya_blk, xa_blk, tix_blk)
+            out = jax.lax.dynamic_update_slice(out, res[:rl], (rs, cs))
+
+    return out[:H, :W].astype(jnp.uint8)

@@ -176,13 +176,40 @@ def build_gan_experiment(scenario, sample_hw=256, batch_size=None,
 
     frozen = tuple(name for name, net in models.nets.items() if net.frozen)
 
+    # validations: visual (generator over fixed val images, _gan_eval.yml)
+    validations = []
+    val_cfg = learn_cfg.get("validation") or {}
+    vis_cfg = val_cfg.get("visual") if isinstance(val_cfg, dict) else None
+    if vis_cfg:
+        crit = (vis_cfg.get("criterion") or {})
+        vdata = (crit.get("data") or {})
+        vds = (vdata.get("dataset") or {})
+        image_dir = vds.get("image_dir")
+        try:
+            from gandtr_tpu.utils.io import resolve_path as _rp
+            from gandtr_tpu.data.datasets import imread as _imread
+            from gandtr_tpu.data.transforms import initialize_transforms as _it
+            import os as _os
+            vdir = _rp(image_dir)
+            names = sorted(_os.listdir(vdir))[:4] if vdir and _os.path.isdir(vdir) else []
+            if names:
+                tfm = _it(vdata.get("transforms", "pil2np | totensor | normalize"),
+                          vdata.get("mean_std", [[0.5] * 3, [0.5] * 3]))
+                imgs = jnp.stack([jnp.asarray(tfm(_imread(_os.path.join(vdir, n))))
+                                  for n in names])
+                validations.append(VisualValidation(
+                    models["generator_X"].module, imgs,
+                    mean_std=vdata.get("mean_std", [[0.5] * 3, [0.5] * 3])))
+        except Exception as exc:
+            warnings.warn("visual validation disabled: %s" % exc)
+
     training = None
     if loader is not None:
         training = Training(
             step_fn=step, loader=loader, epochs=epochs,
             seed=int(train_cfg.get("seed", 0)),
             optimizers_base_lr=base_lr, schedules=schedules, events=events,
-            checkpoints=checkpoints, frozen=frozen,
+            checkpoints=checkpoints, frozen=frozen, validations=validations,
             batch_to_args=lambda b: (jnp.asarray(b[0]), jnp.asarray(b[1])))
 
     return {"models": models, "variables": variables, "optimizers": optimizers,

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from gandtr_tpu.data.datasets import Loader, imread
+from gandtr_tpu.data.cir_datasets import TupleEpochDataset
 from gandtr_tpu.data.mining import TuplesMiner, cid2filename
 from gandtr_tpu.data.transforms import initialize_transforms
 from gandtr_tpu.eval.retrieval import imresize
@@ -29,67 +30,6 @@ from gandtr_tpu.learning.training import Training
 from gandtr_tpu.learning import supervised
 from gandtr_tpu.learning.wrappers import cir_hash_passthrough
 from gandtr_tpu.utils.io import resolve_path
-
-
-class TupleEpochDataset:
-    """Mined tuples as padded square batches.
-
-    Items: (images (S, HW, HW, C), masks (S, HW, HW), labels (S,),
-    pass_mask (S,)). Mining runs in prepare_epoch via the provided extract_fn.
-    """
-
-    loader_params = {"drop_last": True}
-
-    def __init__(self, db, images, transform, image_size, miner,
-                 augment_ratio=0.25, augment_label="anc", neg_num=5):
-        self.db = db
-        self.images = images
-        self.transform = transform
-        self.image_size = int(image_size)
-        self.miner = miner
-        self.augment_ratio = augment_ratio
-        self.augment_label = augment_label
-        self.neg_num = neg_num
-        self.extract_fn = None
-        self.tuples = None
-
-    def prepare_epoch(self, network=None, device=None):
-        assert self.extract_fn is not None, "set extract_fn before training"
-        qidxs, pidxs, nidxs, labels, stats = self.miner.create_epoch_tuples(
-            self.extract_fn)
-        self.tuples = list(zip(qidxs, pidxs, nidxs))
-        return stats
-
-    def __len__(self):
-        return len(self.tuples) if self.tuples else self.miner.qsize
-
-    def _load_padded(self, idx):
-        img = imread(self.images[idx])
-        img = imresize(img, self.image_size)
-        arr = self.transform(img)
-        H, W = arr.shape[:2]
-        hw = self.image_size
-        out = np.zeros((hw, hw, arr.shape[2]), np.float32)
-        out[:H, :W] = arr[:hw, :hw]
-        mask = np.zeros((hw, hw), np.float32)
-        mask[:min(H, hw), :min(W, hw)] = 1.0
-        return out, mask
-
-    def __getitem__(self, i):
-        q, p, negs = self.tuples[i]
-        idxs = [q, p] + list(negs)
-        labels = np.asarray([-1.0, 1.0] + [0.0] * len(negs), np.float32)
-        imgs, masks, pmask = [], [], []
-        tuple_labels = ["anc", "pos"] + ["neg"] * len(negs)
-        for idx, lbl in zip(idxs, tuple_labels):
-            im, m = self._load_padded(idx)
-            imgs.append(im)
-            masks.append(m)
-            pmask.append(lbl.startswith(self.augment_label) and
-                         cir_hash_passthrough(os.path.basename(self.images[idx]),
-                                              self.augment_ratio))
-        return (np.stack(imgs), np.stack(masks), labels,
-                np.asarray(pmask, bool))
 
 
 def load_tuples_db(dataset_pkl, split, ims_root):
@@ -206,6 +146,46 @@ def build_finetune_experiment(params, directory=None, db=None, images=None):
     events = initialize_processor(out_cfg, directory=directory)
     checkpoints = Checkpoints(directory) if directory else None
 
+    # val-tuple loss validation (finetune.yml validation: SingleValidation,
+    # frequency 5, over the CirTuples val split)
+    validations = []
+    val_section = dict(learn_cfg.get("validation") or {})
+    val_data = dict(data_cfg.get("val") or {})
+    if val_section and val_data and db is not None:
+        vds_cfg = dict(val_data.get("dataset", {}))
+        val_db = db if vds_cfg.get("split", "val") not in ("train",) else db
+        try:
+            val_miner = TuplesMiner(
+                val_db, nnum=int(vds_cfg.get("neg_num", 5)),
+                qsize=int(min(float(vds_cfg.get("query_size", 200)), 1e6)),
+                poolsize=int(min(float(vds_cfg.get("pool_size", 2000)), 1e6)),
+                shuffle=False)
+            gen_data2 = {"transforms": "pil2np | totensor | normalize",
+                         "mean_std": [[0.5, 0.5, 0.5], [0.5, 0.5, 0.5]]}
+            vtransform = initialize_transforms(gen_data2["transforms"],
+                                               gen_data2["mean_std"])
+            vdataset = TupleEpochDataset(val_db, images, vtransform, image_size,
+                                         val_miner, augment_ratio=0.0)
+            vdataset.extract_fn = _make_extract_fn(models, state, images,
+                                                   vtransform, image_size)
+            vloader = Loader(vdataset, batch_size=1, num_workers=1)
+            from gandtr_tpu.learning.training import LossValidation
+            from gandtr_tpu.ops import losses as L
+
+            def val_loss(st, imgs, msks, lbls, pmask):
+                x = imgs[0]
+                descs = models["embed"].apply(st.variables["embed"], x,
+                                              train=False, mask=msks[0])
+                return L.contrastive_loss(descs.T, lbls[0], num_tuples=1,
+                                          margin=margin)
+
+            validations.append(LossValidation(
+                val_loss, vloader,
+                frequency=int(val_section.get("frequency", 5)),
+                batch_to_args=lambda b: tuple(jnp.asarray(x) for x in b)))
+        except Exception as exc:
+            warnings.warn("finetune validation disabled: %s" % exc)
+
     training = None
     if loader is not None:
         training = Training(
@@ -214,6 +194,7 @@ def build_finetune_experiment(params, directory=None, db=None, images=None):
             optimizers_base_lr={"embed": base_lr},
             schedules={"embed": schedule},
             events=events, checkpoints=checkpoints, frozen=("augment",),
+            validations=validations,
             batch_to_args=lambda b: tuple(jnp.asarray(x) for x in b))
         # FinetuneState has a single opt_state: adapt the schedule application
         training._apply_schedules = _finetune_schedule_hook(

@@ -8,6 +8,7 @@ Usage: python -m gandtr_tpu.scenarios.run <target|list|validate> scenario.yml
 """
 import argparse
 import copy
+import os
 import sys
 
 from gandtr_tpu.scenarios.engine import load_yaml_scenario, resolve_variables
@@ -32,11 +33,13 @@ def print_scores(parameters, _data):
     return ({},)
 
 
-def _download_stub(name):
+def _download(fn_name):
     def stage(_params, _data):
-        print(">> download step '%s': datasets must be fetched out-of-band in "
-              "this environment (zero egress); expected under $GANDTR_ROOT/data"
-              % name, file=sys.stderr)
+        from gandtr_tpu.utils import download as dl
+        from gandtr_tpu.utils.io import resolve_path
+        root = resolve_path("data") or "data"
+        root = root[:-len("/data")] if root.endswith("/data") else "."
+        getattr(dl, fn_name)(os.path.join(root, "data"))
         return ({},)
     return stage
 
@@ -66,11 +69,16 @@ FUNCTIONS = {
     "mdir.stages.train.train": _lazy_train,
     "mdir.stages.validate.validate": _lazy_validate,
     "mdir.stages.infer.infer": _lazy_infer,
-    "mdir.stages.multistep.infer_and_learn_whitening": stage_mod.learn_lw_whitening,
-    "cirtorch.utils.download.download_train": _download_stub("cirtorch-train"),
-    "cirtorch.utils.download.download_test": _download_stub("cirtorch-test"),
-    "mdir.utils.download.rsfm120k": _download_stub("rsfm120k"),
-    "mdir.utils.download.roxf5k_rpar6k_247tokyo1k": _download_stub("test-sets"),
+    "mdir.stages.multistep.infer_and_learn_whitening": lambda p, d: __import__(
+        "gandtr_tpu.scenarios.multistep_stage", fromlist=["x"]
+    ).infer_and_learn_whitening(p, d),
+    "gandtr_tpu.stages.multistep.infer_and_learn_whitening": lambda p, d: __import__(
+        "gandtr_tpu.scenarios.multistep_stage", fromlist=["x"]
+    ).infer_and_learn_whitening(p, d),
+    "cirtorch.utils.download.download_train": _download("rsfm120k"),
+    "cirtorch.utils.download.download_test": _download("roxf5k_rpar6k_247tokyo1k"),
+    "mdir.utils.download.rsfm120k": _download("rsfm120k"),
+    "mdir.utils.download.roxf5k_rpar6k_247tokyo1k": _download("roxf5k_rpar6k_247tokyo1k"),
     "print_scores": print_scores,
 }
 

@@ -63,7 +63,7 @@ class TestHedGanFamilies:
                "discriminator_Y": tiny_disc("batch")}
         if family in ("hedgan", "hedngan"):
             hed = {"type": "SingleNetwork",
-                   "model": {"architecture": "hed_interpolation"},
+                   "model": {"architecture": "hed_interpolation", "width_mult": 0.0625},
                    "runtime": {"wrappers": "rgb2bgr_pre", "data": {}}}
             cfg["detector"] = hed
             if family == "hedngan":

@@ -61,7 +61,7 @@ def test_tiny_gan_training_with_resume(image_dir, tmp_path):
     # smoke: build_hedgan_step requires a detector; use cut without featdown?
     # -> use plain hedgan with detector = identity-ish HED is heavy; so use
     # build_cyclegan? needs 4 nets. Use hedgan with tiny detector:
-    cfg_det = {"model": {"architecture": "hed_interpolation"},
+    cfg_det = {"model": {"architecture": "hed_interpolation", "width_mult": 0.0625},
                "runtime": {"wrappers": "", "data": {}}}
     from gandtr_tpu.learning.network import build_single_net
     det = build_single_net(cfg_det)
