@@ -150,3 +150,45 @@ def load_network_file(path, template):
     (checkpoints.py:208-220 file branch)."""
     with open(path, "rb") as f:
         return flax.serialization.from_bytes(template, f.read())
+
+
+def adopt_from_directory_regex(checkpoints, directory_epoch_regex,
+                               net_names=None):
+    """Cross-experiment adoption (reference checkpoints.py:171-204): when this
+    experiment has no checkpoints, find a finished experiment whose directory
+    matches `directory_epoch_regex` (a regex over sibling directory names with
+    one group capturing its epoch count), copy its `_best` nets in as epoch-0
+    checkpoints and return the adopted epoch count (0-based start here —
+    training proceeds from epoch 1 with adopted weights)."""
+    import re
+    import shutil
+
+    if checkpoints.available_epochs():
+        return None
+    parent = os.path.dirname(os.path.abspath(checkpoints.directory))
+    pattern = re.compile(directory_epoch_regex)
+    candidates = []
+    if os.path.isdir(parent):
+        for name in os.listdir(parent):
+            m = pattern.fullmatch(name)
+            if m and os.path.isdir(os.path.join(parent, name, "epochs")):
+                try:
+                    epochs = int(m.group(1)) if m.groups() else 0
+                except (ValueError, IndexError):
+                    epochs = 0
+                candidates.append((epochs, os.path.join(parent, name)))
+    if not candidates:
+        return None
+    epochs, src_dir = max(candidates)
+    src_epochs = os.path.join(src_dir, "epochs")
+    copied = 0
+    for fn in os.listdir(src_epochs):
+        if fn.endswith("%s.ckpt" % BEST_SUFFIX):
+            name = fn[:-len("%s.ckpt" % BEST_SUFFIX)]
+            if net_names and name not in net_names:
+                continue
+            dst = checkpoints._net_path(name, 0)
+            shutil.copyfile(os.path.realpath(os.path.join(src_epochs, fn)), dst)
+            checkpoints._symlink(dst, checkpoints._link_path(name, BEST_SUFFIX))
+            copied += 1
+    return {"adopted_from": src_dir, "epochs": epochs, "nets": copied} if copied else None

@@ -132,3 +132,70 @@ def build_model_set(config):
         if init_spec:
             init_specs[name] = dict(init_spec)
     return ModelSet(nets), init_specs
+
+
+class MultiheadModule:
+    """Base→heads composition (reference MultiheadNetwork, network.py:756-879):
+    a shared base module feeding named head modules; `default_output` selects
+    the head returned by plain forward. Functional: variables are
+    {'base': ..., '<head>': ...}."""
+
+    def __init__(self, base: WrappedNet, heads: Dict[str, WrappedNet],
+                 default_output: Optional[str] = None):
+        self.base = base
+        self.heads = heads
+        self.default_output = default_output
+
+    def init(self, rng, x, **kw):
+        import jax
+        variables = {"base": dict(self.base.init(rng, x, **kw))}
+        h = self.base.apply(variables["base"], x)
+        for i, (name, head) in enumerate(self.heads.items()):
+            variables[name] = dict(head.init(jax.random.fold_in(rng, i), h))
+        return variables
+
+    def apply(self, variables, x, head=None, train=False, **kw):
+        h = self.base.apply(variables["base"], x, train=train, **kw)
+        if head is not None:
+            return self.heads[head].apply(variables[head], h, train=train)
+        if self.default_output:
+            return self.heads[self.default_output].apply(
+                variables[self.default_output], h, train=train)
+        return {name: m.apply(variables[name], h, train=train)
+                for name, m in self.heads.items()}
+
+
+class GlobalLocalModule:
+    """Global + local descriptor container (reference GlobalLocalNetwork,
+    network.py:374-517): `forward_global` pools one descriptor per image;
+    `forward_local` returns multi-scale feature maps + attentions for the
+    grouping layers. SCALES mirrors network.py:374-377."""
+
+    SCALES = (1.0, 0.7071, 0.5, 0.3536, 0.25)
+
+    def __init__(self, features: WrappedNet, pool_fn=None, attention_fn=None,
+                 scales=None):
+        from gandtr_tpu.ops import pooling as _pool
+        from gandtr_tpu.models.extra_layers import l2norm_attention
+        self.features = features
+        self.pool_fn = pool_fn or (lambda f: _pool.gem(f))
+        self.attention_fn = attention_fn or l2norm_attention
+        self.scales = tuple(scales) if scales else self.SCALES
+
+    def init(self, rng, x, **kw):
+        return dict(self.features.init(rng, x, **kw))
+
+    def forward_global(self, variables, x):
+        from gandtr_tpu.ops.norm import l2n
+        f = self.features.apply(variables, x)
+        return l2n(self.pool_fn(f))
+
+    def forward_local(self, variables, x):
+        """Returns lists of (features NHWC, attention N,H,W,1) per scale."""
+        from gandtr_tpu.ops.resize import scale_resize
+        out = []
+        for s in self.scales:
+            xs = scale_resize(x, s) if s != 1.0 else x
+            f = self.features.apply(variables, xs)
+            out.append((f, self.attention_fn(f)))
+        return out

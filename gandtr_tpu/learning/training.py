@@ -175,3 +175,56 @@ class LossValidation:
             losses.append(float(self.loss_fn(state, *self.batch_to_args(batch))))
         if events and losses:
             events.logger("", epoch)(self.key, float(np.mean(losses)), "scalar/loss")
+
+
+class MultiCriterialValidation:
+    """Named child validations with a decisive criterion (reference
+    validation.py:121-156): runs each child, used with the events
+    MetadataKeeper to drive best-epoch selection."""
+
+    def __init__(self, children, decisive_criterion=None):
+        self.children = dict(children)
+        self.decisive_criterion = decisive_criterion
+
+    def __call__(self, state, epoch, events):
+        for name, child in self.children.items():
+            child(state, epoch, events)
+
+
+class ScoreValidation:
+    """Retrieval-mAP score validation during training (reference CirDatasetAp,
+    optim/score/cirscore.py:51-83): every `frequency` epochs, run the full
+    descriptor extraction + ranking + protocol mAP over a configured test
+    dataset and log per-protocol scores."""
+
+    def __init__(self, embed_net, dataset, dir_main, image_size=1024,
+                 transform=None, frequency=1, net_name="embed",
+                 key_prefix="val/validation"):
+        self.embed_net = embed_net
+        self.dataset = dataset
+        self.dir_main = dir_main
+        self.image_size = image_size
+        self.transform = transform
+        self.frequency = frequency
+        self.net_name = net_name
+        self.key_prefix = key_prefix
+
+    def __call__(self, state, epoch, events):
+        if self.frequency and epoch % self.frequency != 0:
+            return
+        from gandtr_tpu.eval.retrieval import (configdataset,
+                                               ShapeCachedExtractor,
+                                               evaluate_dataset)
+        variables = state.variables[self.net_name] \
+            if isinstance(state.variables, dict) and self.net_name in state.variables \
+            else state.variables
+        extractor = ShapeCachedExtractor(
+            lambda v, x: self.embed_net.apply(v, x, train=False), variables)
+        cfg = configdataset(self.dataset, self.dir_main)
+        metrics, _, _, _ = evaluate_dataset(extractor, cfg, self.image_size,
+                                            self.transform)
+        if events:
+            logger = events.logger("", epoch)
+            for mk, mv in metrics.items():
+                logger(f"{self.key_prefix}/{self.dataset}/score_avg:{mk}",
+                       float(mv), "scalar/score")

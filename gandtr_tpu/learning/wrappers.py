@@ -161,8 +161,10 @@ class ClahePost(Wrapper):
 
     def post(self, y, ctx, meta):
         y = y * self.meanstd[1] + self.meanstd[0]  # unnormalize to [0,1]
-        y = jax.vmap(lambda im: clahe_ops.image_clahe(
-            im, self.clip_limit, self.grid_size, self.colorspace))(y)
+        # lax.map (scan), not vmap: the TPU CLAHE path is a Pallas kernel and
+        # sequential mapping avoids relying on pallas_call batching rules
+        y = jax.lax.map(lambda im: clahe_ops.image_clahe(
+            im, self.clip_limit, self.grid_size, self.colorspace), y)
         return (y - self.meanstd[0]) / self.meanstd[1]
 
 

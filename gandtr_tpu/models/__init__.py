@@ -56,6 +56,7 @@ def _cirnet(**kw):
         pooling=kw.pop("pooling", "gem"),
         local_whitening=bool(kw.pop("local_whitening", False)),
         whitening=bool(kw.pop("whitening", False)),
+        regional=bool(kw.pop("regional", False)),
     )
 
 

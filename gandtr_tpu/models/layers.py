@@ -73,7 +73,7 @@ class ConvTranspose(nn.Module):
             nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform",
                                              in_axis=(0, 1, 3), out_axis=2),
             (k, k, in_ch, self.features))
-        kf = jnp.flip(kernel, axis=(0, 1))
+        kf = jnp.flip(kernel, axis=(0, 1)).astype(x.dtype)
         pad = (k - 1 - p, k - 1 - p + op)
         y = jax.lax.conv_general_dilated(
             x, kf, window_strides=(1, 1), padding=(pad, pad),
@@ -81,7 +81,7 @@ class ConvTranspose(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
-            y = y + bias
+            y = y + bias.astype(y.dtype)
         return y
 
 

@@ -21,6 +21,7 @@ class GemRetrievalNet(nn.Module):
     pooling: str = "gem"
     local_whitening: bool = False
     whitening: bool = False
+    regional: bool = False
     gem_p_init: float = 3.0
 
     @nn.compact
@@ -44,7 +45,17 @@ class GemRetrievalNet(nn.Module):
             N, H, W, C = o.shape
             o = lw(o.reshape(-1, C)).reshape(N, H, W, dim)
 
-        if self.pooling == "gem":
+        if self.regional:
+            # Rpool (cirtorch layers/pooling.py:76-113): per-region pooling +
+            # learnable regional whitening + sum aggregation
+            if self.pooling == "gem":
+                p = self.param("gem_p", nn.initializers.constant(self.gem_p_init), (1,))
+                rp = lambda f: pool_ops.gem(f, p=p[0])
+            else:
+                rp = pool_ops.POOLINGS[self.pooling]
+            rwhiten = nn.Dense(dim, name="rwhiten")
+            o = pool_ops.rpool(o, rp, whiten_fn=rwhiten)
+        elif self.pooling == "gem":
             p = self.param("gem_p", nn.initializers.constant(self.gem_p_init), (1,))
             o = pool_ops.gem(o, p=p[0], mask=feat_mask)
         elif self.pooling == "gemmp":

@@ -121,11 +121,28 @@ def clahe_u8(img, clip_limit=4.0, grid_size=(8, 8)):
     return _round_half_even_u8(res)
 
 
+def clahe_u8_dispatch(u8, clip_limit, grid_size):
+    """Backend dispatch: the Pallas kernels on TPU (the XLA gather graph is
+    pathological for Mosaic/XLA-TPU compile times), the XLA path elsewhere.
+    Both are bit-exact vs cv2 (tests/test_clahe_pallas.py)."""
+    import jax
+    try:
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    except Exception:
+        on_tpu = False
+    if on_tpu:
+        from gandtr_tpu.ops.clahe_pallas import clahe_u8_pallas
+        if isinstance(grid_size, int):
+            grid_size = (grid_size, grid_size)
+        return clahe_u8_pallas(u8, float(clip_limit), tuple(grid_size))
+    return clahe_u8(u8, clip_limit, grid_size)
+
+
 def channel_clahe(chan, clip_limit, grid_size):
     """Reference ChannelClahe.apply (functional.py:147-151): float[0,1] channel
     -> truncate to uint8 at 255 -> CLAHE -> /255 float."""
     u8 = (jnp.clip(chan, 0.0, 1.0) * 255.0).astype(jnp.uint8)
-    return clahe_u8(u8, clip_limit, grid_size).astype(jnp.float32) / 255.0
+    return clahe_u8_dispatch(u8, clip_limit, grid_size).astype(jnp.float32) / 255.0
 
 
 def image_clahe(img, clip_limit=4.0, grid_size=8, colorspace="lab"):

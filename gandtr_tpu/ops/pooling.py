@@ -96,6 +96,29 @@ def rmac(x, L=3, eps=1e-6):
     return v
 
 
+def roipool(x, rpool_fn, L=3):
+    """Per-region pooled vectors (functional.py:78-126): global + R-MAC grid
+    regions, each pooled by `rpool_fn`. x: (N, H, W, C) -> (N, R, C)."""
+    N, H, W, C = x.shape
+    vecs = [rpool_fn(x)]
+    for (i, j, wl) in _rmac_regions(W, H, L):
+        r = jax.lax.dynamic_slice(x, (0, i, j, 0), (N, wl, wl, C))
+        vecs.append(rpool_fn(r))
+    return jnp.stack(vecs, axis=1)
+
+
+def rpool(x, rpool_fn, whiten_fn=None, L=3, eps=1e-6):
+    """Regional pooling with optional per-region whitening + sum aggregation
+    (cirtorch Rpool, layers/pooling.py:76-113). x: (N, H, W, C) -> (N, C)."""
+    o = roipool(x, rpool_fn, L)  # (N, R, C)
+    o = o / (jnp.linalg.norm(o, axis=-1, keepdims=True) + eps)
+    if whiten_fn is not None:
+        o = whiten_fn(o)
+        o = o / (jnp.linalg.norm(o, axis=-1, keepdims=True) + eps)
+    agg = jnp.sum(o, axis=1)
+    return agg / (jnp.linalg.norm(agg, axis=-1, keepdims=True) + eps)
+
+
 POOLINGS = {
     "mac": mac,
     "spoc": spoc,

@@ -1,0 +1,84 @@
+"""Multihead/GlobalLocal containers + cross-experiment checkpoint adoption."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import pytest
+
+from gandtr_tpu.learning.network import (WrappedNet, MultiheadModule,
+                                         GlobalLocalModule, build_single_net)
+from gandtr_tpu.learning.checkpoints import (Checkpoints,
+                                             adopt_from_directory_regex)
+
+
+class TinyConv(nn.Module):
+    feats: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.feats, (3, 3), padding="SAME")(x)
+
+
+class TinyHead(nn.Module):
+    feats: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.feats, (1, 1))(x)
+
+
+class TestMultihead:
+    def test_heads_and_default(self):
+        base = WrappedNet(module=TinyConv())
+        heads = {"a": WrappedNet(module=TinyHead(2)),
+                 "b": WrappedNet(module=TinyHead(3))}
+        mh = MultiheadModule(base, heads, default_output="a")
+        x = jnp.zeros((1, 8, 8, 3))
+        var = mh.init(jax.random.PRNGKey(0), x)
+        assert set(var) == {"base", "a", "b"}
+        out_a = mh.apply(var, x)           # default head
+        assert out_a.shape[-1] == 2
+        out_b = mh.apply(var, x, head="b")
+        assert out_b.shape[-1] == 3
+        both = MultiheadModule(base, heads).apply(var, x)
+        assert set(both) == {"a", "b"}
+
+
+class TestGlobalLocal:
+    def test_forwards(self):
+        feats = WrappedNet(module=TinyConv(8))
+        gl = GlobalLocalModule(feats, scales=(1.0, 0.5))
+        x = jnp.ones((1, 16, 16, 3))
+        var = gl.init(jax.random.PRNGKey(0), x)
+        g = gl.forward_global(var, x)
+        assert g.shape == (1, 8)
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(g)), 1.0, atol=1e-4)
+        locs = gl.forward_local(var, x)
+        assert len(locs) == 2
+        f, att = locs[1]
+        assert f.shape[1] == 8 and att.shape[-1] == 1
+
+
+class TestAdoption:
+    def test_adopt_best_from_sibling(self, tmp_path):
+        # a finished experiment with a best checkpoint
+        src = Checkpoints(str(tmp_path / "exp_10ep"))
+        net = build_single_net({"model": {"architecture": "identity"}})
+        variables = {"params": {}}
+        var = {"params": {"w": np.ones((2, 2), np.float32) * 7}}
+        src.save_epoch(1, {"gen": var}, train_state={"epoch": 1},
+                       is_best=True, is_last=True)
+
+        dst = Checkpoints(str(tmp_path / "exp_new"))
+        info = adopt_from_directory_regex(dst, r"exp_(\d+)ep")
+        assert info and info["nets"] == 1
+        loaded = dst.load_net("gen", 0, var)
+        np.testing.assert_allclose(loaded["params"]["w"], 7.0)
+
+    def test_no_adoption_when_checkpoints_exist(self, tmp_path):
+        dst = Checkpoints(str(tmp_path / "exp_new"))
+        var = {"params": {"w": np.zeros((1,), np.float32)}}
+        dst.save_epoch(1, {"gen": var}, train_state={"epoch": 1})
+        assert adopt_from_directory_regex(dst, r"exp_(\d+)ep") is None
