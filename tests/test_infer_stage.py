@@ -1,0 +1,102 @@
+"""Infer stage: generator batch inference with image sink (skip-if-done) and
+embedding sink; multistep whitening learn."""
+import os
+import pickle
+
+import numpy as np
+from PIL import Image
+import pytest
+
+from gandtr_tpu.scenarios.infer_stage import infer
+from gandtr_tpu.scenarios.multistep_stage import infer_and_learn_whitening
+
+
+@pytest.fixture(scope="module")
+def imgdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("infer_ims")
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        Image.fromarray((rng.rand(32, 32, 3) * 255).astype(np.uint8)
+                        ).save(d / f"im{i}.jpg")
+    return d
+
+
+NET = {"type": "SingleNetwork",
+       "model": {"architecture": "official_resnet_generator", "ngf": 4,
+                 "n_blocks": 1, "norm_layer": "instance"},
+       "runtime": {"wrappers": "", "data": {}}}
+
+
+def test_image_output_with_append_skip(imgdir, tmp_path):
+    out_dir = tmp_path / "out"
+    params = {
+        "network": dict(NET),
+        "data": {"image_dir": str(imgdir) + "/*",
+                 "transforms": "pil2np | totensor | normalize",
+                 "mean_std": [[0.5] * 3, [0.5] * 3]},
+        "output": {"type": "image", "directory": str(out_dir), "append": True},
+    }
+    names = [f"im{i}.jpg" for i in range(3)]
+    (meta,) = infer(dict(params), (names,))
+    assert meta["count"] == 3
+    assert sorted(os.listdir(out_dir)) == sorted(names)
+    # append mode: second run writes nothing new
+    (meta2,) = infer(dict(params), (names,))
+    assert meta2["count"] == 0
+
+
+def test_embedding_output(imgdir):
+    params = {
+        "network": {"type": "SingleNetwork",
+                    "model": {"architecture": "cirnet",
+                              "cir_architecture": "vgg16", "pooling": "gem",
+                              "local_whitening": False, "whitening": False},
+                    "runtime": {"wrappers": "", "data": {}}},
+        "data": {"image_dir": str(imgdir) + "/*",
+                 "transforms": "pil2np | totensor | normalize",
+                 "mean_std": [[0.485, 0.456, 0.406], [0.229, 0.224, 0.225]]},
+        "output": {"type": "embedding", "dimensions": 512},
+    }
+    (meta,) = infer(params, ([f"im{i}.jpg" for i in range(3)],))
+    assert meta["vecs"].shape == (512, 3)
+    np.testing.assert_allclose(np.linalg.norm(meta["vecs"], axis=0), 1.0,
+                               atol=1e-4)
+
+
+def test_multistep_whitening(imgdir, tmp_path):
+    # cid-style names: path derived as cid[-2:]/cid[-4:-2]/cid[-6:-4]/cid
+    rng = np.random.RandomState(1)
+    cids = []
+    for i in range(6):
+        cid = "%040d" % (1234567 + i)
+        sub = imgdir / cid[-2:] / cid[-4:-2] / cid[-6:-4]
+        os.makedirs(sub, exist_ok=True)
+        Image.fromarray((rng.rand(32, 32, 3) * 255).astype(np.uint8)
+                        ).save(sub / cid, format="JPEG")
+        cids.append(cid)
+    pkl_path = tmp_path / "whiten_db.pkl"
+    with open(pkl_path, "wb") as f:
+        pickle.dump({"cids": cids, "qidxs": [0, 1], "pidxs": [2, 3]}, f)
+
+    params = {
+        "whitening": {"type": "lw", "dataset_pkl": str(pkl_path),
+                      "directory": str(tmp_path / "exp")},
+        "network": {"type": "SingleNetwork",
+                    "model": {"architecture": "cirnet",
+                              "cir_architecture": "vgg16", "pooling": "gem",
+                              "local_whitening": False, "whitening": False},
+                    "runtime": {"wrappers": "", "data": {}}},
+        "data": {"image_dir": str(imgdir) + "/*",
+                 "transforms": "pil2np | totensor | normalize",
+                 "mean_std": [[0.485, 0.456, 0.406], [0.229, 0.224, 0.225]]},
+        "output": {"dimensions": 512},
+    }
+    (meta,) = infer_and_learn_whitening(dict(params), ())
+    wpath = meta["whitening_path"]
+    assert wpath and os.path.exists(wpath)
+    with open(wpath, "rb") as f:
+        lw = pickle.load(f)
+    assert lw["P"].shape == (512, 512) and lw["m"].shape == (512, 1)
+    # idempotency: second run skips
+    (meta2,) = infer_and_learn_whitening(dict(params), ())
+    assert meta2.get("status") == "skipped"
