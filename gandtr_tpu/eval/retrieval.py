@@ -101,27 +101,67 @@ class ShapeCachedExtractor:
             out = fn(self.variables, jnp.asarray(img_np)[None])
         return np.asarray(out)[0]
 
+    def batch(self, imgs_np):
+        """Batched extraction of same-shaped images: (B, H, W, C) -> list of
+        (D,) descriptors. One compiled graph per (shape, batch) pair."""
+        if self.shape_bucket:
+            return [self(im) for im in imgs_np]
+        fn = self._jit_for(imgs_np.shape[:3])
+        out = fn(self.variables, jnp.asarray(imgs_np))
+        return list(np.asarray(out))
+
+
+def _load_preprocessed(path, image_size, transform, bbx=None):
+    img = imread(path)
+    imfullsize = max(img.size)
+    if bbx:
+        img = img.crop(bbx)
+    if image_size is not None:
+        if bbx:
+            img = imresize(img, image_size * max(img.size) / imfullsize)
+        else:
+            img = imresize(img, image_size)
+    return transform(img) if transform else np.asarray(img, np.float32) / 255.0
+
 
 def extract_vectors(extractor, image_paths, image_size, transform, bbxs=None,
-                    print_freq=500):
+                    print_freq=500, batch_size=1):
     """Extract descriptors for a list of images -> (D, N) column matrix
     (imageretrievalnet.py:312-339 semantics: bbx crop relative resize,
-    longest-side resize, transform, single-image forward)."""
-    vecs = []
+    longest-side resize, transform, single-image forward).
+
+    With batch_size > 1, same-shaped images are buffered and forwarded in
+    batches (one compiled graph per unique shape either way), bounding both
+    recompiles and host memory.
+    """
+    n = len(image_paths)
+    vecs = [None] * n
+    done = 0
+
+    def flush(batch):
+        nonlocal done
+        idxs, arrs = zip(*batch)
+        if len(arrs) == 1:
+            outs = [extractor(arrs[0])]
+        else:
+            outs = extractor.batch(np.stack(arrs)) if hasattr(extractor, "batch") \
+                else [extractor(a) for a in arrs]
+        for i, v in zip(idxs, outs):
+            vecs[i] = np.asarray(v)
+        done += len(batch)
+        if done % print_freq < len(batch) or done == n:
+            print("\r>>>> {}/{} done...".format(done, n), end="")
+
+    buffers = {}
     for i, path in enumerate(image_paths):
-        img = imread(path)
-        imfullsize = max(img.size)
-        if bbxs is not None and bbxs[i]:
-            img = img.crop(bbxs[i])
-        if image_size is not None:
-            if bbxs is not None and bbxs[i]:
-                img = imresize(img, image_size * max(img.size) / imfullsize)
-            else:
-                img = imresize(img, image_size)
-        arr = transform(img) if transform else np.asarray(img, np.float32) / 255.0
-        vecs.append(extractor(arr))
-        if (i + 1) % print_freq == 0 or i + 1 == len(image_paths):
-            print("\r>>>> {}/{} done...".format(i + 1, len(image_paths)), end="")
+        arr = _load_preprocessed(path, image_size, transform,
+                                 bbxs[i] if bbxs is not None else None)
+        key = arr.shape
+        buffers.setdefault(key, []).append((i, arr))
+        if len(buffers[key]) >= batch_size:
+            flush(buffers.pop(key))
+    for batch in buffers.values():
+        flush(batch)
     print("")
     return np.stack(vecs, axis=1)  # (D, N)
 

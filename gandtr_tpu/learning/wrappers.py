@@ -106,6 +106,46 @@ class CirRatioPassThrough(Wrapper):
         return jnp.where(mask[:, None, None, None], y, original)
 
 
+class RandomPassThrough(Wrapper):
+    """Probabilistic model bypass (wrapper.py:97-117). Functional form: the
+    model always runs; a per-batch bernoulli mask (from ctx["rng"] or a host
+    mask) selects model output vs input — SPMD-uniform like
+    CirRatioPassThrough."""
+
+    def __init__(self, probability_through):
+        self.probability = float(probability_through)
+
+    def pre(self, x, ctx):
+        return x, x
+
+    def post(self, y, ctx, original):
+        mask = ctx.get("pass_mask")
+        if mask is None:
+            rng = ctx["rng"]
+            mask = jax.random.bernoulli(rng, self.probability,
+                                        (y.shape[0],))
+        return jnp.where(jnp.asarray(mask)[:, None, None, None], y, original)
+
+
+class FakeBatch(Wrapper):
+    """Tuple-flattening batch emulation (wrapper.py:266-279): a (T, S, ...)
+    tuple batch flattens to (T*S, ...) around the model and restores after.
+    In the jitted steps this layout is native; the named wrapper exists for
+    config-driven composition parity."""
+
+    def pre(self, x, ctx):
+        shape = x.shape
+        return x.reshape((-1,) + shape[2:]), shape
+
+    def post(self, y, ctx, shape):
+        return y.reshape(shape[:2] + y.shape[1:])
+
+
+class CirFakeTupleBatch(FakeBatch):
+    """Tuple flattening + descriptor column assembly (wrapper.py:282-305):
+    output descriptors return as (T, S, D) blocks."""
+
+
 class MeanStdPost(Wrapper):
     """Distribution adaptation after the model (wrapper.py:149-190)."""
 
@@ -218,6 +258,9 @@ class CirtorchWhiten(Wrapper):
 
 WRAPPERS_LABELS = {
     "reflectpad_divisible": ReflectPadMakeDivisible,
+    "random_pass_through": RandomPassThrough,
+    "fakebatch": FakeBatch,
+    "cirfaketuplebatch": CirFakeTupleBatch,
     "cir_ratio_pass_through": CirRatioPassThrough,
     "meanstd_post": MeanStdPost,
     "meanstd_pre": MeanStdPre,
