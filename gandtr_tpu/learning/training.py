@@ -92,6 +92,9 @@ class Training:
 
             state, debug = self.loop.run_epoch(state, epoch)
 
+            if self.events:
+                self._log_weight_norms(state, epoch)
+
             for val in self.validations:
                 val(state, epoch, self.events)
 
@@ -109,6 +112,22 @@ class Training:
             if self.state_hook:
                 self.state_hook(state, epoch, debug)
         return state
+
+    def _log_weight_norms(self, state, epoch):
+        """Per-subnet parameter L2 norms as weight/param events (the functional
+        analog of the reference's weight-histogram logging,
+        supervised_epoch.py:110-115)."""
+        logger = self.events.logger("train/weights", epoch)
+        variables = getattr(state, "variables", None)
+        if not isinstance(variables, dict):
+            return
+        for name, var in variables.items():
+            params = var.get("params") if isinstance(var, dict) else None
+            if params is None:
+                continue
+            sq = sum(float(jnp.sum(jnp.square(l)))
+                     for l in jax.tree_util.tree_leaves(params))
+            logger(f"{name}/l2", float(np.sqrt(sq)), "scalar/score")
 
     def resume_or_start(self, state, templates=None):
         """Epoch-granular resume (learning.py:40-59): reload latest epoch's
