@@ -59,12 +59,21 @@ class TestEngine:
 
 class TestOurConfigs:
     def test_configs_validate(self):
-        ymls = glob.glob(os.path.join(CONFIGS, "train", "*.yml"))
+        ymls = glob.glob(os.path.join(CONFIGS, "train", "*.yml")) +             [p for p in glob.glob(os.path.join(CONFIGS, "eval", "*.yml"))
+             if not os.path.basename(p).startswith("_")]
         assert ymls, "no scenario configs found"
         for path in ymls:
             scenario = engine.load_yaml_scenario([path])
             targets = [k for k, v in scenario.items() if isinstance(v, dict)]
             runner.parse_targets(scenario, targets)
+
+    def test_eval_config_resolves_checkpoint_urls(self):
+        path = os.path.join(CONFIGS, "eval", "hedngan.yml")
+        s = engine.load_yaml_scenario([path])
+        net = s["eval"]["1_evaluate"]["network"]
+        assert net["path"].endswith("hedngan_embed_vgg16.pth")
+        assert s["eval_r101"]["1_evaluate"]["network"]["model"][
+            "cir_architecture"] == "resnet101"
 
     def test_list_action(self, capsys):
         path = os.path.join(CONFIGS, "train", "hedngan.yml")
