@@ -121,16 +121,22 @@ def build_model_set(config):
     config = dict(config)
     assert config.pop("type", "NetworkSet") == "NetworkSet"
     nets, init_specs = {}, {}
+    links = {}
     for name, sub in config.items():
         if sub is None:  # overlay-removed subnet (key*: null)
             continue
         sub = dict(sub)
+        if sub.get("type") == "SingleNetworkLink":
+            links[name] = sub.get("link") or sub.get("network")
+            continue
         sub.pop("type", None)
         sub.pop("path", None)
         init_spec = sub.pop("initialize", None)
         nets[name] = build_single_net(sub)
         if init_spec:
             init_specs[name] = dict(init_spec)
+    for name, target in links.items():  # shared-module aliases (network.py:330)
+        nets[name] = nets[target]
     return ModelSet(nets), init_specs
 
 

@@ -12,6 +12,11 @@ from gandtr_tpu.utils.io import resolve_path
 
 def train(params, data):
     params = dict(params)
+    # debug flag -> jax.debug_nans (the reference's autograd-anomaly analog,
+    # training.py:31-33)
+    if params.get("learning", {}).get("training", {}).get("debug"):
+        import jax
+        jax.config.update("jax_debug_nans", True)
     net_type = params.get("network", {}).get("type", "NetworkSet")
     if net_type == "NetworkSet":
         return _train_gan(params)

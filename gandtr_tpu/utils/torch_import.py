@@ -146,9 +146,13 @@ def retrieval_key_map(path):
         return "pool.p"
     leaf = {"kernel": "weight", "scale": "weight", "bias": "bias",
             "mean": "running_mean", "var": "running_var"}[path[-1]]
+    if path[0] == "net":  # GemRetrievalNetPreprocessing nests the plain net
+        path = path[1:]
     if path[0] == "backbone":
         path = path[1:]
     head = path[0]
+    if head == "preprocessing":  # EdgeFilter params (p, tau)
+        return f"preprocessing.{path[-1]}"
     if head.startswith("features_"):  # vgg
         return f"features.{head.split('_')[1]}.{leaf}"
     if head in ("whiten", "lwhiten"):
