@@ -1,0 +1,110 @@
+"""Golden parity for CUT's NCE pipeline with fixed patch ids: generator taps →
+PatchSampleF MLPs → multilayer PatchNCE loss vs a torch oracle composition."""
+import numpy as np
+import torch
+import torch.nn as tnn
+import torch.nn.functional as F
+import jax
+import jax.numpy as jnp
+
+from gandtr_tpu.learning.network import build_model_set
+from gandtr_tpu.ops import losses as L
+from gandtr_tpu.utils import torch_import as ti
+
+from test_models_parity import build_torch_resnet_generator, seq_state
+
+
+def torch_nce(tG, mlps, src, dst, layers, patch_ids, temperature=0.07):
+    """calculate_nce_loss (cut_epochs.py:79-89) with given patch ids."""
+    def taps(x):
+        feats = []
+        h = x
+        for i, layer in enumerate(tG):
+            h = layer(h)
+            if i in layers:
+                feats.append(h)
+        return feats
+
+    def sample(feats):
+        out = []
+        for fid, feat in enumerate(feats):
+            flat = feat.permute(0, 2, 3, 1).flatten(1, 2)
+            pid = torch.as_tensor(patch_ids[fid], dtype=torch.long)
+            x = flat[:, pid, :].flatten(0, 1)
+            x = mlps[fid](x)
+            norm = x.pow(2).sum(1, keepdim=True).pow(0.5)
+            out.append(x / (norm + 1e-7))
+        return out
+
+    fq = sample(taps(dst))
+    fk = sample(taps(src))
+    total = 0.0
+    for q, k in zip(fq, fk):
+        P = q.shape[0]
+        l_pos = torch.bmm(q.view(P, 1, -1), k.detach().view(P, -1, 1)).view(P, 1)
+        l_neg = torch.bmm(q.view(1, -1, q.shape[1]),
+                          k.detach().view(1, -1, q.shape[1]).transpose(2, 1))
+        l_neg.masked_fill_(torch.eye(l_neg.shape[1], dtype=torch.bool)[None], -10.0)
+        logits = torch.cat((l_pos, l_neg.view(-1, l_neg.shape[2])), 1) / temperature
+        total = total + F.cross_entropy(
+            logits, torch.zeros(logits.shape[0], dtype=torch.long),
+            reduction="none").mean()
+    return (total / len(fq)).item()
+
+
+def test_cut_nce_pipeline_matches_torch():
+    torch.manual_seed(0)
+    tG = build_torch_resnet_generator(n_blocks=1, norm="instance", ngf=8)
+    layers = [0, 4]
+    # probe tap channel counts
+    x_probe = torch.zeros(1, 3, 32, 32)
+    feats = []
+    h = x_probe
+    for i, layer in enumerate(tG):
+        h = layer(h)
+        if i in layers:
+            feats.append(h)
+    mlps = [tnn.Sequential(tnn.Linear(f.shape[1], 16), tnn.ReLU(),
+                           tnn.Linear(16, 16)) for f in feats]
+
+    ms, _ = build_model_set({
+        "type": "NetworkSet",
+        "generator_X": {"model": {"architecture": "official_resnet_generator",
+                                  "ngf": 8, "n_blocks": 1,
+                                  "norm_layer": "instance"},
+                        "runtime": {"wrappers": "", "data": {}}},
+        "featdown": {"model": {"architecture": "official_p2p_mlp", "nc": 16},
+                     "runtime": {"wrappers": "", "data": {}}}})
+    x0 = jnp.zeros((1, 32, 32, 3))
+    gvar = dict(ms["generator_X"].init(jax.random.PRNGKey(0), x0))
+    gvar = ti.convert_torch_state(gvar, seq_state(tG))
+    jfeats = ms["generator_X"].apply(gvar, x0, train=False, layers=layers,
+                                     encode_only=True)
+    fvar = dict(ms["featdown"].module.init(jax.random.PRNGKey(1), jfeats,
+                                           num_patches=8,
+                                           rng=jax.random.PRNGKey(2)))
+    mlp_state = {}
+    for i, m in enumerate(mlps):
+        for k, v in ti.torch_state_to_numpy(m.state_dict()).items():
+            mlp_state[f"mlp_{i}.{k}"] = v
+    fvar = ti.convert_torch_state(fvar, mlp_state,
+                                  key_map=ti.patchsample_key_map)
+
+    torch.manual_seed(3)
+    src_t = torch.rand(1, 3, 32, 32) * 2 - 1
+    dst_t = torch.rand(1, 3, 32, 32) * 2 - 1
+    patch_ids = [np.asarray([3, 17, 99, 512]), np.asarray([1, 7, 31, 63])]
+
+    ref = torch_nce(tG, mlps, src_t, dst_t, layers, patch_ids)
+
+    src = jnp.asarray(src_t.numpy().transpose(0, 2, 3, 1))
+    dst = jnp.asarray(dst_t.numpy().transpose(0, 2, 3, 1))
+    fq = ms["generator_X"].apply(gvar, dst, train=False, layers=layers,
+                                 encode_only=True)
+    fk = ms["generator_X"].apply(gvar, src, train=False, layers=layers,
+                                 encode_only=True)
+    ids = [jnp.asarray(p) for p in patch_ids]
+    fk_pool, _ = ms["featdown"].apply(fvar, fk, num_patches=4, patch_ids=ids)
+    fq_pool, _ = ms["featdown"].apply(fvar, fq, num_patches=4, patch_ids=ids)
+    total, _ = L.multilayer_patch_nce_loss(fq_pool, fk_pool, 1, 0.07, 1.0)
+    np.testing.assert_allclose(float(total), ref, rtol=2e-3, atol=1e-4)
