@@ -23,13 +23,19 @@ from gandtr_tpu.learning.wrappers import initialize_wrappers, apply_wrapped
 
 @dataclass
 class WrappedNet:
-    """A flax module + train/eval wrapper chains + meta (cf. SingleNetwork)."""
+    """A flax module + train/eval wrapper chains + meta (cf. SingleNetwork).
+
+    `compute_dtype` enables mixed precision: parameters are cast to this dtype
+    (and float inputs likewise) inside `apply` — the cast is traced, so
+    gradients flow back to the f32 master params and optimizer state stays
+    f32. BatchNorm running stats remain f32."""
     module: Any
     wrappers_train: List[Any] = field(default_factory=list)
     wrappers_eval: List[Any] = field(default_factory=list)
     frozen: bool = False
     meta: Dict[str, Any] = field(default_factory=dict)
     data_params: Dict[str, Any] = field(default_factory=dict)
+    compute_dtype: Any = None
 
     def init(self, rng, x, **kwargs):
         return self.module.init(rng, x, **kwargs)
@@ -46,6 +52,15 @@ class WrappedNet:
         call_kw = dict(kwargs)
         if self._accepts_train():
             call_kw["train"] = train and not self.frozen
+
+        if self.compute_dtype is not None:
+            dt = jnp.dtype(self.compute_dtype)
+            variables = dict(variables)
+            variables["params"] = jax.tree_util.tree_map(
+                lambda a: a.astype(dt) if jnp.issubdtype(a.dtype, jnp.floating)
+                else a, variables["params"])
+            if isinstance(x, jnp.ndarray) and jnp.issubdtype(x.dtype, jnp.floating):
+                x = x.astype(dt)
 
         updates = {}
 
@@ -105,6 +120,7 @@ def build_single_net(config):
     runtime = dict(config.get("runtime", {}))
     wrappers_cfg = runtime.get("wrappers", "")
     frozen = bool(runtime.get("frozen", False))
+    compute_dtype = runtime.get("dtype") or config.get("dtype")
     if isinstance(wrappers_cfg, dict):
         train_w = initialize_wrappers(wrappers_cfg.get("train"))
         eval_w = initialize_wrappers(wrappers_cfg.get("eval"))
@@ -112,7 +128,8 @@ def build_single_net(config):
         train_w = eval_w = initialize_wrappers(wrappers_cfg)
     return WrappedNet(module=module, wrappers_train=train_w, wrappers_eval=eval_w,
                       frozen=frozen, meta=getattr(module, "meta", {}) or {},
-                      data_params=runtime.get("data", {}) or {})
+                      data_params=runtime.get("data", {}) or {},
+                      compute_dtype=compute_dtype)
 
 
 def build_model_set(config):
