@@ -174,6 +174,9 @@ def initialize_processor(params, directory=None, decisive_criterion=None,
     if "htmlreport" in params and directory:
         from gandtr_tpu.learning.html_report import HtmlReport
         sinks.append(HtmlReport(directory))
+    if "tensorboard" in params and directory:
+        from gandtr_tpu.learning.tensorboard import TensorboardWriter
+        streamers.append(TensorboardWriter(directory))
     params.pop("htmlreport", None)
     params.pop("tensorboard", None)
     keeper = MetadataKeeper(decisive_criterion, decisive_should_decrease)

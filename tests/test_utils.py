@@ -80,3 +80,27 @@ class TestIo:
         monkeypatch.setenv("GANDTR_ROOT", "/data/root")
         out = io.resolve_path("experiments/x", rules=[("^", "/data/root")])
         assert out == "/data/root/experiments/x"
+
+
+class TestTensorboard:
+    def test_write_and_read_scalars(self, tmp_path):
+        import glob
+        from gandtr_tpu.learning.tensorboard import (TensorboardWriter,
+                                                     read_scalar_events)
+        w = TensorboardWriter(str(tmp_path))
+        w.register(1, 0, 10, "train/loss", 0.5, "scalar/loss")
+        w.register(1, 9, 10, "train/loss", 0.25, "scalar/loss")
+        w.register(2, 0, 10, "train/loss", 0.125, "scalar/loss")
+        w.close()
+        files = glob.glob(str(tmp_path / "epochs" / "tensorboard" / "events.*"))
+        assert files
+        events = read_scalar_events(files[0])
+        tags = [(t, round(v, 4), s) for t, v, s in events]
+        assert ("train/loss", 0.5, 0) in tags
+        assert ("train/loss", 0.25, 9) in tags
+        assert ("train/loss", 0.125, 10) in tags  # absolute iteration counter
+
+    def test_crc32c_known_vector(self):
+        from gandtr_tpu.learning.tensorboard import crc32c
+        # RFC 3720 test vector: 32 bytes of zeros -> 0x8a9136aa
+        assert crc32c(b"\x00" * 32) == 0x8A9136AA
