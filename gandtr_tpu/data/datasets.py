@@ -16,6 +16,14 @@ ImageFile.LOAD_TRUNCATED_IMAGES = True
 
 
 def imread(path, mode="RGB"):
+    """Load an image; `archive.h5#key` reads from an HDF5 dataset (the
+    reference's h5 image storage, traindataset.py h5 branch)."""
+    if ".h5#" in path:
+        import h5py
+        h5path, key = path.split("#", 1)
+        with h5py.File(h5path, "r") as f:
+            arr = np.asarray(f[key])
+        return Image.fromarray(arr).convert(mode)
     with open(path, "rb") as f:
         return Image.open(f).convert(mode)
 

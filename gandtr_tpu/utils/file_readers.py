@@ -8,6 +8,8 @@ import json
 import os
 import pickle
 
+import numpy as np
+
 
 class _Reader:
     def __init__(self, path, keys=None, limit=None, sl=None):
@@ -57,8 +59,17 @@ class PickleReader(_Reader):
             return self._select(pickle.load(f))
 
 
+class H5Reader(_Reader):
+    def get(self):
+        import h5py
+        with h5py.File(self.path, "r") as f:
+            keys = self.keys or list(f.keys())
+            return self._select({k: np.asarray(f[k]) for k in keys})
+
+
 READERS = {".tsv": TsvReader, ".txt": TsvReader, ".json": JsonReader,
-           ".pkl": PickleReader, ".pickle": PickleReader}
+           ".pkl": PickleReader, ".pickle": PickleReader, ".h5": H5Reader,
+           ".hdf5": H5Reader}
 
 
 def initialize_file_reader(path, keys=None, limit=None):
