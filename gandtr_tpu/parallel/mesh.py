@@ -58,3 +58,27 @@ def data_parallel_step(step_fn, mesh, axis="data", num_batch_args=2):
         return jitted(state, *batches)
 
     return wrapped
+
+
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Multi-host initialization (SURVEY.md §5.8): call once per host before
+    device use; afterwards `jax.devices()` spans the slice and `make_mesh`
+    builds the global mesh. On single-host setups this is a no-op.
+
+    Collectives ride ICI within a slice and DCN across slices — XLA picks the
+    transport from the mesh topology; nothing framework-side to configure.
+    """
+    import jax
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def process_local_batch(global_batch, axis="data"):
+    """Per-process slice size for a host-sharded input pipeline."""
+    import jax
+    assert global_batch % jax.process_count() == 0
+    return global_batch // jax.process_count()
