@@ -113,6 +113,16 @@ class TuplesMiner:
             return list(self.rng.permutation(size)[:samples])
         return list(range(size))[:samples]
 
+    @staticmethod
+    def _extract(extract_fn, idxs, label):
+        """Pass the extraction label when supported — the reference tags mining
+        extractions ('anc-mine', 'neg-pool-mine', traindataset.py:216-220) and
+        the augmentation gate's regex only matches anchors."""
+        try:
+            return extract_fn(idxs, label=label)
+        except TypeError:
+            return extract_fn(idxs)
+
     def create_epoch_tuples(self, extract_fn):
         """Returns (qidxs, pidxs, nidxs, labels, stats)."""
         stats = {}
@@ -120,7 +130,7 @@ class TuplesMiner:
             idxs2qpool = self._randperm(len(self.db["qidxs"]), self.qpool_size)
             qidxs = [self.db["qidxs"][i] for i in idxs2qpool]
             pidxs = [self.db["pidxs"][i] for i in idxs2qpool]
-            qvecs = np.asarray(extract_fn(qidxs))
+            qvecs = np.asarray(self._extract(extract_fn, qidxs, "anc-pool-mine"))
             sel, qscore = select_diverse_queries(
                 qvecs, self.qsize, self.similar_exclude, self.similar_include,
                 self.shuffle, self.rng)
@@ -132,13 +142,14 @@ class TuplesMiner:
             idxs2qpool = self._randperm(len(self.db["qidxs"]), self.qsize)
             qidxs = [self.db["qidxs"][i] for i in idxs2qpool]
             pidxs = [self.db["pidxs"][i] for i in idxs2qpool]
-            qvecs = np.asarray(extract_fn(qidxs))
+            qvecs = np.asarray(self._extract(extract_fn, qidxs, "anc-mine"))
 
         if self.nnum == 0:
             return qidxs, pidxs, [[] for _ in qidxs], self._labels(len(qidxs)), stats
 
         idxs2images = self._randperm(self.num_images, self.poolsize)
-        poolvecs = np.asarray(extract_fn(idxs2images))
+        poolvecs = np.asarray(self._extract(extract_fn, idxs2images,
+                                            "neg-pool-mine"))
         nidxs, nstats = search_hard_negatives(
             qvecs, poolvecs, qidxs, idxs2images, self.db["cluster"], self.nnum)
         stats.update(nstats)

@@ -40,7 +40,8 @@ def make_finetune_state(variables, optimizer, seed=0):
                          step=jnp.zeros((), jnp.int32))
 
 
-def build_finetune_step(models, optimizer, margin=0.75, fakebatch=True):
+def build_finetune_step(models, optimizer, margin=0.75, fakebatch=True,
+                        criterion=None):
     """models: {'embed': WrappedNet(GemRetrievalNet), 'augment':
     WrappedNet(generator, frozen, wrappers=[meanstd_post, clahepost,
     cir_ratio_pass_through])}.
@@ -53,9 +54,16 @@ def build_finetune_step(models, optimizer, margin=0.75, fakebatch=True):
     """
     embed = models["embed"]
     augment = models.get("augment")
+    if criterion is None:
+        crit_fn = lambda d, l: L.contrastive_loss(d, l, num_tuples=1,
+                                                  margin=margin)
+    else:
+        # configurable criterion (learning/criteria.py CRITERIA): any
+        # (D x N, label) -> scalar callable, e.g. ContrastiveLoss/TripletLoss
+        crit_fn = lambda d, l: criterion(d, l, num_tuples=1)
 
     def tuple_loss(embed_params, variables, imgs, msk, lbl, pmask):
-        """Contrastive loss of ONE tuple (S images)."""
+        """Tuple metric loss (S images) through the configured criterion."""
         x = imgs
         if augment is not None:
             ctx = {"pass_mask": pmask}
@@ -63,7 +71,7 @@ def build_finetune_step(models, optimizer, margin=0.75, fakebatch=True):
             x = jax.lax.stop_gradient(x)  # frozen generator branch
         evar = {**variables["embed"], "params": embed_params}
         descs = embed.apply(evar, x, train=True, mask=msk)  # (S, D)
-        return L.contrastive_loss(descs.T, lbl, num_tuples=1, margin=margin)
+        return crit_fn(descs.T, lbl)
 
     def step(state, images, masks, labels, pass_mask):
         rng, _ = jax.random.split(state.rng)

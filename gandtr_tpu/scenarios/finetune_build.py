@@ -21,6 +21,7 @@ from gandtr_tpu.data.cir_datasets import TupleEpochDataset
 from gandtr_tpu.data.mining import TuplesMiner, cid2filename
 from gandtr_tpu.data.transforms import initialize_transforms
 from gandtr_tpu.eval.retrieval import imresize
+from gandtr_tpu.learning.criteria import initialize_criterion
 from gandtr_tpu.learning.network import build_single_net
 from gandtr_tpu.learning.optimizers import initialize_optimizer
 from gandtr_tpu.learning.schedules import initialize_schedule
@@ -95,6 +96,7 @@ def build_finetune_experiment(params, directory=None, db=None, images=None):
         "scheduler", {"algorithm": "const"})))
     crit = dict(train_cfg.get("criterion", {"loss": "contrastive", "margin": 0.75}))
     margin = float(crit.get("margin", 0.75))
+    criterion = initialize_criterion(crit)
     it_cfg = dict(train_cfg.get("epoch_iteration", {}))
     fakebatch = bool(it_cfg.get("fakebatch", True))
 
@@ -102,7 +104,8 @@ def build_finetune_experiment(params, directory=None, db=None, images=None):
                                            seed=int(train_cfg.get("seed", 0)))
     step = jax.jit(supervised.build_finetune_step(models, optimizer,
                                                   margin=margin,
-                                                  fakebatch=fakebatch))
+                                                  fakebatch=fakebatch,
+                                                  criterion=criterion))
 
     # --- mining + dataset ---
     ds_cfg = dict(data_cfg.get("train", {}).get("dataset", {}))
@@ -243,7 +246,12 @@ def _make_extract_fn(models, state_ref, images, transform, image_size):
                           ctx={"pass_mask": pmask})
         return embed.apply(variables["embed"], x, train=False, mask=masks)
 
-    def extract(idxs):
+    import re as _re
+    anc_re = _re.compile("anc")
+
+    def extract(idxs, label="anc-mine"):
+        gate = bool(anc_re.match(label))  # only anchor-role extractions are
+        # augmentation-gated (reference image_label regex, wrapper.py:131-135)
         state = holder["state"]
         vecs = []
         for i0 in range(0, len(idxs), batch):
@@ -259,7 +267,7 @@ def _make_extract_fn(models, state_ref, images, transform, image_size):
                 m[:min(H, image_size), :min(W, image_size)] = 1.0
                 imgs.append(out)
                 masks.append(m)
-                pmask.append(cir_hash_passthrough(
+                pmask.append(gate and cir_hash_passthrough(
                     os.path.basename(images[idx]), 0.25))
             n = len(imgs)
             while len(imgs) < batch:  # pad last chunk to the static batch

@@ -104,3 +104,35 @@ class TestTensorboard:
         from gandtr_tpu.learning.tensorboard import crc32c
         # RFC 3720 test vector: 32 bytes of zeros -> 0x8a9136aa
         assert crc32c(b"\x00" * 32) == 0x8A9136AA
+
+
+class TestModelviz:
+    def test_jaxpr_dot_and_param_summary(self):
+        import jax.numpy as jnp
+        from gandtr_tpu.utils import modelviz
+        from gandtr_tpu.models.retrieval import GemRetrievalNet
+        import jax as _jax
+
+        model = GemRetrievalNet(architecture="vgg16")
+        x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+        var = model.init(_jax.random.PRNGKey(0), x)
+        dot = modelviz.architecture_graph(model, var, (1, 32, 32, 3))
+        assert dot.startswith("digraph jaxpr {") and dot.endswith("}")
+        assert "conv_general_dilated" in dot
+        assert "output0" in dot
+        rows, total = modelviz.param_summary(var)
+        assert total == sum(r[3] for r in rows) and total > 1e6
+        text = modelviz.format_summary(var, "gem_vgg16")
+        assert "gem_vgg16 (%d params)" % total in text
+
+    def test_jaxpr_dot_truncation(self):
+        import jax.numpy as jnp
+        from gandtr_tpu.utils.modelviz import jaxpr_dot
+
+        def fn(x):
+            for _ in range(20):
+                x = x * 2 + 1
+            return x
+
+        dot = jaxpr_dot(fn, jnp.ones((2,)), max_nodes=5)
+        assert "more equations" in dot
