@@ -22,6 +22,9 @@ from gandtr_tpu.models import initialize_model
 from gandtr_tpu.models.init import initialize_weights
 from gandtr_tpu.utils import torch_import as ti
 from gandtr_tpu.utils.io import load_torch_checkpoint, load_pickle
+from gandtr_tpu.utils.compile_cache import enable_from_env as _cc_env
+
+_cc_env()  # persistent XLA compile cache, opt-in via GANDTR_TPU_COMPILE_CACHE
 
 BASE_URL = "http://ptak.felk.cvut.cz/personal/jenicto2/download/iccv23_gan/"
 

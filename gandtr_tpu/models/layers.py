@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from gandtr_tpu.ops import fastconv
 from gandtr_tpu.ops.norm import instance_norm
 
 
@@ -26,10 +27,49 @@ def pad2d(x, pad, mode="zero"):
     if mode in ("zero", "constant"):
         return jnp.pad(x, cfg)
     if mode in ("reflect", "refl"):
+        # NOTE: fastconv.reflect_pad (zero-pad + border patches) wins 4x in
+        # isolation but LOSES in-graph: the DUS chain blocks producer fusion
+        # that XLA's native reflect lowering keeps (docs/PERF.md).
         return jnp.pad(x, cfg, mode="reflect")
     if mode in ("replicate", "repl"):
         return jnp.pad(x, cfg, mode="edge")
     raise NotImplementedError("pad mode %s" % mode)
+
+
+class _RawConv(nn.Module):
+    """nn.Conv-compatible conv (identical param names/shapes/initializers and
+    RNG stream, identical dtype promotion) that routes MXU-hostile shapes
+    through ops/fastconv.py's exact space-to-depth rewrite. Numerically equal
+    to nn.Conv up to float summation order."""
+    features: int
+    kernel_size: int
+    stride: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self, x):
+        K = self.kernel_size
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (K, K, x.shape[-1], self.features))
+        dt = jnp.promote_types(x.dtype, kernel.dtype)
+        x = x.astype(dt)
+        kernel = kernel.astype(dt)
+        squeeze = x.ndim == 3
+        if squeeze:
+            x = x[None]
+        y = fastconv.dispatch_conv(x, kernel, self.stride) if x.ndim == 4 \
+            else None
+        if y is None:
+            y = jax.lax.conv_general_dilated(
+                x, kernel, (self.stride, self.stride), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if squeeze:
+            y = y[0]
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,))
+            y = y + bias.astype(dt)
+        return y
 
 
 class Conv(nn.Module):
@@ -45,9 +85,8 @@ class Conv(nn.Module):
     def __call__(self, x):
         if self.padding:
             x = pad2d(x, self.padding, self.pad_mode)
-        return nn.Conv(self.features, (self.kernel_size, self.kernel_size),
-                       strides=(self.stride, self.stride), padding="VALID",
-                       use_bias=self.use_bias, name="conv")(x)
+        return _RawConv(self.features, self.kernel_size, self.stride,
+                        self.use_bias, name="conv")(x)
 
 
 class ConvTranspose(nn.Module):

@@ -1,0 +1,236 @@
+"""Space-to-depth conv rewrites for MXU-hostile shapes.
+
+The CycleGAN-family generators (models/generators.py) open and close with
+7x7 convs whose channel counts (3->64, 64->3) leave the 128-lane MXU nearly
+idle: measured on v5e, the final 64->3 conv alone costs 12.5 ms/batch-32
+(~3 TFLOP/s) out of a 39 ms generator forward. The standard TPU remedy is a
+space-to-depth (s2d) reformulation: block the spatial grid by s, fold the
+s x s phases into channels, and run an exactly-equivalent stride-1 conv whose
+contraction and output-channel dims are MXU-sized. The same machinery speeds
+up stride-2 "down" convs (fold input phases only) and stride-2 transposed
+convs (phase-expanded kernel + depth-to-space), replacing the slow
+lhs_dilation lowering.
+
+All rewrites are EXACT reformulations (same multiply-add terms, different
+grouping): outputs match `jax.lax.conv_general_dilated` to float rounding.
+Everything here is plain XLA (reshape/transpose/conv) - no Pallas needed:
+the wins come from giving the compiler MXU-shaped contractions.
+
+Reference parity is unaffected: these kick in underneath models/layers.py
+Conv/ConvTranspose when `ENABLED` (the default) and the shape heuristics
+match; `set_enabled(False)` restores the naive lowering.
+"""
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+ENABLED = True
+
+
+def set_enabled(flag):
+    """Toggle the fast-conv dispatch globally. NOTE: toggling between jit
+    traces of the same function signature will not invalidate already-compiled
+    caches; set once at startup."""
+    global ENABLED
+    ENABLED = bool(flag)
+
+
+def reflect_pad(x, pad):
+    """Reflect-pad spatial dims of NHWC x, lowered as zero-pad + border
+    patches.
+
+    XLA's reflect `jnp.pad` lowers to reverse+gather fusions measured at
+    ~140 GB/s on v5e (4 ms for a 268 MB tensor) while a plain zero-pad copy
+    runs at bandwidth (0.8 ms). Writing the zero-padded copy and then
+    dynamic-update-slicing the four thin mirrored strips (corners inherit the
+    double reflection, matching numpy/torch 'reflect') is ~4x faster and
+    bit-identical.
+    """
+    t, b, l, r = pad
+    B, H, W, C = x.shape
+    y = jnp.pad(x, ((0, 0), (t, b), (l, r), (0, 0)))
+    if t:
+        strip = jnp.flip(x[:, 1:1 + t], axis=1)
+        y = jax.lax.dynamic_update_slice(y, strip, (0, 0, l, 0))
+    if b:
+        strip = jnp.flip(x[:, H - 1 - b:H - 1], axis=1)
+        y = jax.lax.dynamic_update_slice(y, strip, (0, t + H, l, 0))
+    if l:
+        strip = jnp.flip(y[:, :, l + 1:2 * l + 1], axis=2)
+        y = jax.lax.dynamic_update_slice(y, strip, (0, 0, 0, 0))
+    if r:
+        strip = jnp.flip(y[:, :, l + W - 1 - r:l + W - 1], axis=2)
+        y = jax.lax.dynamic_update_slice(y, strip, (0, 0, l + W, 0))
+    return y
+
+
+def space_to_depth(x, s):
+    """(B, H, W, C) -> (B, H/s, W/s, s*s*C), phase-major channel order."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // s, s, W // s, s, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H // s, W // s, s * s * C)
+
+
+def depth_to_space(x, s):
+    """Inverse of space_to_depth."""
+    B, Hb, Wb, C = x.shape
+    c = C // (s * s)
+    x = x.reshape(B, Hb, Wb, s, s, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, Hb * s, Wb * s, c)
+
+
+def _conv(x, k):
+    return jax.lax.conv_general_dilated(
+        x, k, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def conv_s2d(xp, kernel, s):
+    """Stride-1 VALID conv on pre-padded input via s2d on both sides.
+
+    xp: (B, H+K-1, W+K-1, C) (already padded), kernel: (K, K, C, Co).
+    Requires H % s == 0 and W % s == 0. Exact: out[si+d] = sum_u xp[si+d+u]k[u]
+    regrouped as an (s*s*C*nb^2)-contraction conv over s-blocks.
+    """
+    K, _, C, Co = kernel.shape
+    B, Hp, Wp, _ = xp.shape
+    H, W = Hp - K + 1, Wp - K + 1
+    nb = -(-(K + s - 1) // s)
+    pad_h = s * (H // s + nb - 1) - Hp
+    pad_w = s * (W // s + nb - 1) - Wp
+    xp = jnp.pad(xp, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    xs = space_to_depth(xp, s)
+    # S[b, e, d, u] = 1 iff s*b + e == d + u
+    S = np.zeros((nb, s, s, K), xp.dtype)
+    for b in range(nb):
+        for e in range(s):
+            for d in range(s):
+                u = s * b + e - d
+                if 0 <= u < K:
+                    S[b, e, d, u] = 1
+    S = jnp.asarray(S)
+    Kp = jnp.einsum("aepu,bfqv,uvcd->abefcpqd", S, S,
+                    kernel.astype(xp.dtype))
+    Kp = Kp.reshape(nb, nb, s * s * C, s * s * Co)
+    y = _conv(xs, Kp)
+    return depth_to_space(y, s)
+
+
+def conv_stride_s2d(xp, kernel, stride):
+    """Strided VALID conv on pre-padded input via s2d of the input only.
+
+    xp: (B, Hp, Wp, C), kernel (K, K, C, Co), output
+    ((Hp-K)//stride+1, ...). Folds the stride phases into channels so the
+    conv becomes stride-1 with a stride^2*C*nb^2 contraction.
+    """
+    K, _, C, Co = kernel.shape
+    B, Hp, Wp, _ = xp.shape
+    s = stride
+    Ho, Wo = (Hp - K) // s + 1, (Wp - K) // s + 1
+    nb = -(-K // s)
+    # pad (or trim unused trailing rows) to exactly the covered extent
+    tgt_h, tgt_w = s * (Ho + nb - 1), s * (Wo + nb - 1)
+    xp = xp[:, :tgt_h, :tgt_w, :]
+    xp = jnp.pad(xp, ((0, 0), (0, tgt_h - xp.shape[1]),
+                      (0, tgt_w - xp.shape[2]), (0, 0)))
+    xs = space_to_depth(xp, s)
+    S = np.zeros((nb, s, K), xp.dtype)
+    for b in range(nb):
+        for e in range(s):
+            u = s * b + e
+            if u < K:
+                S[b, e, u] = 1
+    S = jnp.asarray(S)
+    Kp = jnp.einsum("aeu,bfv,uvcd->abefcd", S, S, kernel.astype(xp.dtype))
+    Kp = Kp.reshape(nb, nb, s * s * C, Co)
+    return _conv(xs, Kp)[:, :Ho, :Wo, :]
+
+
+def conv_transpose_d2s(x, kernel, stride, pad_lo, pad_hi):
+    """Transposed conv (lhs_dilation lowering) rewritten as a phase-expanded
+    stride-1 conv + depth-to-space.
+
+    Reproduces exactly:
+      lax.conv_general_dilated(x, kernel, (1,1),
+          padding=((pad_lo, pad_hi),)*2, lhs_dilation=(stride, stride))
+    for output sizes divisible by `stride` (the torch
+    ConvTranspose2d(k, s, p, output_padding=s-1... ) shapes used here).
+    """
+    K, _, C, Co = kernel.shape
+    B, H, W, _ = x.shape
+    t = stride
+    Ho = t * (H - 1) + 1 + pad_lo + pad_hi - (K - 1)
+    Wo = t * (W - 1) + 1 + pad_lo + pad_hi - (K - 1)
+    if Ho % t or Wo % t:
+        raise ValueError("output not divisible by stride")
+    # valid (phase d, tap u) pairs: input index (d + u - pad_lo)/t
+    pairs = [(d, u, (d + u - pad_lo) // t)
+             for d in range(t) for u in range(K)
+             if (d + u - pad_lo) % t == 0]
+    bmin = min(b for _, _, b in pairs)
+    bmax = max(b for _, _, b in pairs)
+    Lb = -bmin
+    nb = bmax - bmin + 1
+    blocks_h = Ho // t + nb - 1
+    blocks_w = Wo // t + nb - 1
+    if blocks_h - H - Lb < 0 or blocks_w - W - Lb < 0:
+        raise ValueError("unsupported transpose geometry")
+    x = jnp.pad(x, ((0, 0), (Lb, blocks_h - H - Lb),
+                    (Lb, blocks_w - W - Lb), (0, 0)))
+    S = np.zeros((nb, t, K), x.dtype)
+    for d, u, b in pairs:
+        S[b - bmin, d, u] = 1
+    S = jnp.asarray(S)
+    Kp = jnp.einsum("apu,bqv,uvcd->abcpqd", S, S, kernel.astype(x.dtype))
+    Kp = Kp.reshape(nb, nb, C, t * t * Co)
+    y = _conv(x, Kp)
+    return depth_to_space(y, t)
+
+
+def dispatch_conv(xp, kernel, stride):
+    """Pick a fast rewrite for a pre-padded VALID conv, or return None to use
+    the naive lowering.
+
+    Only the few-OUTPUT-channels stride-1 case (final RGB/edge-map convs) is
+    rewritten: with Co < 32 the naive conv uses Co of 128 MXU lanes (measured
+    3 TFLOP/s, 11 ms/batch-32 for the generator's 64->3 7x7 @256px); s2d with
+    s*s*Co >= 128 fills the lanes (measured ~3.8 ms incl. layout moves).
+    Stride-2 down convs, transposed convs, and few-INPUT-channel convs were
+    measured at near-roofline already — rewrites there LOSE to the extra
+    layout passes (see docs/PERF.md), so they intentionally stay naive.
+    """
+    if not ENABLED:
+        return None
+    K, _, C, Co = kernel.shape
+    B, Hp, Wp, _ = xp.shape
+    if stride != 1 or Co >= 32:
+        return None
+    H, W = Hp - K + 1, Wp - K + 1
+    if H <= 0 or W <= 0:
+        return None
+    for s in (8, 4, 2):
+        if s * s * Co >= 128 and H % s == 0 and W % s == 0 and H // s >= 2 \
+                and W // s >= 2:
+            return conv_s2d(xp, kernel, s)
+    return None
+
+
+def dispatch_conv_transpose(x, kernel, stride, pad_lo, pad_hi):
+    """Fast path for ConvTranspose, or None for the lhs_dilation lowering."""
+    if not ENABLED or stride < 2:
+        return None
+    t = stride
+    H, W = x.shape[1], x.shape[2]
+    K = kernel.shape[0]
+    Ho = t * (H - 1) + 1 + pad_lo + pad_hi - (K - 1)
+    Wo = t * (W - 1) + 1 + pad_lo + pad_hi - (K - 1)
+    if Ho <= 0 or Wo <= 0 or Ho % t or Wo % t:
+        return None
+    try:
+        return conv_transpose_d2s(x, kernel, stride, pad_lo, pad_hi)
+    except ValueError:
+        return None

@@ -130,6 +130,9 @@ def main(argv=None):
                         help="yaml files / key=value overrides (later wins)")
     args = parser.parse_args(argv)
 
+    from gandtr_tpu.utils.compile_cache import enable_from_env
+    enable_from_env()
+
     scenario = load_yaml_scenario(args.scenario)
     targets = [k for k in scenario if isinstance(scenario.get(k), dict)]
 

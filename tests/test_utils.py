@@ -136,3 +136,18 @@ class TestModelviz:
 
         dot = jaxpr_dot(fn, jnp.ones((2,)), max_nodes=5)
         assert "more equations" in dot
+
+
+class TestCompileCache:
+    def test_enable_and_env(self, tmp_path, monkeypatch):
+        from gandtr_tpu.utils import compile_cache as cc
+        import jax
+
+        d = cc.enable_compilation_cache(str(tmp_path / "xla"))
+        assert jax.config.jax_compilation_cache_dir == d
+        monkeypatch.setenv("GANDTR_TPU_COMPILE_CACHE", "0")
+        assert cc.enable_from_env() is None
+        monkeypatch.setenv("GANDTR_TPU_COMPILE_CACHE", str(tmp_path / "x2"))
+        assert cc.enable_from_env() == str(tmp_path / "x2")
+        # restore: don't leave later jits writing into this tmp dir
+        jax.config.update("jax_compilation_cache_dir", None)
