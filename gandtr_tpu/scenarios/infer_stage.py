@@ -107,16 +107,36 @@ def infer(params, data):
         sink = EmbeddingOutput(out_cfg.pop("dimensions", 512))
 
     names = sink.exclude_existing(names)
+    batch_size = int(data_cfg.get("loader", {}).get("batch_size", 8))
     jit_cache = {}
+
+    def flush(bucket_names, bucket_arrs):
+        """Run one fixed-size batch: same-shape images batch together (the
+        reference's DataLoader batching, output.py); the tail is padded to the
+        batch size so only ONE graph per (shape, batch_size) compiles."""
+        n = len(bucket_names)
+        arrs = bucket_arrs + [bucket_arrs[-1]] * (batch_size - n)
+        x = jnp.asarray(np.stack(arrs))
+        key = x.shape
+        if key not in jit_cache:
+            jit_cache[key] = jax.jit(
+                lambda v, xx: model.apply(v, xx, train=False))
+        out = np.asarray(jit_cache[key](variables, x))
+        for i in range(n):
+            sink.add(bucket_names[i], out[i])
+
+    buckets = {}  # per-shape accumulation
     for name in names:
         img = imread(path_join(image_dir, name))
         arr = transforms(img)
-        key = arr.shape
-        if key not in jit_cache:
-            jit_cache[key] = jax.jit(
-                lambda v, x: model.apply(v, x, train=False))
-        out = jit_cache[key](variables, jnp.asarray(arr)[None])
-        sink.add(name, np.asarray(out)[0])
+        bucket = buckets.setdefault(arr.shape, ([], []))
+        bucket[0].append(name)
+        bucket[1].append(arr)
+        if len(bucket[0]) == batch_size:
+            flush(*bucket)
+            buckets.pop(arr.shape)
+    for shape in list(buckets):
+        flush(*buckets.pop(shape))
     sink.close()
 
     meta = {"count": len(names)}

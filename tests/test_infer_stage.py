@@ -100,3 +100,25 @@ def test_multistep_whitening(imgdir, tmp_path):
     # idempotency: second run skips
     (meta2,) = infer_and_learn_whitening(dict(params), ())
     assert meta2.get("status") == "skipped"
+
+
+def test_batched_equals_single(imgdir, tmp_path):
+    """Same-shape batching (+ tail padding) produces identical images to
+    batch_size=1 processing."""
+    names = [f"im{i}.jpg" for i in range(3)]
+    outs = {}
+    for bs, tag in ((1, "single"), (8, "batched")):
+        out_dir = tmp_path / tag
+        params = {
+            "network": dict(NET),
+            "data": {"image_dir": str(imgdir) + "/*",
+                     "transforms": "pil2np | totensor | normalize",
+                     "mean_std": [[0.5] * 3, [0.5] * 3],
+                     "loader": {"batch_size": bs}},
+            "output": {"type": "image", "directory": str(out_dir)},
+        }
+        (meta,) = infer(params, (names,))
+        assert meta["count"] == 3
+        outs[tag] = [np.asarray(Image.open(out_dir / n)) for n in names]
+    for a, b in zip(outs["single"], outs["batched"]):
+        np.testing.assert_array_equal(a, b)
