@@ -90,33 +90,37 @@ def _conv(x, k):
 
 
 def conv_s2d(xp, kernel, s):
-    """Stride-1 VALID conv on pre-padded input via s2d on both sides.
+    """Stride-1 VALID conv with few output channels, rewritten as ONE
+    stride-s conv with a phase-expanded kernel + depth-to-space.
 
-    xp: (B, H+K-1, W+K-1, C) (already padded), kernel: (K, K, C, Co).
-    Requires H % s == 0 and W % s == 0. Exact: out[si+d] = sum_u xp[si+d+u]k[u]
-    regrouped as an (s*s*C*nb^2)-contraction conv over s-blocks.
+    xp: (B, H+K-1, W+K-1, C) (already padded), kernel (K, K, C, Co),
+    H % s == 0, W % s == 0. Exact: output phase (dh, dw) of block (i, j) is
+      out[s*i+dh, s*j+dw] = sum_{u,v} xp[s*i+dh+u, s*j+dw+v] k[u, v]
+    so a (K+s-1)^2 kernel whose channel group (dh, dw) holds k shifted by
+    (dh, dw) computes all s*s phases in one stride-s conv — output channels
+    s*s*Co fill the MXU lanes, input stays in its natural NHWC layout.
+
+    NOTE on the rejected two-stage variant (space_to_depth + 2x2-block conv):
+    bit-identical and cheap in isolation, but composing transpose->conv in
+    one XLA graph costs 3-4x (the conv inherits/fuses the transposed layout:
+    9.5 ms vs 2.9 ms measured for the generator's final conv). The single
+    stride-s conv has (K+s-1)^2/K^2 zero-inflated FLOPs but no layout moves
+    and runs ~10x faster than the naive few-lane conv.
     """
     K, _, C, Co = kernel.shape
     B, Hp, Wp, _ = xp.shape
-    H, W = Hp - K + 1, Wp - K + 1
-    nb = -(-(K + s - 1) // s)
-    pad_h = s * (H // s + nb - 1) - Hp
-    pad_w = s * (W // s + nb - 1) - Wp
-    xp = jnp.pad(xp, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
-    xs = space_to_depth(xp, s)
-    # S[b, e, d, u] = 1 iff s*b + e == d + u
-    S = np.zeros((nb, s, s, K), xp.dtype)
-    for b in range(nb):
-        for e in range(s):
-            for d in range(s):
-                u = s * b + e - d
-                if 0 <= u < K:
-                    S[b, e, d, u] = 1
-    S = jnp.asarray(S)
-    Kp = jnp.einsum("aepu,bfqv,uvcd->abefcpqd", S, S,
-                    kernel.astype(xp.dtype))
-    Kp = Kp.reshape(nb, nb, s * s * C, s * s * Co)
-    y = _conv(xs, Kp)
+    # phase-expansion: S[up, d, u] = 1 iff up == d + u
+    Ks = K + s - 1
+    S = np.zeros((Ks, s, K), np.float32)
+    for d in range(s):
+        for u in range(K):
+            S[d + u, d, u] = 1
+    S = jnp.asarray(S, xp.dtype)
+    Kb = jnp.einsum("xpu,yqv,uvcd->xycpqd", S, S, kernel.astype(xp.dtype))
+    Kb = Kb.reshape(Ks, Ks, C, s * s * Co)
+    y = jax.lax.conv_general_dilated(
+        xp, Kb, (s, s), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
     return depth_to_space(y, s)
 
 
