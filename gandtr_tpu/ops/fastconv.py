@@ -217,9 +217,14 @@ def dispatch_conv(xp, kernel, stride):
     if H <= 0 or W <= 0:
         return None
     for s in (8, 4, 2):
-        if s * s * Co >= 128 and H % s == 0 and W % s == 0 and H // s >= 2 \
-                and W // s >= 2:
-            return conv_s2d(xp, kernel, s)
+        if s * s * Co < 128 or H % s or W % s or H // s < 2 or W // s < 2:
+            continue
+        # the phase-expanded kernel inflates FLOPs by ((K+s-1)/K)^2; it only
+        # wins while the naive conv's lane waste (128/Co) exceeds that —
+        # e.g. 1x1 single-channel convs would inflate 64x for an 8x win.
+        if Co * (K + s - 1) ** 2 > 128 * K ** 2:
+            continue
+        return conv_s2d(xp, kernel, s)
     return None
 
 
