@@ -46,6 +46,8 @@ class _RawConv(nn.Module):
     stride: int
     use_bias: bool
 
+    reflect_pad: int = 0  # fold a 'SAME' reflect pad into the fast path
+
     @nn.compact
     def __call__(self, x):
         K = self.kernel_size
@@ -57,8 +59,13 @@ class _RawConv(nn.Module):
         squeeze = x.ndim == 3
         if squeeze:
             x = x[None]
-        y = fastconv.dispatch_conv(x, kernel, self.stride) if x.ndim == 4 \
-            else None
+        y = None
+        if self.reflect_pad:
+            y = fastconv.dispatch_conv_reflect(x, kernel, self.reflect_pad)
+            if y is None:
+                x = pad2d(x, self.reflect_pad, "reflect")
+        if y is None and x.ndim == 4:
+            y = fastconv.dispatch_conv(x, kernel, self.stride)
         if y is None:
             y = jax.lax.conv_general_dilated(
                 x, kernel, (self.stride, self.stride), "VALID",
@@ -83,6 +90,10 @@ class Conv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # NOTE: folding a SAME-reflect pad into the fast path
+        # (fastconv.conv_reflect_few_out) wins ~2 ms on an isolated tail but
+        # is a wash in the full generator — XLA fuses the reflect lowering
+        # with its producer there (docs/PERF.md), so the plain pad stays.
         if self.padding:
             x = pad2d(x, self.padding, self.pad_mode)
         return _RawConv(self.features, self.kernel_size, self.stride,

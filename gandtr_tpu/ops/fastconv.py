@@ -195,6 +195,62 @@ def conv_transpose_d2s(x, kernel, stride, pad_lo, pad_hi):
     return depth_to_space(y, t)
 
 
+def conv_reflect_few_out(x, kernel, p, s):
+    """'SAME' reflect-padded stride-1 conv with few output channels, without
+    materializing the reflect pad.
+
+    XLA's reflect-pad lowering costs ~2 ms for the generator's 256x256x64
+    tail input while a zero pad folds into the conv for free. Only outputs
+    within p pixels of the border see the reflection, so: run the
+    phase-expanded conv on the zero-padded input (conv_s2d), then recompute
+    the four p-wide border bands exactly from small reflect-padded strips and
+    stitch with concatenation. Bit-identical to pad-reflect + VALID conv.
+
+    x: (B, H, W, C), kernel (K, K, C, Co) with K == 2p + 1; H, W % s == 0.
+    """
+    K = kernel.shape[0]
+    B, H, W, C = x.shape
+    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+    out = conv_s2d(xp, kernel, s)
+    kernel = kernel.astype(x.dtype)
+    # top/bottom bands: output rows [0, p) / [H-p, H), full width
+    top_in = jnp.pad(x[:, :2 * p], ((0, 0), (p, 0), (p, p), (0, 0)),
+                     mode="reflect")
+    bot_in = jnp.pad(x[:, -2 * p:], ((0, 0), (0, p), (p, p), (0, 0)),
+                     mode="reflect")
+    tb = _conv(jnp.concatenate([top_in, bot_in], axis=0), kernel)
+    top, bot = tb[:B], tb[B:]
+    # left/right bands: output rows [p, H-p), cols [0, p) / [W-p, W)
+    left_in = jnp.pad(x[:, :, :2 * p], ((0, 0), (0, 0), (p, 0), (0, 0)),
+                      mode="reflect")
+    right_in = jnp.pad(x[:, :, -2 * p:], ((0, 0), (0, 0), (0, p), (0, 0)),
+                       mode="reflect")
+    lr = _conv(jnp.concatenate([left_in, right_in], axis=0), kernel)
+    left, right = lr[:B], lr[B:]
+    mid = jnp.concatenate([left, out[:, p:H - p, p:W - p], right], axis=2)
+    return jnp.concatenate([top, mid, bot], axis=1)
+
+
+def dispatch_conv_reflect(x, kernel, p):
+    """Fast path for Conv(pad_mode='reflect', stride 1, K == 2p+1) with few
+    output channels; None -> pad + normal dispatch."""
+    if not ENABLED or x.ndim != 4:
+        return None
+    K, _, C, Co = kernel.shape
+    if K != 2 * p + 1 or Co >= 32:
+        return None
+    B, H, W, _ = x.shape
+    if H < 2 * p or W < 2 * p:
+        return None
+    for s in (8, 4, 2):
+        if s * s * Co < 128 or H % s or W % s or H // s < 2 or W // s < 2:
+            continue
+        if Co * (K + s - 1) ** 2 > 128 * K ** 2:
+            continue
+        return conv_reflect_few_out(x, kernel, p, s)
+    return None
+
+
 def dispatch_conv(xp, kernel, stride):
     """Pick a fast rewrite for a pre-padded VALID conv, or return None to use
     the naive lowering.

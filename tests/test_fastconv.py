@@ -134,3 +134,20 @@ class TestConvLayerIntegration:
         x = jnp.ones((8, 8, 2), jnp.float32)
         var = model.init(jax.random.PRNGKey(0), x)
         assert model.apply(var, x).shape == (6, 6, 4)
+
+
+def test_conv_reflect_few_out_matches_pad_conv():
+    """Fused reflect+conv (zero-pad conv + border bands) is exact. Not
+    dispatched by default (a wash in the full generator, see PERF.md) but
+    kept correct for isolated-tail use."""
+    rng = np.random.RandomState(7)
+    for H, K, p, s, C, Co in [(32, 7, 3, 8, 16, 3), (16, 3, 1, 8, 8, 2),
+                              (24, 5, 2, 4, 6, 8)]:
+        x = jnp.asarray(rng.randn(2, H, H, C).astype(np.float32))
+        k = jnp.asarray(rng.randn(K, K, C, Co).astype(np.float32))
+        ref = jax.lax.conv_general_dilated(
+            jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect"),
+            k, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        got = fc.conv_reflect_few_out(x, k, p, s)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                                   rtol=2e-5, atol=1e-4)
