@@ -193,3 +193,29 @@ class TestRanking:
         assert set(metrics) == {"map_easy", "map_medium", "map_hard"}
         for v in metrics.values():
             assert 0.0 <= v <= 1.0
+
+
+def test_gemmp_per_channel_p_matches_torch():
+    """GeMmp (cirtorch pooling.py GeMmp): per-channel learnable p."""
+    import torch
+    x = np.abs(np.random.RandomState(0).randn(2, 5, 6, 8)
+               .astype(np.float32)) + 0.1
+    p = np.linspace(2.5, 4.0, 8).astype(np.float32)
+    xt = torch.tensor(x.transpose(0, 3, 1, 2))
+    pt = torch.tensor(p).unsqueeze(-1).unsqueeze(-1)
+    ref = (torch.nn.functional.avg_pool2d(
+        xt.clamp(min=1e-6).pow(pt), (5, 6)).pow(1.0 / pt)
+    ).squeeze(-1).squeeze(-1).numpy()
+    got = np.asarray(pooling.gem(jnp.asarray(x), p=jnp.asarray(p)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_gemmp_retrieval_net_variant():
+    from gandtr_tpu.models.retrieval import GemRetrievalNet
+    model = GemRetrievalNet(architecture="vgg16", pooling="gemmp")
+    x = jnp.ones((1, 32, 32, 3), jnp.float32)
+    var = model.init(jax.random.PRNGKey(0), x)
+    assert var["params"]["gem_p"].shape == (512,)  # per-channel p
+    out = model.apply(var, x)
+    assert out.shape == (1, 512)
+    np.testing.assert_allclose(np.linalg.norm(out), 1.0, atol=1e-5)

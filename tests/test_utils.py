@@ -151,3 +151,91 @@ class TestCompileCache:
         assert cc.enable_from_env() == str(tmp_path / "x2")
         # restore: don't leave later jits writing into this tmp dir
         jax.config.update("jax_compilation_cache_dir", None)
+
+
+class TestApiPath:
+    """ApiPath JSON-POST driver round-trip against a live local server."""
+
+    @pytest.fixture()
+    def api_server(self, tmp_path):
+        import http.server
+        import threading
+        import json as _json
+        import re
+
+        root = tmp_path / "apiroot"
+        root.mkdir()
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _reply(self, obj):
+                body = _json.dumps(obj).encode()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_POST(self):
+                raw = self.rfile.read(int(self.headers["Content-Length"]))
+                ctype = self.headers.get("Content-Type", "")
+                if ctype.startswith("multipart/form-data"):
+                    boundary = ctype.split("boundary=")[1].encode()
+                    fields, content = {}, None
+                    for part in raw.split(b"--" + boundary)[1:-1]:
+                        head, _, payload = part.partition(b"\r\n\r\n")
+                        payload = payload.rstrip(b"\r\n")
+                        name = re.search(rb'name="([^"]+)"', head).group(1)
+                        if name == b"file":
+                            content = payload
+                        else:
+                            fields[name.decode()] = _json.loads(payload)
+                    p = root / fields["path"]
+                    p.parent.mkdir(parents=True, exist_ok=True)
+                    p.write_bytes(content)
+                    return self._reply({"ok": True})
+                data = _json.loads(raw)
+                cmd = data["command"]
+                if cmd == "exists":
+                    return self._reply(
+                        [(root / x).exists() for x in data["path"]])
+                if cmd == "makedirs":
+                    for x in data["path"]:
+                        (root / x).mkdir(parents=True, exist_ok=True)
+                    return self._reply({"ok": True})
+                if cmd == "rename":
+                    (root / data["src"]).rename(root / data["dst"])
+                    return self._reply({"ok": True})
+                if cmd == "read":
+                    body = (root / data["path"]).read_bytes()
+                    self.send_response(200)
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                return self._reply({"error": "unknown"})
+
+        srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        yield "127.0.0.1:%d" % srv.server_address[1]
+        srv.shutdown()
+
+    def test_round_trip(self, api_server):
+        from gandtr_tpu.utils.fs_api import ApiPath, fs_driver
+
+        url = "http://user:pw@%s/api?path=exp&tag=v1" % api_server
+        p = fs_driver(url)
+        assert isinstance(p, ApiPath)
+        assert p.path == "exp" and p.data == {"tag": "v1"}
+        assert p.auth == ("user", "pw")
+        assert p.makedirs("sub")["ok"]
+        child = p / "sub"
+        assert child.path == "exp/sub"
+        assert child.store("a.txt", b"hello api")["ok"]
+        assert p.exists("sub/a.txt") == [True]
+        assert p.exists("nope") == [False]
+        assert child.open("a.txt").read() == b"hello api"
+        assert p.rename("sub/a.txt", "sub/b.txt")["ok"]
+        assert p.exists("sub/b.txt", "sub/a.txt") == [True, False]
