@@ -239,3 +239,49 @@ class TestApiPath:
         assert child.open("a.txt").read() == b"hello api"
         assert p.rename("sub/a.txt", "sub/b.txt")["ok"]
         assert p.exists("sub/b.txt", "sub/a.txt") == [True, False]
+
+
+class TestPretrainedBootstrap:
+    def test_caffe_features_import_and_whitening_load(self, tmp_path):
+        """init_network(pretrained=True) fills the backbone from a caffe-style
+        FEATURES checkpoint (Sequential '0.weight' keys); load_whitening
+        returns {'m','P'} float64 (imageretrievalnet.py:237-261)."""
+        import torch
+        import jax.numpy as jnp
+        from gandtr_tpu.models.pretrained_urls import (
+            init_network, load_whitening, FEATURES, WHITENING)
+
+        assert set(FEATURES) == {"vgg16", "resnet50", "resnet101",
+                                 "resnet152"}
+        CFG = [64, 64, 'M', 128, 128, 'M', 256, 256, 256, 'M',
+               512, 512, 512, 'M', 512, 512, 512]
+        sd, idx, cin = {}, 0, 3
+        rng = np.random.RandomState(0)
+        for item in CFG:
+            if item == 'M':
+                idx += 1
+                continue
+            sd["%d.weight" % idx] = torch.tensor(
+                rng.randn(item, cin, 3, 3).astype(np.float32) * 0.02)
+            sd["%d.bias" % idx] = torch.tensor(
+                rng.randn(item).astype(np.float32) * 0.02)
+            cin = item
+            idx += 2
+        path = str(tmp_path / "feats.pth")
+        torch.save(sd, path)
+
+        model, var = init_network({
+            "architecture": "cirnet", "cir_architecture": "vgg16",
+            "pooling": "gem", "local_whitening": False, "whitening": False,
+            "pretrained": True, "features_path": path})
+        k = np.asarray(var["params"]["backbone"]["features_28"]["conv"]["kernel"])
+        np.testing.assert_array_equal(
+            k, sd["28.weight"].numpy().transpose(2, 3, 1, 0))
+        d = model.apply(var, jnp.ones((1, 64, 64, 3)))
+        assert d.shape == (1, 512) and np.isfinite(np.asarray(d)).all()
+
+        wpath = str(tmp_path / "w.pth")
+        torch.save({"m": np.zeros((512, 1)), "P": np.eye(512)}, wpath)
+        w = load_whitening(wpath)
+        assert w["m"].shape == (512, 1) and w["P"].shape == (512, 512)
+        assert "vgg16-gem" in WHITENING
