@@ -23,6 +23,16 @@ def imresize(img, imsize):
     return img
 
 
+def generator_safe_bucket(image_size):
+    """Padded-bucket side for tuple batches: rounded UP to a multiple of 4 so
+    the 2x-down/2x-up CycleGAN generator maps the bucket onto itself. The
+    torch reference feeds odd sizes (362) and simply embeds the generator's
+    enlarged output (364) per image; under SPMD the augment/original select
+    (`jnp.where`) needs one static shape, so the bucket itself is made
+    generator-safe and the validity mask covers the pad."""
+    return -(-int(image_size) // 4) * 4
+
+
 class TupleEpochDataset:
     """Mined tuples as padded square batches (see finetune_build docstring)."""
 
@@ -34,6 +44,7 @@ class TupleEpochDataset:
         self.images = images
         self.transform = transform
         self.image_size = int(image_size)
+        self.pad_size = generator_safe_bucket(image_size)
         self.miner = miner
         self.augment_ratio = augment_ratio
         self.augment_label = augment_label
@@ -56,7 +67,7 @@ class TupleEpochDataset:
         img = imresize(img, self.image_size)
         arr = self.transform(img)
         H, W = arr.shape[:2]
-        hw = self.image_size
+        hw = self.pad_size
         out = np.zeros((hw, hw, arr.shape[2]), np.float32)
         out[:H, :W] = arr[:hw, :hw]
         mask = np.zeros((hw, hw), np.float32)

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from gandtr_tpu.data.datasets import Loader, imread
-from gandtr_tpu.data.cir_datasets import TupleEpochDataset
+from gandtr_tpu.data.cir_datasets import TupleEpochDataset, generator_safe_bucket
 from gandtr_tpu.data.mining import TuplesMiner, cid2filename
 from gandtr_tpu.data.transforms import initialize_transforms
 from gandtr_tpu.eval.retrieval import imresize
@@ -75,7 +75,8 @@ def build_finetune_experiment(params, directory=None, db=None, images=None):
     rng = jax.random.PRNGKey(int(train_cfg.get("seed", 0)))
     image_size = int(data_cfg.get("train", {}).get("dataset", {})
                      .get("image_size", 362))
-    x0 = jnp.zeros((2, image_size, image_size, 3), jnp.float32)
+    bucket = generator_safe_bucket(image_size)
+    x0 = jnp.zeros((2, bucket, bucket, 3), jnp.float32)
     variables = {
         "augment": dict(augment.init(rng, x0, train=False)),
         "embed": dict(embed.init(rng, x0)),
@@ -257,14 +258,15 @@ def _make_extract_fn(models, state_ref, images, transform, image_size):
         for i0 in range(0, len(idxs), batch):
             chunk = idxs[i0:i0 + batch]
             imgs, masks, pmask = [], [], []
+            bucket = generator_safe_bucket(image_size)
             for idx in chunk:
                 img = imresize(imread(images[idx]), image_size)
                 arr = transform(img)
                 H, W = arr.shape[:2]
-                out = np.zeros((image_size, image_size, 3), np.float32)
-                out[:H, :W] = arr[:image_size, :image_size]
-                m = np.zeros((image_size, image_size), np.float32)
-                m[:min(H, image_size), :min(W, image_size)] = 1.0
+                out = np.zeros((bucket, bucket, 3), np.float32)
+                out[:H, :W] = arr[:bucket, :bucket]
+                m = np.zeros((bucket, bucket), np.float32)
+                m[:min(H, bucket), :min(W, bucket)] = 1.0
                 imgs.append(out)
                 masks.append(m)
                 pmask.append(gate and cir_hash_passthrough(

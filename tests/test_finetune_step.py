@@ -103,3 +103,38 @@ class TestFinetuneStep:
         for a, b in zip(leaves_a, leaves_b):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-3, atol=2e-4)
+
+
+class TestGeneratorSafeBucket:
+    def test_bucket_rounds_to_multiple_of_4(self):
+        from gandtr_tpu.data.cir_datasets import generator_safe_bucket
+        assert generator_safe_bucket(362) == 364  # the published finetune size
+        assert generator_safe_bucket(32) == 32
+        assert generator_safe_bucket(10) == 12
+
+    def test_step_runs_at_non_divisible_image_size(self):
+        """image_size 30 -> bucket 32: the 2x-down/up generator output matches
+        the bucket so the augment/original select works (362-size regression;
+        torch embeds the enlarged 364 output per-image instead)."""
+        from gandtr_tpu.data.cir_datasets import generator_safe_bucket
+        models = build_models()
+        bucket = generator_safe_bucket(30)
+        assert bucket == 32
+        rng = jax.random.PRNGKey(0)
+        T, S = 1, 3
+        imgs = jax.random.uniform(rng, (T, S, bucket, bucket, 3)) * 2 - 1
+        masks = jnp.zeros((T, S, bucket, bucket)).at[:, :, :30, :30].set(1.0)
+        labels = jnp.asarray([[-1, 1, 0]], jnp.float32)
+        pass_mask = jnp.asarray([[True, False, False]])
+        variables = {
+            "augment": dict(models["augment"].init(rng, imgs[0], train=False)),
+            "embed": dict(models["embed"].init(rng, imgs[0])),
+        }
+        tx, _ = initialize_optimizer({"algorithm": "adam", "lr": 5e-5,
+                                      "beta1": 0.9, "beta2": 0.999,
+                                      "weight_decay": 0.0})
+        state = supervised.make_finetune_state(variables, tx)
+        step = jax.jit(supervised.build_finetune_step(models, tx,
+                                                      fakebatch=False))
+        _, metrics = step(state, imgs, masks, labels, pass_mask)
+        assert np.isfinite(float(metrics["total"]))
