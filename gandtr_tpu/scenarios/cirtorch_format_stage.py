@@ -100,7 +100,10 @@ def convert_contained_net(params, data):
     state_dict = {}
 
     def emit(path, leaf):
-        key = ti.retrieval_key_map(path) if True else None
+        try:
+            key = ti.retrieval_key_map(path)
+        except KeyError:
+            return
         if key is None:
             return
         v = np.asarray(leaf)

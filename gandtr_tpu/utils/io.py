@@ -66,7 +66,13 @@ def load_torch_checkpoint(path_or_url):
     import numpy as np
 
     local = fetch(path_or_url)
-    obj = torch.load(local, map_location="cpu", weights_only=False)
+    try:
+        obj = torch.load(local, map_location="cpu", weights_only=False)
+    except Exception:
+        # plain-pickle checkpoints (e.g. convert_contained_net output)
+        import pickle
+        with open(local, "rb") as f:
+            obj = pickle.load(f)
 
     def conv(o):
         if isinstance(o, torch.Tensor):

@@ -120,3 +120,25 @@ def test_tiny_gan_training_with_resume(image_dir, tmp_path):
     # continue to epoch 4
     final2 = training2.run(state2, start_epoch=start)
     assert len(events2.history) == 4  # 2 replayed + epochs 3, 4
+
+
+class TestHtmlReport:
+    def test_report_renders_curves_and_thumbs(self, tmp_path):
+        from gandtr_tpu.learning.html_report import HtmlReport
+        from PIL import Image as _Image
+        import numpy as _np
+
+        blobs = tmp_path / "epochs" / "blobs"
+        blobs.mkdir(parents=True)
+        _Image.fromarray(_np.zeros((8, 8, 3), _np.uint8)).save(
+            blobs / "sample_e1.jpg")
+        rep = HtmlReport(str(tmp_path))
+        history = [{"metrics": {"train/learning/total": 1.0 - 0.1 * i,
+                                "val/score": 0.5 + 0.05 * i}}
+                   for i in range(4)]
+        rep.close_epoch(4, history=history)
+        doc = (tmp_path / "epochs" / "htmlreport" / "index.html").read_text()
+        assert "train/learning/total" in doc and "val/score" in doc
+        assert "<svg" in doc and "polyline" in doc  # curves rendered
+        assert "sample_e1.jpg" in doc               # thumbnail grid
+        assert "epoch 4" in doc
