@@ -47,7 +47,14 @@ def _load_pretrained_into(variables, model_cfg, name):
         state = load_torch_checkpoint(url)
         if "net" in state:
             state = state["net"]["model_state"]
-        key_map = ti.hed_key_map if model_cfg.get("architecture", "").startswith("hed") else None
+        arch = model_cfg.get("architecture", "")
+        if arch.startswith("hed"):
+            key_map = ti.hed_key_map
+        elif arch == "rcf":
+            from gandtr_tpu.models.rcf import rcf_key_map
+            key_map = rcf_key_map
+        else:
+            key_map = None
         return ti.convert_torch_state(variables, state, key_map=key_map,
                                       strict=False)
     except Exception as exc:  # zero-egress envs: keep random init

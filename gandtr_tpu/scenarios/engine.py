@@ -98,7 +98,11 @@ def load_nested_templates(params, root_path):
     if not isinstance(params, dict):
         return params
 
-    if "__template__" in params:
+    # Iterate: a template file may itself start with __template__ (a chain
+    # like rcfgan.yml -> hedgan.yml -> parameters/train_hedgan.yml ->
+    # train_hedngan.yml). The reference expands only one level (utils.py:45-56,
+    # its parameter files are standalone); ours is a strict superset.
+    while "__template__" in params:
         for key in list(params.keys()):
             if isinstance(key, str) and "." in key:
                 deep_set(params, key.split("."), params.pop(key))

@@ -83,9 +83,20 @@ def build_finetune_experiment(params, directory=None, db=None, images=None):
     }
     if augment_path:
         try:
-            from gandtr_tpu.learning.checkpoints import load_network_file
-            variables["augment"] = load_network_file(resolve_path(augment_path),
-                                                     variables["augment"])
+            if str(augment_path).endswith(".pth"):
+                # reference-published torch generator checkpoint (URL or file),
+                # e.g. hedngan_generator_X.pth in train/hedngan.yml's finetune
+                from gandtr_tpu.utils.io import load_torch_checkpoint
+                from gandtr_tpu.utils import torch_import as ti
+                state = load_torch_checkpoint(augment_path)
+                if "net" in state:
+                    state = state["net"]["model_state"]
+                variables["augment"] = ti.convert_torch_state(
+                    variables["augment"], state, strict=False)
+            else:
+                from gandtr_tpu.learning.checkpoints import load_network_file
+                variables["augment"] = load_network_file(
+                    resolve_path(augment_path), variables["augment"])
         except Exception as exc:
             warnings.warn("augment checkpoint '%s' not loaded: %s"
                           % (augment_path, exc))

@@ -75,6 +75,9 @@ FUNCTIONS = {
     "gandtr_tpu.stages.multistep.infer_and_learn_whitening": lambda p, d: __import__(
         "gandtr_tpu.scenarios.multistep_stage", fromlist=["x"]
     ).infer_and_learn_whitening(p, d),
+    "gandtr_tpu.utils.download.rsfm120k": _download("rsfm120k"),
+    "gandtr_tpu.utils.download.roxf5k_rpar6k_247tokyo1k":
+        _download("roxf5k_rpar6k_247tokyo1k"),
     "cirtorch.utils.download.download_train": _download("rsfm120k"),
     "cirtorch.utils.download.download_test": _download("roxf5k_rpar6k_247tokyo1k"),
     "mdir.utils.download.rsfm120k": _download("rsfm120k"),
@@ -116,9 +119,11 @@ def run_target(scenario, target, scenario_name, stdin_data=None):
         data = ()
         if function in NEEDS_DATA and stdin_data is not None:
             data = (stdin_data,)
-        out = FUNCTIONS[function](params, data)
+        out = FUNCTIONS[function](copy.deepcopy(params), data)
         metadata = out[0] if out else {}
-        context[step] = {"_output_metadata": metadata}
+        # later steps may reference ${<step>.parameters.<key>} (reference
+        # style, perform_scenario.py:116-119) or ${<step>.<key>} (raw config)
+        context[step] = {"_output_metadata": metadata, "parameters": params}
         results[step] = metadata
     return results
 
