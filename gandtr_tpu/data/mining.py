@@ -13,8 +13,9 @@ import numpy as np
 
 def cid2filename(cid, prefix=""):
     """retrieval-SfM cid -> nested path (datahelpers.py:18-37 layout, also used
-    by multistep.py:26)."""
-    return "/".join([prefix, cid[-2:], cid[-4:-2], cid[-6:-4], cid]).lstrip("/")
+    by multistep.py:26). An absolute prefix stays absolute."""
+    path = "/".join([prefix, cid[-2:], cid[-4:-2], cid[-6:-4], cid])
+    return path if prefix else path.lstrip("/")
 
 
 def search_hard_negatives(qvecs, poolvecs, qidxs, idxs2images, clusters, nnum,

@@ -14,12 +14,48 @@ import flax.linen as nn
 
 from gandtr_tpu.models.layers import (
     Conv, ConvTranspose, make_norm, pad2d, BlurDownsample, BlurUpsample)
+from gandtr_tpu.ops import resblock_pallas
+
+
+class _ConvParams(nn.Module):
+    """Declares the same conv/{kernel,bias} params as Conv->_RawConv (same
+    path, shapes, initializers — so the fused-block path below shares one
+    parameter tree with the unfused path) and returns them as arrays."""
+    features: int
+    kernel_size: int
+    in_ch: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        K = self.kernel_size
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (K, K, self.in_ch, self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        return kernel, bias
+
+
+class _BlockConvParams(nn.Module):
+    features: int
+    kernel_size: int
+    in_ch: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        return _ConvParams(self.features, self.kernel_size, self.in_ch,
+                           self.use_bias, name="conv")()
 
 
 class ResnetBlock(nn.Module):
     """Residual block: pad-conv-norm-relu-[dropout]-pad-conv-norm + skip.
 
     Submodule names track the torch conv_block Sequential indices.
+
+    At bf16 inference on TPU the whole block dispatches to the fused Pallas
+    kernel (ops/resblock_pallas.py): one VMEM-resident pass instead of XLA's
+    per-op HBM round-trips. Same parameter tree either way.
     """
     dim: int
     padding_type: str = "reflect"
@@ -29,6 +65,17 @@ class ResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=True):
+        if resblock_pallas.eligible(
+                x.shape, x.dtype, train=train, use_dropout=self.use_dropout,
+                padding_type=self.padding_type, norm_type=self.norm_type,
+                use_bias=self.use_bias):
+            idx = 1  # reflect padding => torch Sequential indices 1 and 5
+            k1, b1 = _BlockConvParams(self.dim, 3, x.shape[-1],
+                                      name=f"conv_block_{idx}")()
+            k2, b2 = _BlockConvParams(self.dim, 3, self.dim,
+                                      name=f"conv_block_{idx + 4}")()
+            return resblock_pallas.fused_resblock(x, k1, b1, k2, b2)
+
         norm_ctor, norm_params, _ = make_norm(self.norm_type)
         p = 1 if self.padding_type == "zero" else 0
         idx = 0 if self.padding_type == "zero" else 1

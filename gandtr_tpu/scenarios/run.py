@@ -113,17 +113,19 @@ def run_target(scenario, target, scenario_name, stdin_data=None):
     context = {"SCENARIO_NAME": scenario_name}
     results = {}
     for step, function, section in steps:
-        params = resolve_variables(copy.deepcopy(section), {**scenario[target],
-                                                            **context})
+        # reference semantics (perform_scenario.py:117-130): the step's own
+        # context entry holds its parameters dict, which resolve_variables
+        # mutates in place — so later ${<step>.parameters.<key>} references
+        # see the RESOLVED values of already-run steps
+        context[step] = {"function": function, "parameters": section}
+        params = resolve_variables(section, context)
         params.pop("__doc__", None)
         data = ()
         if function in NEEDS_DATA and stdin_data is not None:
             data = (stdin_data,)
         out = FUNCTIONS[function](copy.deepcopy(params), data)
         metadata = out[0] if out else {}
-        # later steps may reference ${<step>.parameters.<key>} (reference
-        # style, perform_scenario.py:116-119) or ${<step>.<key>} (raw config)
-        context[step] = {"_output_metadata": metadata, "parameters": params}
+        context[step]["_output_metadata"] = metadata
         results[step] = metadata
     return results
 
