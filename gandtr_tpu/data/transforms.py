@@ -529,3 +529,54 @@ def initialize_transforms(augmentations, mean_std):
         else:
             trans.append(TRANSFORMS[tname](*args))
     return Compose(trans)
+
+
+def split_device_transform(transforms_str, mean_std):
+    """Split the standard descriptor preprocessing pipeline into a host part
+    and an in-graph device part.
+
+    For `pil2np [| apply_clahe:...] | totensor | normalize`, returns
+    (host_fn, device_fn): `host_fn(PIL) -> uint8 HWC array` (decode only —
+    4x less host->device transfer than the normalized f32 image), and
+    `device_fn((N?, H, W, 3) f32 in [0,1]) -> normalized` applying the
+    bit-exact CLAHE + normalization inside the caller's jit. Descriptors are
+    unchanged vs the host pipeline (the CLAHE ops are cv2-bit-exact on
+    device; /255 and (x-mean)/std are the same IEEE f32 arithmetic).
+
+    Returns (None, None) when the pipeline contains anything else.
+    """
+    import jax
+
+    parts = [x.strip() for x in str(transforms_str).split("|") if x.strip()]
+    if len(parts) < 3 or parts[0] != "pil2np" or parts[-1] != "normalize":
+        return None, None
+    mid = parts[1:-1]
+    if not mid or mid[-1] != "totensor":
+        return None, None
+    mid = mid[:-1]
+    clahe_args = None
+    if len(mid) == 1 and mid[0].split(":")[0] == "apply_clahe":
+        bits = mid[0].split(":")[1:]
+        clahe_args = (float(bits[0]) if bits else 4.0,
+                      int(bits[1]) if len(bits) > 1 else 8,
+                      bits[2] if len(bits) > 2 else "lab")
+    elif mid:
+        return None, None
+
+    mean = np.asarray(mean_std[0], np.float32)
+    std = np.asarray(mean_std[1], np.float32)
+
+    def host_fn(pic):
+        if isinstance(pic, Image.Image):
+            return np.asarray(pic.convert("RGB"))
+        return np.asarray(pic)
+
+    def device_fn(x):
+        if clahe_args is not None:
+            cl, gs, cspace = clahe_args
+            one = lambda im: clahe_ops.image_clahe(im, cl, gs, cspace)
+            # lax.map (scan), not vmap: the TPU CLAHE path is a Pallas kernel
+            x = jax.lax.map(one, x) if x.ndim == 4 else one(x)
+        return (x - jnp.asarray(mean)) / jnp.asarray(std)
+
+    return host_fn, device_fn

@@ -80,20 +80,31 @@ class ShapeCachedExtractor:
             self._cache[shape] = jax.jit(self.forward)
         return self._cache[shape]
 
+    def group_key(self, img_np):
+        """Shape key under which images share one compiled graph (the padded
+        bucket shape when bucketing, the exact shape otherwise)."""
+        H, W = img_np.shape[:2]
+        if self.shape_bucket:
+            b = self.shape_bucket
+            return (-(-H // b) * b, -(-W // b) * b) + img_np.shape[2:]
+        return img_np.shape
+
+    def _pad_and_mask(self, img_np):
+        # edge-pad (not zero): limits feature contamination at the valid
+        # boundary; masked GeM excludes the padded region itself
+        Hp, Wp = self.group_key(img_np)[:2]
+        H, W = img_np.shape[:2]
+        padded = np.pad(img_np, ((0, Hp - H), (0, Wp - W), (0, 0)),
+                        mode="edge")
+        mask = np.zeros((Hp, Wp), np.float32)
+        mask[:H, :W] = 1.0
+        return padded, mask
+
     def __call__(self, img_np):
         """img_np: (H, W, C) preprocessed image -> (D,) descriptor."""
         if self.shape_bucket:
-            b = self.shape_bucket
-            H, W = img_np.shape[:2]
-            Hp = -(-H // b) * b
-            Wp = -(-W // b) * b
-            # edge-pad (not zero): limits feature contamination at the valid
-            # boundary; masked GeM excludes the padded region itself
-            padded = np.pad(img_np, ((0, Hp - H), (0, Wp - W), (0, 0)),
-                            mode="edge")
-            mask = np.zeros((Hp, Wp), np.float32)
-            mask[:H, :W] = 1.0
-            fn = self._jit_for((Hp, Wp, True))
+            padded, mask = self._pad_and_mask(img_np)
+            fn = self._jit_for(padded.shape[:2] + (True,))
             out = fn(self.variables, jnp.asarray(padded)[None],
                      jnp.asarray(mask)[None])
         else:
@@ -102,12 +113,19 @@ class ShapeCachedExtractor:
         return np.asarray(out)[0]
 
     def batch(self, imgs_np):
-        """Batched extraction of same-shaped images: (B, H, W, C) -> list of
-        (D,) descriptors. One compiled graph per (shape, batch) pair."""
+        """Batched extraction of images sharing one `group_key`: list/array of
+        (H, W, C) -> list of (D,) descriptors. One compiled graph per
+        (shape, batch) pair."""
         if self.shape_bucket:
-            return [self(im) for im in imgs_np]
-        fn = self._jit_for(imgs_np.shape[:3])
-        out = fn(self.variables, jnp.asarray(imgs_np))
+            pm = [self._pad_and_mask(im) for im in imgs_np]
+            padded = np.stack([p for p, _ in pm])
+            masks = np.stack([m for _, m in pm])
+            fn = self._jit_for(padded.shape[1:3] + (True,))
+            out = fn(self.variables, jnp.asarray(padded), jnp.asarray(masks))
+        else:
+            imgs_np = np.stack(imgs_np)
+            fn = self._jit_for(imgs_np.shape[:3])
+            out = fn(self.variables, jnp.asarray(imgs_np))
         return list(np.asarray(out))
 
 
@@ -124,15 +142,39 @@ def _load_preprocessed(path, image_size, transform, bbx=None):
     return transform(img) if transform else np.asarray(img, np.float32) / 255.0
 
 
+def _prefetched(n, loadfn, workers=2, depth=8):
+    """Yield (i, loadfn(i)) in order while a small thread pool preloads up to
+    `depth` items ahead — overlaps host decode/CLAHE with device compute
+    without holding more than `depth` images in memory."""
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    if n <= 1 or depth <= 1:
+        for i in range(n):
+            yield i, loadfn(i)
+        return
+    ex = ThreadPoolExecutor(workers)
+    try:
+        dq = deque(ex.submit(loadfn, i) for i in range(min(depth, n)))
+        for i in range(n):
+            arr = dq.popleft().result()
+            if i + depth < n:
+                dq.append(ex.submit(loadfn, i + depth))
+            yield i, arr
+    finally:
+        ex.shutdown(wait=False, cancel_futures=True)
+
+
 def extract_vectors(extractor, image_paths, image_size, transform, bbxs=None,
-                    print_freq=500, batch_size=1):
+                    print_freq=500, batch_size=1, prefetch=8):
     """Extract descriptors for a list of images -> (D, N) column matrix
     (imageretrievalnet.py:312-339 semantics: bbx crop relative resize,
     longest-side resize, transform, single-image forward).
 
-    With batch_size > 1, same-shaped images are buffered and forwarded in
-    batches (one compiled graph per unique shape either way), bounding both
-    recompiles and host memory.
+    With batch_size > 1, images sharing a compiled-graph shape (exact shape,
+    or padded bucket shape when the extractor buckets) are buffered and
+    forwarded together, bounding both recompiles and host memory. Host
+    preprocessing runs `prefetch` images ahead on a thread pool.
     """
     n = len(image_paths)
     vecs = [None] * n
@@ -144,7 +186,7 @@ def extract_vectors(extractor, image_paths, image_size, transform, bbxs=None,
         if len(arrs) == 1:
             outs = [extractor(arrs[0])]
         else:
-            outs = extractor.batch(np.stack(arrs)) if hasattr(extractor, "batch") \
+            outs = extractor.batch(list(arrs)) if hasattr(extractor, "batch") \
                 else [extractor(a) for a in arrs]
         for i, v in zip(idxs, outs):
             vecs[i] = np.asarray(v)
@@ -152,11 +194,14 @@ def extract_vectors(extractor, image_paths, image_size, transform, bbxs=None,
         if done % print_freq < len(batch) or done == n:
             print("\r>>>> {}/{} done...".format(done, n), end="")
 
+    def load(i):
+        return _load_preprocessed(image_paths[i], image_size, transform,
+                                  bbxs[i] if bbxs is not None else None)
+
+    group_key = getattr(extractor, "group_key", lambda a: a.shape)
     buffers = {}
-    for i, path in enumerate(image_paths):
-        arr = _load_preprocessed(path, image_size, transform,
-                                 bbxs[i] if bbxs is not None else None)
-        key = arr.shape
+    for i, arr in _prefetched(n, load, depth=max(prefetch, batch_size)):
+        key = group_key(arr)
         buffers.setdefault(key, []).append((i, arr))
         if len(buffers[key]) >= batch_size:
             flush(buffers.pop(key))
@@ -166,7 +211,7 @@ def extract_vectors(extractor, image_paths, image_size, transform, bbxs=None,
     return np.stack(vecs, axis=1)  # (D, N)
 
 
-def evaluate_dataset(extractor, cfg, image_size, transform):
+def evaluate_dataset(extractor, cfg, image_size, transform, batch_size=1):
     """Full retrieval eval of one dataset (cirscore.py:51-83): extract db +
     query descriptors, rank on device, compute protocol mAPs."""
     db_paths = [im_fname(cfg, i) for i in range(cfg["n"])]
@@ -177,8 +222,10 @@ def evaluate_dataset(extractor, cfg, image_size, transform):
     except (KeyError, TypeError):
         bbxs = None
 
-    vecs = extract_vectors(extractor, db_paths, image_size, transform)
-    qvecs = extract_vectors(extractor, q_paths, image_size, transform, bbxs=bbxs)
+    vecs = extract_vectors(extractor, db_paths, image_size, transform,
+                           batch_size=batch_size)
+    qvecs = extract_vectors(extractor, q_paths, image_size, transform,
+                            bbxs=bbxs, batch_size=batch_size)
 
     ranks = np.asarray(rank_descriptors(vecs.astype(np.float32),
                                         qvecs.astype(np.float32)))

@@ -45,9 +45,16 @@ class WrappedNet:
             variables["batch_stats"])
 
     def apply(self, variables, x, train=False, ctx=None, mutable=False,
-              rngs=None, **kwargs):
+              rngs=None, model_positions=None, **kwargs):
         """Apply with the stage-appropriate wrapper chain staged around the
-        module (network.py:133 dispatch: train wrappers when training)."""
+        module (network.py:133 dispatch: train wrappers when training).
+
+        `model_positions` (static tuple of batch indices) restricts the
+        *module* to those rows, passing the others through unchanged — the
+        wrappers still see the full batch. Used when a pass-through gate can
+        only ever select those rows (e.g. the finetune augment generator and
+        the 'anc'-only ratio gate): the generator's FLOPs drop to 1/S of the
+        tuple without changing any gated result."""
         wrappers = self.wrappers_train if train else self.wrappers_eval
         call_kw = dict(kwargs)
         if self._accepts_train():
@@ -64,7 +71,7 @@ class WrappedNet:
 
         updates = {}
 
-        def forward(xx):
+        def run_module(xx):
             nonlocal updates
             if mutable:
                 out, upd = self.module.apply(variables, xx, mutable=mutable,
@@ -72,6 +79,18 @@ class WrappedNet:
                 updates = upd
                 return out
             return self.module.apply(variables, xx, rngs=rngs, **call_kw)
+
+        def forward(xx):
+            if model_positions is None:
+                return run_module(xx)
+            sel = jnp.concatenate([xx[p:p + 1] for p in model_positions],
+                                  axis=0)
+            out = run_module(sel)
+            y = xx
+            for j, p in enumerate(model_positions):
+                y = jax.lax.dynamic_update_slice_in_dim(
+                    y, out[j:j + 1].astype(y.dtype), p, axis=0)
+            return y
 
         y = apply_wrapped(wrappers, forward, x, ctx)
         if mutable:

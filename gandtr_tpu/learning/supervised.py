@@ -41,7 +41,7 @@ def make_finetune_state(variables, optimizer, seed=0):
 
 
 def build_finetune_step(models, optimizer, margin=0.75, fakebatch=True,
-                        criterion=None):
+                        criterion=None, augment_positions=None):
     """models: {'embed': WrappedNet(GemRetrievalNet), 'augment':
     WrappedNet(generator, frozen, wrappers=[meanstd_post, clahepost,
     cir_ratio_pass_through])}.
@@ -51,6 +51,13 @@ def build_finetune_step(models, optimizer, margin=0.75, fakebatch=True,
       masks:     (T, S, H, W) validity masks (padded-bucket mode) or None
       labels:    (T, S) float: -1 query, 1 positive, 0 negative
       pass_mask: (T, S) bool: GAN-augmentation gate per image
+
+    `augment_positions` (static, e.g. (0,)) restricts the generator module to
+    the tuple positions whose label the ratio gate can ever match (the anchor
+    under the published 'anc' gate): identical results — `pass_mask` is
+    False elsewhere by construction (cir_datasets.py tuple layout) — at 1/S
+    of the generator FLOPs. Wrappers (CLAHE, meanstd) still see every image,
+    matching the reference postprocess chain (wrapper.py:120-146,325-348).
     """
     embed = models["embed"]
     augment = models.get("augment")
@@ -67,7 +74,8 @@ def build_finetune_step(models, optimizer, margin=0.75, fakebatch=True,
         x = imgs
         if augment is not None:
             ctx = {"pass_mask": pmask}
-            x = augment.apply(variables["augment"], x, train=True, ctx=ctx)
+            x = augment.apply(variables["augment"], x, train=True, ctx=ctx,
+                              model_positions=augment_positions)
             x = jax.lax.stop_gradient(x)  # frozen generator branch
         evar = {**variables["embed"], "params": embed_params}
         descs = embed.apply(evar, x, train=True, mask=msk)  # (S, D)

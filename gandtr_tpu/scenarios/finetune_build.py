@@ -114,10 +114,20 @@ def build_finetune_experiment(params, directory=None, db=None, images=None):
 
     state = supervised.make_finetune_state(variables, optimizer,
                                            seed=int(train_cfg.get("seed", 0)))
-    step = jax.jit(supervised.build_finetune_step(models, optimizer,
-                                                  margin=margin,
-                                                  fakebatch=fakebatch,
-                                                  criterion=criterion))
+    # the generator only ever runs on positions the ratio gate can select:
+    # tuple layout is [anc, pos, neg*] (cir_datasets.py), so a 'anc' gate
+    # restricts the generator to position 0 (1/S of its FLOPs, same result)
+    import re as _re
+    _, gate_label = _parse_ratio(augment_cfg.get("runtime", {}).get("wrappers", ""))
+    neg_num = int(data_cfg.get("train", {}).get("dataset", {})
+                  .get("neg_num", 5))
+    layout = ["anc", "pos"] + ["neg"] * neg_num
+    positions = tuple(i for i, l in enumerate(layout)
+                      if _re.match(gate_label, l))
+    augment_positions = positions if 0 < len(positions) < len(layout) else None
+    step = jax.jit(supervised.build_finetune_step(
+        models, optimizer, margin=margin, fakebatch=fakebatch,
+        criterion=criterion, augment_positions=augment_positions))
 
     # --- mining + dataset ---
     ds_cfg = dict(data_cfg.get("train", {}).get("dataset", {}))

@@ -113,3 +113,80 @@ def test_masked_bucket_extraction_close_to_exact(synth_dataset):
     v_bucket = R.extract_vectors(bucketed, [big], None, tf)
     cos = float((v_exact[:, 0] * v_bucket[:, 0]).sum())
     assert cos > 0.97, cos
+
+def test_bucketed_batch_equals_single(synth_dataset):
+    """Bucketed extraction gives identical descriptors batched vs per-image."""
+    import jax, jax.numpy as jnp
+    from gandtr_tpu.models import initialize_model
+    from gandtr_tpu.data.transforms import initialize_transforms
+
+    model = initialize_model({"architecture": "cirnet",
+                              "cir_architecture": "vgg16", "pooling": "gem",
+                              "local_whitening": False, "whitening": False})
+    var = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    tf = initialize_transforms("pil2np | totensor | normalize",
+                               [[0.485, 0.456, 0.406], [0.229, 0.224, 0.225]])
+    ex = R.ShapeCachedExtractor(
+        lambda v, x, m: model.apply(v, x, mask=m), var, shape_bucket=16)
+    cfg = R.configdataset("roxford5k", synth_dataset)
+    paths = [R.im_fname(cfg, i) for i in range(4)]
+    # different exact shapes mapping to one bucket share a graph + batch
+    v1 = R.extract_vectors(ex, paths, 40, tf, batch_size=1)
+    v4 = R.extract_vectors(ex, paths, 40, tf, batch_size=4)
+    np.testing.assert_allclose(v1, v4, atol=2e-6)
+
+
+def test_validate_stage_bucketed(synth_dataset):
+    """validate stage with shape_bucket + batch_size: same ranking quality
+    (multiscale wrappers with the mask threaded through each scale)."""
+    from gandtr_tpu.scenarios.validate_stage import validate
+
+    params = {
+        "network": {
+            "type": "SingleNetwork",
+            "model": {"architecture": "cirnet", "cir_architecture": "vgg16",
+                      "pooling": "gem", "local_whitening": False,
+                      "whitening": False},
+            "runtime": {"wrappers": {"eval": {"1_cirmultiscale": {"scales": True}}}},
+        },
+        "data": {"image_size": 64, "shape_bucket": 32,
+                 "loader": {"batch_size": 4},
+                 "transforms": "pil2np | apply_clahe:1.0 | totensor | normalize",
+                 "mean_std": [[0.485, 0.456, 0.406], [0.229, 0.224, 0.225]]},
+        "validation": {"dir_main": synth_dataset, "datasets": ["roxford5k"]},
+    }
+    (result,) = validate(params, ())
+    metadata = result["metadata"]["validation"]
+    medium = [v for k, v in metadata.items() if "map_medium" in k][0]
+    assert medium > 0.6, medium
+
+
+def test_device_preprocess_matches_host(synth_dataset):
+    """Fused device preprocessing (uint8 upload + in-graph CLAHE/normalize)
+    reproduces the host-transform descriptors and mAP."""
+    from gandtr_tpu.scenarios.validate_stage import validate
+
+    def run(device_preprocess):
+        params = {
+            "network": {
+                "type": "SingleNetwork",
+                "model": {"architecture": "cirnet", "cir_architecture": "vgg16",
+                          "pooling": "gem", "local_whitening": False,
+                          "whitening": False},
+                "runtime": {"wrappers": {"eval": {
+                    "1_cirmultiscale": {"scales": True}}}},
+            },
+            "data": {"image_size": 64,
+                     "device_preprocess": device_preprocess,
+                     "transforms": "pil2np | apply_clahe:1.0 | totensor | normalize",
+                     "mean_std": [[0.485, 0.456, 0.406], [0.229, 0.224, 0.225]]},
+            "validation": {"dir_main": synth_dataset, "datasets": ["roxford5k"]},
+        }
+        (result,) = validate(params, ())
+        return result["metadata"]["validation"]
+
+    m_host = run(False)
+    m_dev = run(True)
+    for k in m_host:
+        if "map" in k:
+            np.testing.assert_allclose(m_dev[k], m_host[k], atol=1e-6), k

@@ -138,3 +138,47 @@ class TestGeneratorSafeBucket:
                                                       fakebatch=False))
         _, metrics = step(state, imgs, masks, labels, pass_mask)
         assert np.isfinite(float(metrics["total"]))
+
+
+class TestAugmentPositions:
+    def test_positions_restricted_step_matches_full(self):
+        """Restricting the generator to gate-eligible positions ((0,) under
+        the 'anc' gate) produces identical updates — the gate's pass_mask is
+        False elsewhere by tuple-layout construction."""
+        models = build_models()
+        rng = jax.random.PRNGKey(2)
+        T, S, H, W = 2, 3, 16, 16
+        imgs = jax.random.uniform(rng, (T, S, H, W, 3)) * 2 - 1
+        masks = jnp.ones((T, S, H, W))
+        labels = jnp.asarray([[-1, 1, 0]] * T, jnp.float32)
+        pass_mask = jnp.asarray([[True, False, False], [False, False, False]])
+        variables = {
+            "augment": dict(models["augment"].init(rng, imgs[0], train=False)),
+            "embed": dict(models["embed"].init(rng, imgs[0])),
+        }
+        tx, _ = initialize_optimizer({"algorithm": "adam", "lr": 5e-5})
+        state = supervised.make_finetune_state(variables, tx)
+        s_full = jax.jit(supervised.build_finetune_step(models, tx))
+        s_anc = jax.jit(supervised.build_finetune_step(
+            models, tx, augment_positions=(0,)))
+        # the augment result itself is equal up to XLA's batch-1-vs-batch-S
+        # conv summation order (~1e-5 f32 noise)
+        a_full = jax.jit(lambda v, x, p: models["augment"].apply(
+            v, x, train=True, ctx={"pass_mask": p}))(
+            variables["augment"], imgs[0], pass_mask[0])
+        a_anc = jax.jit(lambda v, x, p: models["augment"].apply(
+            v, x, train=True, ctx={"pass_mask": p}, model_positions=(0,)))(
+            variables["augment"], imgs[0], pass_mask[0])
+        np.testing.assert_allclose(np.asarray(a_full), np.asarray(a_anc),
+                                   atol=1e-4)
+        out_full, m_full = s_full(state, imgs, masks, labels, pass_mask)
+        out_anc, m_anc = s_anc(state, imgs, masks, labels, pass_mask)
+        np.testing.assert_allclose(float(m_anc["total"]),
+                                   float(m_full["total"]), rtol=1e-5)
+        # post-Adam params: near-zero grads flip the normalized update's sign
+        # under that noise, bounding the diff by ~2*lr per entry
+        for a, b in zip(
+                jax.tree_util.tree_leaves(out_anc.variables["embed"]["params"]),
+                jax.tree_util.tree_leaves(out_full.variables["embed"]["params"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2.5e-4)
