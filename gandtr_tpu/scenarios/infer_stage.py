@@ -47,8 +47,10 @@ class RgbImageSaver:
 
     def add(self, name, image_nhwc):
         def write(n, arr):
-            rgb = np.clip(arr * self.std + self.mean, 0, 1)
-            Image.fromarray((rgb * 255).astype(np.uint8)).save(self.target_path(n))
+            if arr.dtype != np.uint8:  # device-side post already denormalized
+                rgb = np.clip(arr * self.std + self.mean, 0, 1)
+                arr = (rgb * 255).astype(np.uint8)
+            Image.fromarray(arr).save(self.target_path(n))
         self.futures.append(self.pool.submit(write, name, np.asarray(image_nhwc)))
 
     def close(self):
@@ -92,10 +94,20 @@ def infer(params, data):
 
     data_cfg = dict(params.pop("data", {}))
     image_dir = resolve_path(data_cfg.pop("image_dir", ""))
-    transforms = initialize_transforms(
-        data_cfg.get("transforms", "pil2np | totensor | normalize"),
-        data_cfg.get("mean_std", [[0.5] * 3, [0.5] * 3]))
+    tf_str = data_cfg.get("transforms", "pil2np | totensor | normalize")
     mean_std = data_cfg.get("mean_std", [[0.5] * 3, [0.5] * 3])
+    transforms = initialize_transforms(tf_str, mean_std)
+
+    # Fused device IO (default on): ship decoded uint8 images, run the
+    # normalize (+CLAHE) transform in-graph, and for the image sink also
+    # denormalize + quantize on device — byte-identical outputs (same f32
+    # arithmetic + truncation) at 1/4 of the transfer each way.
+    device_pre = None
+    if data_cfg.get("device_preprocess", True):
+        from gandtr_tpu.data.transforms import split_device_transform
+        host_tf, device_pre = split_device_transform(tf_str, mean_std)
+        if device_pre is not None:
+            transforms = host_tf
 
     model, variables = _load_network(params.pop("network"))
 
@@ -110,6 +122,24 @@ def infer(params, data):
     batch_size = int(data_cfg.get("loader", {}).get("batch_size", 8))
     jit_cache = {}
 
+    mean_j = jnp.asarray(mean_std[0], jnp.float32)
+    std_j = jnp.asarray(mean_std[1], jnp.float32)
+    device_post = bool(out_type == "image" and
+                       data_cfg.get("device_postprocess", True))
+
+    def full_forward(v, x):
+        if device_pre is not None:
+            xf = x.astype(jnp.float32)
+            if x.dtype == jnp.uint8:
+                xf = xf / 255.0
+            x = device_pre(xf)
+        y = model.apply(v, x, train=False)
+        if device_post:
+            rgb = jnp.clip(y * std_j + mean_j, 0, 1)
+            # truncation, matching the host sink's `(rgb*255).astype(uint8)`
+            y = jnp.floor(rgb * 255.0).astype(jnp.uint8)
+        return y
+
     def flush(bucket_names, bucket_arrs):
         """Run one fixed-size batch: same-shape images batch together (the
         reference's DataLoader batching, output.py); the tail is padded to the
@@ -119,18 +149,26 @@ def infer(params, data):
         x = jnp.asarray(np.stack(arrs))
         key = x.shape
         if key not in jit_cache:
-            jit_cache[key] = jax.jit(
-                lambda v, xx: model.apply(v, xx, train=False))
+            jit_cache[key] = jax.jit(full_forward)
         out = np.asarray(jit_cache[key](variables, x))
         for i in range(n):
             sink.add(bucket_names[i], out[i])
 
+    image_size = data_cfg.get("image_size")
+
+    def load(i):
+        img = imread(path_join(image_dir, names[i]))
+        if image_size:  # longest-side resize (whitening.yml protocol)
+            from gandtr_tpu.eval.retrieval import imresize
+            img = imresize(img, int(image_size))
+        return transforms(img)
+
+    from gandtr_tpu.eval.retrieval import _prefetched
     buckets = {}  # per-shape accumulation
-    for name in names:
-        img = imread(path_join(image_dir, name))
-        arr = transforms(img)
+    for i, arr in _prefetched(len(names), load,
+                              depth=max(8, batch_size)):
         bucket = buckets.setdefault(arr.shape, ([], []))
-        bucket[0].append(name)
+        bucket[0].append(names[i])
         bucket[1].append(arr)
         if len(bucket[0]) == batch_size:
             flush(*bucket)

@@ -122,3 +122,28 @@ def test_batched_equals_single(imgdir, tmp_path):
         outs[tag] = [np.asarray(Image.open(out_dir / n)) for n in names]
     for a, b in zip(outs["single"], outs["batched"]):
         np.testing.assert_array_equal(a, b)
+
+
+def test_device_io_matches_host_io(imgdir, tmp_path):
+    """uint8-in/uint8-out device IO produces byte-identical saved images to
+    the host f32 transform + host denormalize path."""
+    names = [f"im{i}.jpg" for i in range(3)]
+    outs = {}
+    for dev, tag in ((True, "device"), (False, "host")):
+        out_dir = tmp_path / tag
+        params = {
+            "network": dict(NET),
+            "data": {"image_dir": str(imgdir) + "/*",
+                     "transforms": "pil2np | totensor | normalize",
+                     "mean_std": [[0.5] * 3, [0.5] * 3],
+                     "device_preprocess": dev, "device_postprocess": dev,
+                     "loader": {"batch_size": 2}},
+            "output": {"type": "image", "directory": str(out_dir)},
+        }
+        (meta,) = infer(params, (names,))
+        assert meta["count"] == 3
+        outs[tag] = [np.asarray(Image.open(out_dir / n)) for n in names]
+    for a, b in zip(outs["device"], outs["host"]):
+        # XLA-CPU jit FMA contraction can flip the final truncation by 1 ulp
+        # on exact .0 boundaries; byte-exact on TPU/eager
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
