@@ -67,18 +67,37 @@ class ShapeCachedExtractor:
     (multiscale, whitening) are part of `forward` and thus of each compiled
     graph. With `shape_bucket`, images pad up to multiples and a mask rides
     along (masked GeM).
+
+    With `devices` (a list of jax devices), calls round-robin across them —
+    data-parallel extraction: dispatch is async, so up to len(devices)
+    batches are in flight; the caller materializes results late
+    (extract_vectors does). Variables are replicated per device on first use.
     """
 
-    def __init__(self, forward, variables, shape_bucket=None):
+    def __init__(self, forward, variables, shape_bucket=None, devices=None):
         self.forward = forward
         self.variables = variables
         self.shape_bucket = shape_bucket
+        self.devices = list(devices) if devices and len(devices) > 1 else None
+        self._dev_variables = {}
+        self._rr = 0
         self._cache = {}
 
     def _jit_for(self, shape):
         if shape not in self._cache:
             self._cache[shape] = jax.jit(self.forward)
         return self._cache[shape]
+
+    def _place(self, *arrays):
+        """Round-robin device placement; returns (variables, *placed)."""
+        if not self.devices:
+            return (self.variables,) + tuple(jnp.asarray(a) for a in arrays)
+        d = self.devices[self._rr % len(self.devices)]
+        self._rr += 1
+        if d not in self._dev_variables:
+            self._dev_variables[d] = jax.device_put(self.variables, d)
+        return (self._dev_variables[d],) + tuple(
+            jax.device_put(a, d) for a in arrays)
 
     def group_key(self, img_np):
         """Shape key under which images share one compiled graph (the padded
@@ -101,32 +120,36 @@ class ShapeCachedExtractor:
         return padded, mask
 
     def __call__(self, img_np):
-        """img_np: (H, W, C) preprocessed image -> (D,) descriptor."""
+        """img_np: (H, W, C) preprocessed image -> (D,) descriptor (a jax
+        array — dispatch is async, materialize late)."""
         if self.shape_bucket:
             padded, mask = self._pad_and_mask(img_np)
             fn = self._jit_for(padded.shape[:2] + (True,))
-            out = fn(self.variables, jnp.asarray(padded)[None],
-                     jnp.asarray(mask)[None])
+            v, x, m = self._place(padded[None], mask[None])
+            out = fn(v, x, m)
         else:
             fn = self._jit_for(img_np.shape[:2])
-            out = fn(self.variables, jnp.asarray(img_np)[None])
-        return np.asarray(out)[0]
+            v, x = self._place(img_np[None])
+            out = fn(v, x)
+        return out[0]
 
     def batch(self, imgs_np):
         """Batched extraction of images sharing one `group_key`: list/array of
-        (H, W, C) -> list of (D,) descriptors. One compiled graph per
-        (shape, batch) pair."""
+        (H, W, C) -> list of (D,) descriptors (jax arrays). One compiled
+        graph per (shape, batch) pair."""
         if self.shape_bucket:
             pm = [self._pad_and_mask(im) for im in imgs_np]
             padded = np.stack([p for p, _ in pm])
             masks = np.stack([m for _, m in pm])
             fn = self._jit_for(padded.shape[1:3] + (True,))
-            out = fn(self.variables, jnp.asarray(padded), jnp.asarray(masks))
+            v, x, m = self._place(padded, masks)
+            out = fn(v, x, m)
         else:
             imgs_np = np.stack(imgs_np)
             fn = self._jit_for(imgs_np.shape[:3])
-            out = fn(self.variables, jnp.asarray(imgs_np))
-        return list(np.asarray(out))
+            v, x = self._place(imgs_np)
+            out = fn(v, x)
+        return list(out)
 
 
 def _load_preprocessed(path, image_size, transform, bbx=None):
@@ -189,7 +212,7 @@ def extract_vectors(extractor, image_paths, image_size, transform, bbxs=None,
             outs = extractor.batch(list(arrs)) if hasattr(extractor, "batch") \
                 else [extractor(a) for a in arrs]
         for i, v in zip(idxs, outs):
-            vecs[i] = np.asarray(v)
+            vecs[i] = v  # jax arrays stay async; materialized at the end
         done += len(batch)
         if done % print_freq < len(batch) or done == n:
             print("\r>>>> {}/{} done...".format(done, n), end="")
@@ -208,7 +231,7 @@ def extract_vectors(extractor, image_paths, image_size, transform, bbxs=None,
     for batch in buffers.values():
         flush(batch)
     print("")
-    return np.stack(vecs, axis=1)  # (D, N)
+    return np.stack([np.asarray(v) for v in vecs], axis=1)  # (D, N)
 
 
 def evaluate_dataset(extractor, cfg, image_size, transform, batch_size=1):

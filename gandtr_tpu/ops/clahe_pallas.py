@@ -9,9 +9,9 @@ in ops/clahe.py:
    redistribution, cumsum, round-half-even LUT. All in VMEM.
 2. Interpolation — grid over (tile_row_band, tile_col) pixel blocks. Within a
    block all pixels share the same 4 neighbouring tile LUTs, so the per-pixel
-   lookup becomes `one_hot(v) @ lut_row` — four (P, 256)×(256,) matvecs on the
-   MXU instead of arbitrary gathers (TPU vector memory has no efficient
-   per-element gather).
+   lookup becomes a one-hot weighted lane-sum over (R, band_w, 256) row
+   blocks (TPU vector memory has no efficient per-element gather; the 3-D
+   block form is ~2x the per-row matvec loop, which was iteration-bound).
 
 Semantics match ops/clahe.py (cv2-bit-exact algorithm); grid sizes must divide
 the image (the public wrapper pads with reflect-101 first, like cv2).
@@ -36,25 +36,37 @@ def _prefix_sum_256(hist):
     return c
 
 
+def _hist_rows(read_rows, n_rows, width, chunk=16):
+    """Σ one-hot histogram over `n_rows` rows of `width` pixels, chunked: the
+    3-D broadcast compare (R, width, 256) counts a whole row block per
+    iteration (a per-row loop is iteration-overhead-bound — v2 ran ~18x off
+    the VPU roofline). `read_rows(start, R)` loads (R, width) int32."""
+    hist = jnp.zeros((1, 256), jnp.float32)
+
+    def block(start, R, hist):
+        rows = read_rows(start, R)
+        bins = jax.lax.broadcasted_iota(jnp.int32, (R, width, 256), 2)
+        oh = (rows.reshape(R, width, 1) == bins).astype(jnp.float32)
+        return hist + jnp.sum(oh, axis=(0, 1), keepdims=True).reshape(1, 256)
+
+    n_full = n_rows // chunk
+    if n_full:
+        def chunk_body(c, h):
+            return block(c * chunk, chunk, h)
+        hist = jax.lax.fori_loop(0, n_full, chunk_body, hist)
+    if n_rows % chunk:
+        hist = block(n_full * chunk, n_rows % chunk, hist)
+    return hist
+
+
 def _lut_kernel(tiles_ref, lut_ref, *, tile_h, tile_w, climit, group):
     """tiles_ref: (group, tile_h, tile_w) int32 -> lut_ref (group, 256) f32.
 
-    Groups of 8 tiles per grid step satisfy Mosaic's (8, 128) output tiling.
-    Everything stays 2-D with the 256-bin axis on lanes (Mosaic relayout of
-    1-D vectors is fragile)."""
-    bins = jax.lax.broadcasted_iota(jnp.int32, (tile_w, 256), 1)
-
+    Groups of 8 tiles per grid step satisfy Mosaic's (8, 128) output tiling;
+    the 256-bin axis stays on lanes."""
     for g in range(group):
-        def row_body(r, hist):
-            # dynamic row read straight from the ref (Mosaic supports dynamic
-            # ref indexing; dynamic_slice on a loaded value it does not)
-            row = tiles_ref[g, pl.ds(r, 1), :]        # (1, tile_w)
-            onehot = (row.reshape(tile_w, 1) == bins)  # (tile_w, 256)
-            return hist + jnp.sum(onehot.astype(jnp.float32), axis=0,
-                                  keepdims=True)
-
-        hist = jax.lax.fori_loop(0, tile_h, row_body,
-                                 jnp.zeros((1, 256), jnp.float32))
+        hist = _hist_rows(lambda s, R: tiles_ref[g, pl.ds(s, R), :],
+                          tile_h, tile_w)
 
         # clip + redistribute (integer semantics in f32: counts < 2^24)
         climit_f = jnp.float32(climit)
@@ -83,38 +95,43 @@ def _interp_kernel(img_ref, luts_ref, ya_ref, xa_ref, tix_ref, out_ref, *,
     ya_ref: (band_h, 1) f32 row weights; xa_ref: (1, band_w) f32 col weights
     tix_ref: (1, 4) int32 — LUT row indices (y1x1, y1x2, y2x1, y2x2) in SMEM
 
-    Row-by-row: the per-row one-hot (band_w, 256) keeps VMEM bounded; the four
-    LUT lookups are (band_w, 256) × (256, 1) matvecs.
+    Row blocks of 16: the (R, band_w, 256) one-hot selects each pixel's LUT
+    entry via a weighted lane-sum per corner (chunk 32 is ~7% faster but 13x
+    slower to Mosaic-compile — and CLAHE compiles per eval image shape).
     """
-    # the 4 LUT rows stacked as one (256, 4) matrix: a single MXU matmul per
-    # row-chunk yields all four interpolation corners
-    luts4 = jnp.concatenate(
-        [luts_ref[pl.ds(tix_ref[0, i], 1), :] for i in range(4)], axis=0).T
+    # the 4 corner LUTs as (1, 1, 256) broadcasts: each lookup is a one-hot
+    # weighted lane-sum over a whole row block (exact single-value selection,
+    # same values as a gather)
+    luts = [luts_ref[pl.ds(tix_ref[0, i], 1), :].reshape(1, 1, 256)
+            for i in range(4)]
     xa = xa_ref[:, :]                            # (1, band_w)
-    bins = jax.lax.broadcasted_iota(jnp.int32, (band_w, 256), 1)
 
-    CHUNK = 8
-    n_chunks = -(-band_h // CHUNK)
+    CHUNK = 16
 
-    def row_body(r, _):
-        row = img_ref[pl.ds(r, 1), :]            # (1, band_w)
-        oh = (row.reshape(band_w, 1) == bins).astype(jnp.float32)
-        vals = jnp.dot(oh, luts4,
-                       preferred_element_type=jnp.float32)  # (band_w, 4)
-        v11 = vals[:, 0:1].reshape(1, band_w)
-        v12 = vals[:, 1:2].reshape(1, band_w)
-        v21 = vals[:, 2:3].reshape(1, band_w)
-        v22 = vals[:, 3:4].reshape(1, band_w)
-        ya = ya_ref[pl.ds(r, 1), :]              # (1, 1)
+    def block(start, R):
+        rows = img_ref[pl.ds(start, R), :]       # (R, band_w)
+        bins = jax.lax.broadcasted_iota(jnp.int32, (R, band_w, 256), 2)
+        oh = (rows.reshape(R, band_w, 1) == bins).astype(jnp.float32)
+        v11 = jnp.sum(oh * luts[0], axis=2)      # (R, band_w)
+        v12 = jnp.sum(oh * luts[1], axis=2)
+        v21 = jnp.sum(oh * luts[2], axis=2)
+        v22 = jnp.sum(oh * luts[3], axis=2)
+        ya = ya_ref[pl.ds(start, R), :]          # (R, 1)
         top = v11 * (1.0 - xa) + v12 * xa
         bot = v21 * (1.0 - xa) + v22 * xa
         res = top * (1.0 - ya) + bot * ya
-        out_ref[pl.ds(r, 1), :] = jnp.clip(jnp.round(res), 0.0, 255.0) \
+        out_ref[pl.ds(start, R), :] = jnp.clip(jnp.round(res), 0.0, 255.0) \
             .astype(jnp.int32)
+
+    def chunk_body(c, _):
+        block(c * CHUNK, CHUNK)
         return 0
 
-    jax.lax.fori_loop(0, band_h, row_body, 0)
-    del CHUNK, n_chunks
+    n_full = band_h // CHUNK
+    if n_full:  # static guard: tracing the body needs >= CHUNK rows
+        jax.lax.fori_loop(0, n_full, chunk_body, 0)
+    if band_h % CHUNK:
+        block(n_full * CHUNK, band_h % CHUNK)
 
 
 @functools.partial(jax.jit, static_argnames=("clip_limit", "grid_size",

@@ -79,6 +79,11 @@ def validate(params, data):
     # shapes (the reference protocol) remain the default.
     shape_bucket = data_cfg.get("shape_bucket")
     batch_size = int((data_cfg.get("loader") or {}).get("batch_size", 1))
+    # data-parallel extraction over all local devices (round-robin async
+    # dispatch — extraction is embarrassingly parallel across images)
+    devices = None
+    if data_cfg.get("parallel_extract", True) and len(jax.local_devices()) > 1:
+        devices = jax.local_devices()
 
     if shape_bucket:
         from gandtr_tpu.learning.wrappers import apply_wrapped
@@ -97,12 +102,13 @@ def validate(params, data):
                                  {"msp": msp})
 
         extractor = ShapeCachedExtractor(forward, variables,
-                                         shape_bucket=int(shape_bucket))
+                                         shape_bucket=int(shape_bucket),
+                                         devices=devices)
     else:
         def forward(v, x):
             return model.apply(v, pre(x), train=False, ctx={"msp": msp})
 
-        extractor = ShapeCachedExtractor(forward, variables)
+        extractor = ShapeCachedExtractor(forward, variables, devices=devices)
 
     metadata = {}
     datasets = val_cfg.get("datasets") or list(val_cfg.keys())

@@ -190,3 +190,29 @@ def test_device_preprocess_matches_host(synth_dataset):
     for k in m_host:
         if "map" in k:
             np.testing.assert_allclose(m_dev[k], m_host[k], atol=1e-6), k
+
+
+def test_parallel_extract_across_devices(synth_dataset):
+    """Round-robin multi-device extraction (8 virtual CPU devices): same
+    descriptors as single-device, with all devices actually used."""
+    import jax, jax.numpy as jnp
+    from gandtr_tpu.models import initialize_model
+    from gandtr_tpu.data.transforms import initialize_transforms
+
+    assert len(jax.local_devices()) == 8
+    model = initialize_model({"architecture": "cirnet",
+                              "cir_architecture": "vgg16", "pooling": "gem",
+                              "local_whitening": False, "whitening": False})
+    var = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    tf = initialize_transforms("pil2np | totensor | normalize",
+                               [[0.485, 0.456, 0.406], [0.229, 0.224, 0.225]])
+    cfg = R.configdataset("roxford5k", synth_dataset)
+    paths = [R.im_fname(cfg, i) for i in range(6)]
+    single = R.ShapeCachedExtractor(lambda v, x: model.apply(v, x), var)
+    multi = R.ShapeCachedExtractor(lambda v, x: model.apply(v, x), var,
+                                   devices=jax.local_devices())
+    v1 = R.extract_vectors(single, paths, 32, tf)
+    v8 = R.extract_vectors(multi, paths, 32, tf)
+    np.testing.assert_allclose(v1, v8, atol=1e-6)
+    assert multi._rr == len(paths)
+    assert len(multi._dev_variables) >= 2  # actually spread across devices
