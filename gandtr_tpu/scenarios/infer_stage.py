@@ -207,3 +207,25 @@ def _load_network(net_cfg):
         else:
             variables = load_network_file(path, variables)
     return net, variables
+
+
+def infer_incrementally(params, data):
+    """Infer only identifiers missing from an existing (id, value) store and
+    merge (reference infer.py:69-84): data = (identifier_existing,
+    value_existing, identifier_new); returns (metadata, identifier_new,
+    value_new) with values as per-identifier rows."""
+    identifier_existing, value_existing, identifier_new = data
+    existing = dict(zip(identifier_existing, list(value_existing)))
+    for_inference = [x for x in identifier_new if x not in existing]
+
+    (metadata,) = infer(dict(params), (for_inference,))
+    added = {}
+    if "vecs" in metadata:  # embedding sink: (D, N) columns -> rows
+        added = dict(zip(for_inference,
+                         list(np.asarray(metadata["vecs"]).T)))
+
+    value_new = [existing[x] if x in existing else added[x]
+                 for x in identifier_new]
+    if isinstance(value_existing, np.ndarray):
+        value_new = np.array(value_new)
+    return (metadata, identifier_new, value_new)

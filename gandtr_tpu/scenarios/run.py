@@ -59,6 +59,11 @@ def _lazy_validate(params, data):
     return validate(params, data)
 
 
+def _lazy_infer_incrementally(params, data):
+    from gandtr_tpu.scenarios.infer_stage import infer_incrementally
+    return infer_incrementally(params, data)
+
+
 FUNCTIONS = {
     # our names
     "gandtr_tpu.stages.train": _lazy_train,
@@ -69,6 +74,8 @@ FUNCTIONS = {
     "mdir.stages.train.train": _lazy_train,
     "mdir.stages.validate.validate": _lazy_validate,
     "mdir.stages.infer.infer": _lazy_infer,
+    "gandtr_tpu.stages.infer_incrementally": _lazy_infer_incrementally,
+    "mdir.stages.infer.infer_incrementally": _lazy_infer_incrementally,
     "mdir.stages.multistep.infer_and_learn_whitening": lambda p, d: __import__(
         "gandtr_tpu.scenarios.multistep_stage", fromlist=["x"]
     ).infer_and_learn_whitening(p, d),

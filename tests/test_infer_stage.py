@@ -147,3 +147,31 @@ def test_device_io_matches_host_io(imgdir, tmp_path):
         # XLA-CPU jit FMA contraction can flip the final truncation by 1 ulp
         # on exact .0 boundaries; byte-exact on TPU/eager
         assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+
+def test_infer_incrementally(imgdir):
+    """Only missing identifiers are inferred; existing values are reused and
+    merged in the requested order (reference infer.py:69-84)."""
+    from gandtr_tpu.scenarios.infer_stage import infer_incrementally
+
+    params = {
+        "network": {"type": "SingleNetwork",
+                    "model": {"architecture": "cirnet",
+                              "cir_architecture": "vgg16", "pooling": "gem",
+                              "local_whitening": False, "whitening": False},
+                    "runtime": {"wrappers": "", "data": {}}},
+        "data": {"image_dir": str(imgdir) + "/*",
+                 "transforms": "pil2np | totensor | normalize",
+                 "mean_std": [[0.485, 0.456, 0.406], [0.229, 0.224, 0.225]]},
+        "output": {"type": "embedding", "dimensions": 512},
+    }
+    ids_existing = ["im0.jpg"]
+    vals_existing = np.full((1, 512), 7.0, np.float32)  # sentinel: reused, not recomputed
+    ids_new = ["im1.jpg", "im0.jpg", "im2.jpg"]
+    meta, out_ids, out_vals = infer_incrementally(
+        params, (ids_existing, vals_existing, ids_new))
+    assert out_ids == ids_new
+    assert meta["count"] == 2  # only im1/im2 inferred
+    assert out_vals.shape == (3, 512)
+    np.testing.assert_array_equal(out_vals[1], vals_existing[0])
+    np.testing.assert_allclose(np.linalg.norm(out_vals[0]), 1.0, atol=1e-4)
