@@ -90,7 +90,14 @@ def build_hedgan_step(models, optimizers, weights):
         variables = dict(state.variables)
         G, D, H = models["generator_X"], models["discriminator_Y"], models["detector"]
 
-        fake_Y, g_bs = _apply(G, variables["generator_X"], real_X, train=True)
+        # ONE generator forward with retained VJP (see build_hedngan_step)
+        def g_fwd(g_params):
+            gvar = {**variables["generator_X"], "params": g_params}
+            fy, bs = _apply(G, gvar, real_X, train=True)
+            return fy, bs
+
+        fake_Y, g_vjp, g_bs = jax.vjp(g_fwd, variables["generator_X"]["params"],
+                                      has_aux=True)
         fake_Y_sg = jax.lax.stop_gradient(fake_Y)
 
         # (1) D step
@@ -105,20 +112,20 @@ def build_hedgan_step(models, optimizers, weights):
             {**variables["discriminator_Y"], "params": d_params}, d_bs)
 
         # (2) G step (uses updated D)
-        def g_loss_fn(g_params):
-            gvar = {**variables["generator_X"], "params": g_params}
-            fy, _ = _apply(G, gvar, real_X, train=True)
+        real_E = jax.lax.stop_gradient(
+            H.apply(variables["detector"], real_X, train=False))
+
+        def g_loss_from_fy(fy):
             pred_fake, d_bs2 = _apply(D, variables["discriminator_Y"], fy, train=True)
             fake_E = H.apply(variables["detector"], fy, train=False)
-            real_E = jax.lax.stop_gradient(
-                H.apply(variables["detector"], real_X, train=False))
             adv, _ = L.discriminator_loss(pred_fake, True, L.mse_loss)
             g_gan = w_adv * adv
             g_hed = w_edge * L.l1_loss(fake_E, real_E)
             return g_gan + g_hed, (g_gan, g_hed, d_bs2)
 
-        (g_loss, (g_gan, g_hed, d_bs2)), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True)(variables["generator_X"]["params"])
+        (g_loss, (g_gan, g_hed, d_bs2)), dfy = jax.value_and_grad(
+            g_loss_from_fy, has_aux=True)(fake_Y)
+        (g_grads,) = g_vjp(dfy)
         g_params, g_opt = _update(optimizers["generator_X"],
                                   state.opt_states["generator_X"], g_grads,
                                   variables["generator_X"]["params"])
@@ -154,7 +161,17 @@ def build_hedngan_step(models, optimizers, weights):
         G, D = models["generator_X"], models["discriminator_Y"]
         H_s, H_t = models["detector"], models["detector_frozen"]
 
-        fake_Y, g_bs = _apply(G, variables["generator_X"], real_X, train=True)
+        # ONE generator forward, with its VJP retained for the G step (the
+        # torch reference also backprops through the single retained graph,
+        # edges_epochs.py:41-54 — a naive re-forward inside the G-step grad
+        # would double the generator FLOPs)
+        def g_fwd(g_params):
+            gvar = {**variables["generator_X"], "params": g_params}
+            fy, bs = _apply(G, gvar, real_X, train=True)
+            return fy, bs
+
+        fake_Y, g_vjp, g_bs = jax.vjp(g_fwd, variables["generator_X"]["params"],
+                                      has_aux=True)
         fake_Y_sg = jax.lax.stop_gradient(fake_Y)
 
         # (1) D step
@@ -188,13 +205,12 @@ def build_hedngan_step(models, optimizers, weights):
                                   variables["detector"]["params"])
         variables["detector"] = {**variables["detector"], "params": h_params}
 
-        # (3) G step (updated D and student)
-        real_E = jax.lax.stop_gradient(
-            H_t.apply(variables["detector_frozen"], real_X, train=False))
+        # (3) G step (updated D and student). real_E is the teacher's
+        # sigmoided output — exactly sigmoid(target_M), no second teacher
+        # forward (the torch reference recomputes it; numerically identical)
+        real_E = jax.lax.stop_gradient(jax.nn.sigmoid(target_M))
 
-        def g_loss_fn(g_params):
-            gvar = {**variables["generator_X"], "params": g_params}
-            fy, _ = _apply(G, gvar, real_X, train=True)
+        def g_loss_from_fy(fy):
             pred_fake, d_bs2 = _apply(D, variables["discriminator_Y"], fy, train=True)
             fake_E = H_s.apply(variables["detector"], fy, train=False)
             adv, _ = L.discriminator_loss(pred_fake, True, L.mse_loss)
@@ -202,8 +218,9 @@ def build_hedngan_step(models, optimizers, weights):
             g_hed = w_edge * L.l1_loss(fake_E, real_E)
             return g_gan + g_hed, (g_gan, g_hed, d_bs2)
 
-        (g_loss, (g_gan, g_hed, d_bs2)), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True)(variables["generator_X"]["params"])
+        (g_loss, (g_gan, g_hed, d_bs2)), dfy = jax.value_and_grad(
+            g_loss_from_fy, has_aux=True)(fake_Y)
+        (g_grads,) = g_vjp(dfy)
         g_params, g_opt = _update(optimizers["generator_X"],
                                   state.opt_states["generator_X"], g_grads,
                                   variables["generator_X"]["params"])
