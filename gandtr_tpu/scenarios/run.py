@@ -145,7 +145,7 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     from gandtr_tpu.utils.compile_cache import enable_from_env
-    enable_from_env()
+    enable_from_env(default_on=True)
 
     scenario = load_yaml_scenario(args.scenario)
     targets = [k for k in scenario if isinstance(scenario.get(k), dict)]

@@ -27,11 +27,16 @@ def enable_compilation_cache(directory=None, min_compile_secs=1.0):
     return directory
 
 
-def enable_from_env(var="GANDTR_TPU_COMPILE_CACHE"):
-    """Enable the cache iff the env var is set ('1'/'true' -> default dir,
-    anything else -> that path). Returns the cache dir or None."""
+def enable_from_env(var="GANDTR_TPU_COMPILE_CACHE", default_on=False):
+    """Enable the cache per the env var ('1'/'true' -> default dir, a path ->
+    that path, '0'/'false' -> off). With `default_on`, an unset var enables
+    the default dir (the scenario CLI does this: cross-process reuse cuts
+    repeat eval/infer compiles from 20-130 s to seconds — verified through
+    the tunnel backend). Returns the cache dir or None."""
     val = os.environ.get(var, "").strip()
-    if not val or val.lower() in ("0", "false", "no"):
+    if val.lower() in ("0", "false", "no"):
         return None
+    if not val:
+        return enable_compilation_cache(None) if default_on else None
     directory = None if val.lower() in ("1", "true", "yes") else val
     return enable_compilation_cache(directory)
