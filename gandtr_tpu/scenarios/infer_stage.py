@@ -111,6 +111,13 @@ def infer(params, data):
 
     model, variables = _load_network(params.pop("network"))
 
+    # named-forward dispatch (reference infer.py:49,53-57: params['forward']
+    # selects a method + extra call kwargs, e.g. pre-sigmoid edge maps)
+    fwd_cfg = dict(params.pop("forward", {}) or {})
+    fwd_kwargs = dict(fwd_cfg.get("params", {}) or {})
+    if fwd_cfg.get("method"):
+        fwd_kwargs["method"] = getattr(model.module, fwd_cfg["method"])
+
     if out_type == "image":
         sink = RgbImageSaver(out_cfg.pop("directory"), mean_std,
                              structure=out_cfg.pop("structure", "flat"),
@@ -133,7 +140,7 @@ def infer(params, data):
             if x.dtype == jnp.uint8:
                 xf = xf / 255.0
             x = device_pre(xf)
-        y = model.apply(v, x, train=False)
+        y = model.apply(v, x, train=False, **fwd_kwargs)
         if device_post:
             rgb = jnp.clip(y * std_j + mean_j, 0, 1)
             # truncation, matching the host sink's `(rgb*255).astype(uint8)`

@@ -175,3 +175,27 @@ def test_infer_incrementally(imgdir):
     assert out_vals.shape == (3, 512)
     np.testing.assert_array_equal(out_vals[1], vals_existing[0])
     np.testing.assert_allclose(np.linalg.norm(out_vals[0]), 1.0, atol=1e-4)
+
+
+def test_forward_params_dispatch(imgdir, tmp_path):
+    """params['forward'] threads method kwargs into the model call (reference
+    infer.py:49): HED with no_sigmoid dumps pre-sigmoid maps."""
+    from gandtr_tpu.scenarios.infer_stage import infer
+
+    base = {
+        "network": {"type": "SingleNetwork",
+                    "model": {"architecture": "hed_interpolation",
+                              "width_mult": 0.0625},
+                    "runtime": {"wrappers": "", "data": {}}},
+        "data": {"image_dir": str(imgdir) + "/*",
+                 "transforms": "pil2np | totensor | normalize",
+                 "mean_std": [[0.5] * 3, [0.5] * 3]},
+        "output": {"type": "embedding", "dimensions": 1},
+    }
+    (m_sig,) = infer(dict(base), (["im0.jpg"],))
+    (m_pre,) = infer({**base, "forward": {"params": {"no_sigmoid": True}}},
+                     (["im0.jpg"],))
+    sig = m_sig["vecs"]
+    pre = m_pre["vecs"]
+    assert sig.min() >= 0 and sig.max() <= 1        # sigmoided
+    np.testing.assert_allclose(1 / (1 + np.exp(-pre)), sig, atol=1e-5)
