@@ -104,8 +104,13 @@ def _to_mutable(tree):
 
 def torch_state_to_numpy(state):
     """Detach a torch state dict into {name: np.ndarray} without keeping torch
-    objects around (torch is a host-side import-time dependency only)."""
-    return {k: v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+    objects around (torch is a host-side import-time dependency only).
+
+    Copies: `.numpy()` returns a VIEW of the torch buffer, and on the CPU
+    backend `jnp.asarray` can alias it too — an in-place torch optimizer step
+    afterwards would silently mutate the converted jax arrays."""
+    return {k: np.array(v.detach().cpu().numpy(), copy=True)
+            if hasattr(v, "detach") else np.array(v, copy=True)
             for k, v in state.items()}
 
 
