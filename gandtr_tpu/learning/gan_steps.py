@@ -245,9 +245,13 @@ def build_hedngan_step(models, optimizers, weights):
 
 def build_cut_step(models, optimizers, weights, nce_layers=(4, 8, 12, 16),
                    num_patches=256, temperature=0.07, nce_weight=1.0,
-                   batch_dim_for_bmm=1):
+                   batch_dim_for_bmm=1, fixed_patch_ids=None):
     """CUT (cut_epochs.py): concat-batch identity trick, PatchNCE via generator
-    encoder features + featdown MLPs with shared patch ids."""
+    encoder features + featdown MLPs with shared patch ids.
+
+    `fixed_patch_ids` (per-layer index arrays) replaces the per-step random
+    patch sampling — the golden-parity test hook (the torch reference's
+    determinism is its global seed, which has no jax analog)."""
     w_adv = weights.get("adversarial", 1.0)
     w_idt = weights.get("identity", 10.0)
     w_nce = nce_weight
@@ -258,7 +262,13 @@ def build_cut_step(models, optimizers, weights, nce_layers=(4, 8, 12, 16),
         feat_q = G.apply(g_var, dst, train=True, layers=nce_layers, encode_only=True)
         feat_k = G.apply(g_var, src, train=True, layers=nce_layers, encode_only=True)
         fvar = {**variables["featdown"], "params": f_params}
-        feat_k_pool, ids = F.apply(fvar, feat_k, num_patches=num_patches, rng=rng)
+        if fixed_patch_ids is not None:
+            fixed = [jnp.asarray(p) for p in fixed_patch_ids]
+            feat_k_pool, ids = F.apply(fvar, feat_k, num_patches=num_patches,
+                                       patch_ids=fixed)
+        else:
+            feat_k_pool, ids = F.apply(fvar, feat_k, num_patches=num_patches,
+                                       rng=rng)
         feat_q_pool, _ = F.apply(fvar, feat_q, num_patches=num_patches, patch_ids=ids)
         total, _ = L.multilayer_patch_nce_loss(
             feat_q_pool, feat_k_pool, batch_dim_for_bmm, temperature, 1.0)
