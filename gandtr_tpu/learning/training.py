@@ -62,7 +62,7 @@ class Training:
     def __init__(self, *, step_fn, loader, epochs, seed=0,
                  optimizers_base_lr=None, schedules=None, events=None,
                  checkpoints=None, validations=(), frozen=(),
-                 batch_to_args=None, state_hook=None):
+                 batch_to_args=None, state_hook=None, profile_dir=None):
         self.loop = EpochLoop(step_fn, loader, events,
                               batch_to_args=batch_to_args)
         self.epochs = epochs
@@ -74,6 +74,10 @@ class Training:
         self.validations = list(validations)
         self.frozen = tuple(frozen)
         self.state_hook = state_hook
+        # `output.learning.profile: <dir>` captures a jax.profiler trace of
+        # the SECOND epoch (first-epoch compiles would drown the timeline) —
+        # the TPU-native analog of the reference's StopWatch logs (§5.1)
+        self.profile_dir = profile_dir
 
     def _apply_schedules(self, state, epoch):
         opt_states = dict(state.opt_states)
@@ -90,7 +94,16 @@ class Training:
             if hasattr(state, "opt_states"):
                 state = self._apply_schedules(state, epoch)
 
-            state, debug = self.loop.run_epoch(state, epoch)
+            profile_this = self.profile_dir and epoch == min(2, self.epochs)
+            if profile_this:
+                import jax.profiler
+                jax.profiler.start_trace(self.profile_dir)
+            try:
+                state, debug = self.loop.run_epoch(state, epoch)
+            finally:
+                if profile_this:
+                    import jax.profiler
+                    jax.profiler.stop_trace()
 
             if self.events:
                 self._log_weight_norms(state, epoch)

@@ -217,7 +217,8 @@ def build_gan_experiment(scenario, sample_hw=256, batch_size=None,
             seed=int(train_cfg.get("seed", 0)),
             optimizers_base_lr=base_lr, schedules=schedules, events=events,
             checkpoints=checkpoints, frozen=frozen, validations=validations,
-            batch_to_args=lambda b: (jnp.asarray(b[0]), jnp.asarray(b[1])))
+            batch_to_args=lambda b: (jnp.asarray(b[0]), jnp.asarray(b[1])),
+            profile_dir=out_cfg.get("profile"))
 
     return {"models": models, "variables": variables, "optimizers": optimizers,
             "state": state, "step": step, "training": training,

@@ -220,7 +220,8 @@ def build_finetune_experiment(params, directory=None, db=None, images=None):
             schedules={"embed": schedule},
             events=events, checkpoints=checkpoints, frozen=("augment",),
             validations=validations,
-            batch_to_args=lambda b: tuple(jnp.asarray(x) for x in b))
+            batch_to_args=lambda b: tuple(jnp.asarray(x) for x in b),
+            profile_dir=out_cfg.get("profile"))
         # FinetuneState has a single opt_state: adapt the schedule application
         training._apply_schedules = _finetune_schedule_hook(
             training, base_lr, schedule)

@@ -142,3 +142,32 @@ class TestHtmlReport:
         assert "<svg" in doc and "polyline" in doc  # curves rendered
         assert "sample_e1.jpg" in doc               # thumbnail grid
         assert "epoch 4" in doc
+
+
+def test_profile_dir_captures_trace(tmp_path):
+    """output.learning.profile captures a jax.profiler trace of one epoch."""
+    import glob
+    from gandtr_tpu.learning.training import Training
+
+    class OneBatchLoader:
+        dataset = object()
+
+        def __iter__(self):
+            yield (np.zeros((2, 4), np.float32),)
+
+        def __len__(self):
+            return 1
+
+    @jax.jit
+    def step(state, x):
+        return state + jnp.sum(x), {"total": jnp.sum(x)}
+
+    prof = tmp_path / "prof"
+    tr = Training(step_fn=step, loader=OneBatchLoader(), epochs=2,
+                  batch_to_args=lambda b: (jnp.asarray(b[0]),),
+                  profile_dir=str(prof))
+    tr.run(jnp.float32(0.0))
+    traces = glob.glob(str(prof / "**" / "*.trace*"), recursive=True) + \
+        glob.glob(str(prof / "**" / "*.pb"), recursive=True) + \
+        glob.glob(str(prof / "**" / "*.xplane.pb"), recursive=True)
+    assert traces, list(map(str, prof.rglob("*")))
