@@ -37,6 +37,26 @@ EPOCH_ITERATION_FAMILIES = {
 }
 
 
+def _maybe_data_parallel(step, state, par_cfg, batch_size, num_batch_args):
+    """Shard the step's batch args over a 'data' mesh when parallel config +
+    device count + batch divisibility allow; otherwise jit single-device."""
+    if par_cfg in (False, None):
+        return jax.jit(step), state
+    from gandtr_tpu.parallel import mesh as M
+    n_req = int(par_cfg.get("devices", 0)) if isinstance(par_cfg, dict) else 0
+    n_dev = min(n_req, len(jax.devices())) if n_req else len(jax.devices())
+    if n_dev <= 1:
+        return jax.jit(step), state
+    if batch_size and batch_size % n_dev:
+        warnings.warn("data-parallel disabled: batch %d not divisible by %d "
+                      "devices" % (batch_size, n_dev))
+        return jax.jit(step), state
+    mesh = M.make_mesh(n_dev)
+    state = M.replicate_tree(mesh, state)
+    return M.data_parallel_step(step, mesh,
+                                num_batch_args=num_batch_args), state
+
+
 def _load_pretrained_into(variables, model_cfg, name):
     """Load a `pretrained:` URL/path from a model config into variables
     (e.g. the HED detector checkpoint, train_hedngan.yml:25-27)."""
@@ -157,7 +177,17 @@ def build_gan_experiment(scenario, sample_hw=256, batch_size=None,
         step = gan_steps.build_hedgan_step(models.nets, optimizers, weights)
     else:
         step = gan_steps.build_hedngan_step(models.nets, optimizers, weights)
-    step = jax.jit(step)
+
+    # data parallelism is the first-class default (SURVEY §2.11): when more
+    # than one device is visible and the batch divides, the step shards the
+    # batch over a 1-D 'data' mesh with replicated state (XLA inserts the
+    # gradient psum). `learning.training.parallel: false` disables;
+    # `parallel: {devices: N}` restricts the mesh.
+    par_cfg = train_cfg.get("parallel", True)
+    batch_size_cfg = int((data_cfg.get("train") or {}).get("loader", {})
+                         .get("batch_size", batch_size or 0) or 0)
+    step, state = _maybe_data_parallel(step, state, par_cfg, batch_size_cfg,
+                                       num_batch_args=2)
 
     # data loader
     loader = None

@@ -125,9 +125,14 @@ def build_finetune_experiment(params, directory=None, db=None, images=None):
     positions = tuple(i for i, l in enumerate(layout)
                       if _re.match(gate_label, l))
     augment_positions = positions if 0 < len(positions) < len(layout) else None
-    step = jax.jit(supervised.build_finetune_step(
+    raw_step = supervised.build_finetune_step(
         models, optimizer, margin=margin, fakebatch=fakebatch,
-        criterion=criterion, augment_positions=augment_positions))
+        criterion=criterion, augment_positions=augment_positions)
+    from gandtr_tpu.scenarios.build import _maybe_data_parallel
+    step, state = _maybe_data_parallel(
+        raw_step, state, train_cfg.get("parallel", True),
+        int(data_cfg.get("train", {}).get("loader", {}).get("batch_size", 0)
+            or 0), num_batch_args=4)
 
     # --- mining + dataset ---
     ds_cfg = dict(data_cfg.get("train", {}).get("dataset", {}))
