@@ -10,7 +10,8 @@ equivalent), so vs_baseline = value / (5 × 400).
 
 The benched graph is the flagship inference path: the official 9-block ResNet
 generator (hub `cyclegan`/`hedngan` architecture) in bfloat16 (MXU-native),
-batch 32, steady-state, on the real TPU chip.
+batch 24, steady-state, on the real TPU chip. (Batch sweep 16/24/32/40/48:
+24 is reproducibly ~4% faster than 32 — 1057 vs 1020 img/s; docs/PERF.md.)
 """
 import json
 import sys
@@ -37,7 +38,7 @@ def main():
         "input_nc": 3, "output_nc": 3, "n_blocks": 9,
         "norm_layer": "instance"})
 
-    batch, hw = 32, 256
+    batch, hw = 24, 256
     rng = jax.random.PRNGKey(0)
     x = jax.random.uniform(rng, (batch, hw, hw, 3), jnp.float32) * 2 - 1
     variables = gen.init(jax.random.PRNGKey(1), x[:1], train=False)
