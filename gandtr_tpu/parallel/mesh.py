@@ -54,6 +54,12 @@ def data_parallel_step(step_fn, mesh, axis="data", num_batch_args=2):
     jitted = jax.jit(step_fn)
 
     def wrapped(state, *batches):
+        # replicate the state on entry: a checkpoint-resumed state arrives as
+        # host arrays; device_put with the same sharding is a no-op for the
+        # already-replicated steady-state case
+        state = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep) if hasattr(x, "dtype") else x,
+            state)
         batches = tuple(jax.device_put(b, bsh) for b in batches)
         return jitted(state, *batches)
 

@@ -79,3 +79,17 @@ def test_dp_default_shards_and_matches_single_device():
 def test_dp_disabled_on_indivisible_batch(recwarn):
     state, metrics = _run_one(parallel=True, batch=6)  # 6 % 8 != 0 -> single
     assert np.isfinite(metrics["total"])
+
+
+def test_dp_step_accepts_host_resumed_state():
+    """A checkpoint-resumed state arrives as host numpy arrays; the DP step
+    replicates it on entry."""
+    exp = build_gan_experiment(_scenario(parallel=True), sample_hw=16,
+                               batch_size=8, data_override={})
+    host_state = jax.tree_util.tree_map(
+        lambda x: np.asarray(x) if hasattr(x, "dtype") else x, exp["state"])
+    rng = jax.random.PRNGKey(3)
+    real_X = jax.random.uniform(rng, (8, 16, 16, 3)) * 2 - 1
+    real_Y = jax.random.uniform(jax.random.PRNGKey(4), (8, 16, 16, 3)) * 2 - 1
+    state, metrics, _ = exp["step"](host_state, real_X, real_Y)
+    assert np.isfinite(float(metrics["total"]))
