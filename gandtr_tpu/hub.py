@@ -69,6 +69,37 @@ class HubModel:
         return self(images, **kwargs).T
 
 
+def _checkpoint_net_state(state):
+    """Validate + unwrap the reference checkpoint nesting:
+    {"net": {"type", "frozen", "network_params", "model_state"}}
+    (mdir/learning/network.py:212-219, checkpoints.py:58-107). Plain
+    state-dict files (no "net" key) pass through as {"model_state": state}."""
+    if "net" not in state:
+        return {"model_state": state}
+    net = state["net"]
+    missing = {"model_state"} - set(net)
+    if missing:
+        raise KeyError(f"Checkpoint 'net' entry missing {missing}; "
+                       f"has {sorted(net)}")
+    return net
+
+
+def _checkpoint_data_params(net_state, default):
+    """Pull the runtime data params (transform DSL + mean_std) out of the
+    checkpoint, mirroring the reference's use of the checkpoint's own data
+    config for `.transform` (hub/model.py:38-42, incl. the
+    transforms->augmentations rename)."""
+    runtime = (net_state.get("network_params") or {}).get("runtime") or {}
+    data = runtime.get("data") or {}
+    out = dict(default)
+    tf = data.get("transforms", data.get("augmentations"))
+    if tf:
+        out["transforms"] = tf
+    if data.get("mean_std"):
+        out["mean_std"] = data["mean_std"]
+    return out
+
+
 def _embedding(architecture, checkpoint=None, whitening=None, pretrained=True,
                multiscale=True):
     module = initialize_model({
@@ -78,12 +109,17 @@ def _embedding(architecture, checkpoint=None, whitening=None, pretrained=True,
     variables = dict(module.init(jax.random.PRNGKey(0), x0))
 
     eval_wrappers = []
+    data_params = dict(EMBEDDING_DATA)
     if pretrained:
         state = load_torch_checkpoint(checkpoint)
-        model_state = state["net"]["model_state"]
-        variables = ti.convert_torch_state(variables, model_state,
+        net_state = _checkpoint_net_state(state)
+        # every flax leaf must be filled from the checkpoint — a silent
+        # partial import would produce random-weight descriptors
+        # (reference loads strictly via load_state_dict, network.py:178)
+        variables = ti.convert_torch_state(variables, net_state["model_state"],
                                            key_map=ti.retrieval_key_map,
-                                           strict=False)
+                                           strict=False, min_coverage=1.0)
+        data_params = _checkpoint_data_params(net_state, data_params)
         if whitening:
             lw = load_pickle(whitening)
             eval_wrappers.append(CirtorchWhiten(P=lw["P"], m=lw["m"]))
@@ -92,9 +128,9 @@ def _embedding(architecture, checkpoint=None, whitening=None, pretrained=True,
 
     net = WrappedNet(module=module, wrappers_train=[],
                      wrappers_eval=eval_wrappers,
-                     meta=module.meta, data_params=dict(EMBEDDING_DATA))
-    transform = initialize_transforms(EMBEDDING_DATA["transforms"],
-                                      EMBEDDING_DATA["mean_std"])
+                     meta=module.meta, data_params=dict(data_params))
+    transform = initialize_transforms(data_params["transforms"],
+                                      data_params["mean_std"])
     # GeM-p power mean applies when the MODEL's pooling is gem without
     # model-internal whitening/regional (wrapper.py:245-248 checks
     # outputmodel.meta — the eval-time whitening *wrapper* doesn't disable it)
@@ -116,9 +152,9 @@ def _generator(norm_layer="instance", checkpoint=None, pretrained=True,
     variables = dict(module.init(jax.random.PRNGKey(seed), x0, train=False))
     if pretrained:
         state = load_torch_checkpoint(checkpoint)
-        variables = ti.convert_torch_state(variables,
-                                           state["net"]["model_state"],
-                                           strict=False)
+        net_state = _checkpoint_net_state(state)
+        variables = ti.convert_torch_state(variables, net_state["model_state"],
+                                           strict=False, min_coverage=1.0)
     else:
         variables["params"] = initialize_weights(
             variables["params"], jax.random.PRNGKey(seed), weights=init_weights)

@@ -54,8 +54,12 @@ def load_backbone_features(variables, architecture, path_or_url=None):
     state = load_torch_checkpoint(src)
     state = {k if k.startswith("features.") else "features." + k: v
              for k, v in state.items()}
+    # a FEATURES checkpoint is backbone-only by design (no pool.p/whiten), so
+    # full coverage is impossible — but the backbone dominates the leaf count,
+    # so 0.9 still catches a key-map mismatch (0 matched) loudly
     return ti.convert_torch_state(variables, state,
-                                  key_map=ti.retrieval_key_map, strict=False)
+                                  key_map=ti.retrieval_key_map, strict=False,
+                                  min_coverage=0.9)
 
 
 def load_whitening(key_or_path, table=WHITENING):

@@ -67,16 +67,9 @@ def _load_pretrained_into(variables, model_cfg, name):
         state = load_torch_checkpoint(url)
         if "net" in state:
             state = state["net"]["model_state"]
-        arch = model_cfg.get("architecture", "")
-        if arch.startswith("hed"):
-            key_map = ti.hed_key_map
-        elif arch == "rcf":
-            from gandtr_tpu.models.rcf import rcf_key_map
-            key_map = rcf_key_map
-        else:
-            key_map = None
+        key_map = ti.key_map_for_architecture(model_cfg.get("architecture", ""))
         return ti.convert_torch_state(variables, state, key_map=key_map,
-                                      strict=False)
+                                      strict=False, min_coverage=1.0)
     except Exception as exc:  # zero-egress envs: keep random init
         warnings.warn("Could not load pretrained '%s' for %s: %s" % (url, name, exc))
         return variables

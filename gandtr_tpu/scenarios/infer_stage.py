@@ -210,7 +210,10 @@ def _load_network(net_cfg):
             state = load_torch_checkpoint(path)
             if "net" in state:
                 state = state["net"]["model_state"]
-            variables = ti.convert_torch_state(variables, state, strict=False)
+            arch = (net_cfg.get("model") or {}).get("architecture")
+            variables = ti.convert_torch_state(
+                variables, state, key_map=ti.key_map_for_architecture(arch),
+                strict=False, min_coverage=1.0)
         else:
             variables = load_network_file(path, variables)
     return net, variables

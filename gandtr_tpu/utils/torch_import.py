@@ -65,21 +65,40 @@ def _set(tree, path, value):
     tree[path[-1]] = value
 
 
+class ImportCoverageError(KeyError):
+    """Raised when a torch-checkpoint import fills fewer flax leaves than the
+    caller's `min_coverage` requires — a key-map mismatch against the real
+    checkpoint layout would otherwise silently leave random weights in place
+    (the reference errors via torch's strict load_state_dict,
+    network.py:178)."""
+
+
 def convert_torch_state(flax_variables, torch_state, key_map=None, strict=True,
-                        prefix=""):
+                        prefix="", min_coverage=None):
     """Fill a flax variables dict ({'params': ..., 'batch_stats': ...}) from a
     torch state dict {name: ndarray}. `key_map(path) -> torch key` overrides the
-    default mapping; `prefix` prepends to every generated torch key."""
+    default mapping; `prefix` prepends to every generated torch key.
+
+    `min_coverage` (0..1): minimum fraction of flax leaves that must be filled
+    from the torch state; below it, ImportCoverageError lists the unmatched
+    paths. Use 1.0 wherever a published full checkpoint is loaded (hub,
+    scenario eval) so layout drift fails loudly instead of producing
+    random-weight outputs."""
     import copy
     out = copy.deepcopy({k: _to_mutable(v) for k, v in flax_variables.items()})
     used = set()
+    total = 0
+    matched = 0
+    missing = []
     for collection, tree in out.items():
         for path, leaf in list(_walk(tree)):
+            total += 1
             key = key_map(path) if key_map else None
             if key is None:
                 key = _default_torch_key(path)
             key = prefix + key
             if key not in torch_state:
+                missing.append((collection, ".".join(path), key))
                 if strict:
                     raise KeyError(f"Missing torch key {key} for flax path "
                                    f"{collection}/{'/'.join(path)}")
@@ -87,13 +106,35 @@ def convert_torch_state(flax_variables, torch_state, key_map=None, strict=True,
             _set(tree, path, jnp.asarray(
                 _transform(torch_state[key], path, leaf.shape), dtype=leaf.dtype))
             used.add(key)
+            matched += 1
     if strict:
         unused = {k for k in torch_state if k not in used
                   and not k.endswith("num_batches_tracked")}
         if unused:
             raise KeyError(f"Unused torch keys: {sorted(unused)[:10]} "
                            f"({len(unused)} total)")
+    if min_coverage is not None and total and matched < min_coverage * total:
+        raise ImportCoverageError(
+            f"Torch import matched {matched}/{total} flax leaves "
+            f"(< {min_coverage:.0%}); unmatched: "
+            f"{[f'{c}/{p} (wanted {k})' for c, p, k in missing[:8]]}"
+            f"{' ...' if len(missing) > 8 else ''}")
     return out
+
+
+def key_map_for_architecture(architecture):
+    """Central architecture -> key-map selection for checkpoint imports."""
+    arch = architecture or ""
+    if arch in ("cirnet", "cirnet_inchan", "cirnet_attention", "gem_retrieval"):
+        return retrieval_key_map
+    if arch.startswith("hed"):
+        return hed_key_map
+    if arch == "rcf":
+        from gandtr_tpu.models.rcf import rcf_key_map
+        return rcf_key_map
+    if arch == "official_p2p_mlp":
+        return patchsample_key_map
+    return None
 
 
 def _to_mutable(tree):
