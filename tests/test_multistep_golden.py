@@ -1,0 +1,326 @@
+"""Multi-step golden trajectories vs torch oracles.
+
+One-step parity (test_*_golden.py) cannot catch compounding drift: Adam
+moment evolution, BN running-stat drift across steps, scheduler boundaries,
+and image-pool state evolution only reveal errors over several optimization
+steps. These tests run 6-8 steps with persistent optimizers, a lambda_p2p
+scheduler boundary mid-run, and batch-norm discriminators, asserting losses
+at every step and final weights. Reference semantics:
+/root/reference/mdir/learning/epoch_iteration/gan_epochs.py:61-140,
+edges_epochs.py:61-121, base_schedulers.py:28-45, gan_image_pool.py:15-65.
+"""
+import numpy as np
+import torch
+import torch.nn.functional as F
+import jax
+import jax.numpy as jnp
+
+from gandtr_tpu.learning.network import build_model_set
+from gandtr_tpu.learning.optimizers import initialize_optimizer
+from gandtr_tpu.learning.training import set_epoch_lr
+from gandtr_tpu.learning.schedules import lambda_p2p_schedule
+from gandtr_tpu.learning import gan_steps
+from gandtr_tpu.learning.image_pool import init_pool, pool_query
+from gandtr_tpu.utils import torch_import as ti
+
+from test_models_parity import (build_torch_resnet_generator,
+                                build_torch_discriminator, seq_state)
+from test_gan_step_golden import build_torch_hed_small
+
+LR = 2e-4
+NEPOCHS, DECAY = 4, 2  # lambda_p2p: factors 1, 1, 2/3, 1/3
+STEPS_PER_EPOCH = 2
+
+
+def _set_torch_lr(opts, lr):
+    for opt in opts:
+        for g in opt.param_groups:
+            g["lr"] = lr
+
+
+def _batches(seed, n, batch=2, hw=32):
+    torch.manual_seed(seed)
+    return [(torch.rand(batch, 3, hw, hw) * 2 - 1,
+             torch.rand(batch, 3, hw, hw) * 2 - 1) for _ in range(n)]
+
+
+def _j(t):
+    return jnp.asarray(t.numpy().transpose(0, 2, 3, 1))
+
+
+class TestHedNGanTrajectory:
+    def test_eight_steps_bn_discriminator_scheduler(self):
+        import copy
+        torch.manual_seed(10)
+        tG = build_torch_resnet_generator(n_blocks=1, norm="instance", ngf=8)
+        tD = build_torch_discriminator(ndf=8, n_layers=2, norm="batch").train()
+        tHs = build_torch_hed_small().eval()
+        tHt = copy.deepcopy(tHs)
+
+        hed_cfg = {"model": {"architecture": "hed_interpolation",
+                             "width_mult": 0.0625},
+                   "runtime": {"wrappers": "", "data": {}}}
+        cfg = {"type": "NetworkSet",
+               "generator_X": {"model": {"architecture": "official_resnet_generator",
+                                         "ngf": 8, "n_blocks": 1,
+                                         "norm_layer": "instance"},
+                               "runtime": {"wrappers": "", "data": {}}},
+               "discriminator_Y": {"model": {"architecture": "official_p2p_discriminator",
+                                             "ndf": 8, "n_layers": 2,
+                                             "norm_layer": "batch"},
+                                   "runtime": {"wrappers": "", "data": {}}},
+               "detector": dict(hed_cfg),
+               "detector_frozen": {**hed_cfg,
+                                   "runtime": {"frozen": True, "wrappers": "",
+                                               "data": {}}}}
+        ms, _ = build_model_set(cfg)
+        x0 = jnp.zeros((2, 32, 32, 3))
+        variables = ms.init_all(jax.random.PRNGKey(0), {n: x0 for n in ms.nets})
+        variables["generator_X"] = ti.convert_torch_state(
+            variables["generator_X"], seq_state(tG))
+        variables["discriminator_Y"] = ti.convert_torch_state(
+            variables["discriminator_Y"], seq_state(tD))
+        hstate = ti.torch_state_to_numpy(tHs.state_dict())
+        for n in ("detector", "detector_frozen"):
+            variables[n] = ti.convert_torch_state(variables[n], hstate,
+                                                  key_map=ti.hed_key_map)
+
+        adam = {"algorithm": "adam", "lr": LR, "beta1": 0.5, "beta2": 0.999}
+        optimizers = {n: initialize_optimizer(dict(adam))[0]
+                      for n in ("generator_X", "discriminator_Y", "detector")}
+        state = gan_steps.make_gan_state(variables, optimizers)
+        step = jax.jit(gan_steps.build_hedngan_step(
+            ms.nets, optimizers, {"adversarial": 1, "edge": 5, "hed": 1}))
+
+        # torch oracle: persistent optimizers + LambdaLR (p2p rule)
+        optG = torch.optim.Adam(tG.parameters(), lr=LR, betas=(0.5, 0.999))
+        optD = torch.optim.Adam(tD.parameters(), lr=LR, betas=(0.5, 0.999))
+        optE = torch.optim.Adam(tHs.parameters(), lr=LR, betas=(0.5, 0.999))
+        n_fix = NEPOCHS - DECAY
+        rule = lambda e: 1.0 - max(0, e + 1 - n_fix) / float(DECAY + 1)
+        scheds = [torch.optim.lr_scheduler.LambdaLR(o, lr_lambda=rule)
+                  for o in (optG, optD, optE)]
+        factor = lambda_p2p_schedule(NEPOCHS, DECAY)
+
+        data = _batches(11, NEPOCHS * STEPS_PER_EPOCH)
+        it = 0
+        for epoch in range(NEPOCHS):
+            # During epoch e torch LambdaLR holds lr = LR * rule(e) (rule(0)
+            # at init, rule(e) after e scheduler.step() calls); our injected
+            # factor must agree with the torch optimizer's actual lr.
+            np.testing.assert_allclose(optG.param_groups[0]["lr"],
+                                       LR * factor(epoch), rtol=1e-9)
+            opt_states = dict(state.opt_states)
+            for n in opt_states:
+                opt_states[n] = set_epoch_lr(opt_states[n], LR, factor(epoch))
+            state = state.replace(opt_states=opt_states)
+
+            for _ in range(STEPS_PER_EPOCH):
+                real_X, real_Y = data[it]
+                it += 1
+                state, metrics, _ = step(state, _j(real_X), _j(real_Y))
+
+                # --- torch step (edges_epochs.py:61-121)
+                fake_Y = tG(real_X)
+                optD.zero_grad()
+                pred_real = tD(real_Y)
+                pred_fake = tD(fake_Y.detach())
+                d_real = F.mse_loss(pred_real, torch.zeros_like(pred_real))
+                d_fake = F.mse_loss(pred_fake, torch.ones_like(pred_fake))
+                ((d_real + d_fake) * 0.5).backward()
+                optD.step()
+
+                optE.zero_grad()
+                with torch.no_grad():
+                    target_M = tHt(real_X, no_sigmoid=True)
+                real_M = tHs(real_X, no_sigmoid=True)
+                fake_M = tHs(fake_Y.detach(), no_sigmoid=True)
+                e_real = F.l1_loss(real_M, target_M)
+                e_fake = F.l1_loss(fake_M, target_M)
+                (e_real + e_fake).backward()
+                optE.step()
+
+                optG.zero_grad()
+                fake_E = tHs(fake_Y)
+                with torch.no_grad():
+                    real_E = tHt(real_X)
+                pred_fake2 = tD(fake_Y)
+                g_gan = F.mse_loss(pred_fake2, torch.zeros_like(pred_fake2))
+                g_hed = 5.0 * F.l1_loss(fake_E, real_E)
+                (g_gan + g_hed).backward()
+                optG.step()
+
+                ref = {"D_real": d_real.item(), "D_fake": d_fake.item(),
+                       "G_gan": g_gan.item(), "G_hed": g_hed.item(),
+                       "E_real": e_real.item(), "E_fake": e_fake.item()}
+                for k, v in ref.items():
+                    np.testing.assert_allclose(
+                        float(metrics[k]), v, rtol=2e-2, atol=2e-3,
+                        err_msg=f"step {it} {k}")
+            for s in scheds:
+                s.step()
+
+        # final weights: generator + BN running stats of the discriminator
+        theirs = ti.convert_torch_state(
+            {"params": state.variables["generator_X"]["params"]},
+            seq_state(tG))["params"]
+        a = np.asarray(
+            state.variables["generator_X"]["params"]["model_1"]["conv"]["kernel"])
+        b = np.asarray(theirs["model_1"]["conv"]["kernel"])
+        np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-4)
+
+        td = ti.convert_torch_state(
+            {k: v for k, v in state.variables["discriminator_Y"].items()},
+            seq_state(tD))
+        ours_bs = state.variables["discriminator_Y"]["batch_stats"]
+        for path in (("model_3", "mean"), ("model_3", "var")):
+            x = ours_bs
+            y = td["batch_stats"]
+            for p in path:
+                x, y = x[p], y[p]
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=2e-2, atol=2e-4,
+                                       err_msg=str(path))
+
+
+class TestCycleGanTrajectory:
+    def test_six_steps_pool_filling(self):
+        torch.manual_seed(20)
+        tms = {"generator_X": build_torch_resnet_generator(1, "instance", 8),
+               "generator_Y": build_torch_resnet_generator(1, "instance", 8),
+               "discriminator_X": build_torch_discriminator(8, 2, "instance"),
+               "discriminator_Y": build_torch_discriminator(8, 2, "instance")}
+        gen_cfg = {"model": {"architecture": "official_resnet_generator",
+                             "ngf": 8, "n_blocks": 1, "norm_layer": "instance"},
+                   "runtime": {"wrappers": "", "data": {}}}
+        disc_cfg = {"model": {"architecture": "official_p2p_discriminator",
+                              "ndf": 8, "n_layers": 2,
+                              "norm_layer": "instance"},
+                    "runtime": {"wrappers": "", "data": {}}}
+        ms, _ = build_model_set({"type": "NetworkSet",
+                                 "generator_X": dict(gen_cfg),
+                                 "generator_Y": dict(gen_cfg),
+                                 "discriminator_X": dict(disc_cfg),
+                                 "discriminator_Y": dict(disc_cfg)})
+        x0 = jnp.zeros((2, 32, 32, 3))
+        variables = ms.init_all(jax.random.PRNGKey(0), {n: x0 for n in ms.nets})
+        for name, tm in tms.items():
+            variables[name] = ti.convert_torch_state(variables[name],
+                                                     seq_state(tm))
+
+        adam = {"algorithm": "adam", "lr": LR, "beta1": 0.5, "beta2": 0.999}
+        optimizers = {n: initialize_optimizer(dict(adam))[0] for n in ms.nets}
+        # pool larger than total inserts (6 steps x batch 2) => pass-through
+        # fill phase, matching the reference's not-full behavior
+        pools = {"fake_X_pool": init_pool(16, (32, 32, 3)),
+                 "fake_Y_pool": init_pool(16, (32, 32, 3))}
+        state = gan_steps.make_gan_state(variables, optimizers, pools)
+        step = jax.jit(gan_steps.build_cyclegan_step(
+            ms.nets, optimizers, {"adversarial": 1, "cycle": 10},
+            {"adversarial": 1, "cycle": 10}))
+
+        opts = {n: torch.optim.Adam(tms[n].parameters(), lr=LR,
+                                    betas=(0.5, 0.999)) for n in tms}
+        tGX, tGY = tms["generator_X"], tms["generator_Y"]
+        tDX, tDY = tms["discriminator_X"], tms["discriminator_Y"]
+
+        data = _batches(21, 6)
+        fakes_Y = []
+        for si, (real_X, real_Y) in enumerate(data):
+            state, metrics, _ = step(state, _j(real_X), _j(real_Y))
+
+            fake_Y = tGX(real_X)
+            rec_X = tGY(fake_Y)
+            fake_X = tGY(real_Y)
+            rec_Y = tGX(fake_X)
+            opts["generator_X"].zero_grad()
+            opts["generator_Y"].zero_grad()
+            pred_fake_Y = tDX(fake_Y)
+            pred_fake_X = tDY(fake_X)
+            loss_GX = F.mse_loss(pred_fake_Y, torch.zeros_like(pred_fake_Y)) \
+                + 10.0 * F.l1_loss(rec_X, real_X)
+            loss_GY = F.mse_loss(pred_fake_X, torch.zeros_like(pred_fake_X)) \
+                + 10.0 * F.l1_loss(rec_Y, real_Y)
+            loss_GX.backward(retain_graph=True)
+            loss_GY.backward()
+            opts["generator_X"].step()
+            opts["generator_Y"].step()
+
+            def d_step(name, D, real, fake):
+                opts[name].zero_grad()
+                pr = D(real)
+                pf = D(fake.detach())
+                loss = (F.mse_loss(pr, torch.zeros_like(pr))
+                        + F.mse_loss(pf, torch.ones_like(pf))) * 0.5
+                loss.backward()
+                opts[name].step()
+                return loss.item()
+
+            dx = d_step("discriminator_X", tDX, real_Y, fake_Y)
+            dy = d_step("discriminator_Y", tDY, real_X, fake_X)
+            fakes_Y.append(fake_Y.detach().numpy().transpose(0, 2, 3, 1))
+
+            ref = {"netG_X_total": loss_GX.item(),
+                   "netG_Y_total": loss_GY.item(),
+                   "netD_X_total": dx, "netD_Y_total": dy}
+            for k, v in ref.items():
+                np.testing.assert_allclose(float(metrics[k]), v,
+                                           rtol=2e-2, atol=2e-3,
+                                           err_msg=f"step {si} {k}")
+
+        # pool evolution: the fill phase stored the 12 fake_Y images in
+        # insertion order (gan_image_pool.py:50-55 not-full branch)
+        pool = state.pools["fake_X_pool"]
+        assert int(pool.count) == 12
+        stored = np.asarray(pool.images[:12])
+        expected = np.concatenate(fakes_Y, axis=0)
+        # insertion ORDER is the semantic claim; values carry the two
+        # implementations' trajectory drift (amplified where tanh saturates)
+        np.testing.assert_allclose(stored, expected, atol=2e-2)
+        # order check is meaningful: images from different steps differ by far
+        # more than the tolerance
+        assert np.abs(stored[:2] - expected[2:4]).max() > 0.1
+
+        theirs = ti.convert_torch_state(
+            {"params": state.variables["generator_Y"]["params"]},
+            seq_state(tGY))["params"]
+        a = np.asarray(
+            state.variables["generator_Y"]["params"]["model_1"]["conv"]["kernel"])
+        np.testing.assert_allclose(
+            a, np.asarray(theirs["model_1"]["conv"]["kernel"]),
+            rtol=2e-2, atol=2e-4)
+
+
+class TestPoolReplaySemantics:
+    def test_full_pool_matches_reference_algorithm(self):
+        """Replay phase: emulate the reference's per-image sequential logic
+        (gan_image_pool.py:15-65) on host with the SAME uniform/randint draws
+        the device scan consumes; outputs and buffers must match exactly."""
+        pool_size, B = 4, 8
+        rng = jax.random.PRNGKey(42)
+        imgs = jax.random.normal(jax.random.PRNGKey(1), (B, 2, 2, 1))
+        full = init_pool(pool_size, (2, 2, 1))
+        prefill = jax.random.normal(jax.random.PRNGKey(2),
+                                    (pool_size, 2, 2, 1))
+        full = full.replace(images=prefill,
+                            count=jnp.asarray(pool_size, jnp.int32))
+
+        new_state, out = pool_query(full, imgs, rng)
+
+        # host emulation with identical draws
+        keys = jax.random.split(rng, B)
+        buf = np.asarray(prefill).copy()
+        expect = np.zeros_like(np.asarray(imgs))
+        for i in range(B):
+            k1, k2 = jax.random.split(keys[i])
+            p = float(jax.random.uniform(k1))
+            rid = int(jax.random.randint(k2, (), 0, pool_size))
+            img = np.asarray(imgs[i])
+            if p > 0.5:  # reference: return a buffered image, store the new
+                expect[i] = buf[rid]
+                buf[rid] = img
+            else:
+                expect[i] = img
+        np.testing.assert_array_equal(np.asarray(out), expect)
+        np.testing.assert_array_equal(np.asarray(new_state.images), buf)
+        assert int(new_state.count) == pool_size
