@@ -94,9 +94,65 @@ class DebugPrinter:
         self._start = None
 
 
+HISTOGRAM_BINS = 200  # eventprocessor.py:173
+
+
+def compute_histogram(value, bins=HISTOGRAM_BINS):
+    """Array -> (bin_centers, counts), the reference's _generate_hist
+    (eventprocessor.py:246-252)."""
+    v = np.asarray(value, np.float64).ravel()
+    counts, edges = np.histogram(v, bins=bins, density=False)
+    return (edges[:-1] + edges[1:]) / 2, counts
+
+
+def _colormap(arr, cmap):
+    """Minimal Reds / coolwarm colormaps (uint8 RGB) for heatmap rendering —
+    no matplotlib on the training path (reference eventprocessor.py:228-244
+    uses plt.imshow with vmin=0, vmax=1)."""
+    v = np.clip(np.asarray(arr, np.float64), 0.0, 1.0)
+    if cmap == "reds":
+        anchors = np.array([[255, 245, 240], [252, 146, 114], [103, 0, 13]],
+                           np.float64)
+    else:  # coolwarm
+        anchors = np.array([[59, 76, 192], [221, 221, 221], [180, 4, 38]],
+                           np.float64)
+    pos = v * (len(anchors) - 1)
+    lo = np.clip(pos.astype(int), 0, len(anchors) - 2)
+    frac = (pos - lo)[..., None]
+    rgb = anchors[lo] * (1 - frac) + anchors[lo + 1] * frac
+    return rgb.astype(np.uint8)
+
+
+def _svg_histogram(hists, width=420, height=120):
+    """{subkey: (centers, counts)} -> standalone SVG with one bar panel per
+    subkey (dependency-free analog of eventprocessor.py:640-654)."""
+    panels = []
+    y0 = 0
+    for subkey, (centers, counts) in hists.items():
+        counts = np.asarray(counts, np.float64)
+        peak = counts.max() or 1.0
+        n = len(counts)
+        bw = (width - 20) / n
+        bars = "".join(
+            '<rect x="%.1f" y="%.1f" width="%.2f" height="%.1f" fill="#579"/>'
+            % (10 + i * bw, y0 + height - 14 - h, max(bw - 0.2, 0.3), h)
+            for i, h in enumerate((counts / peak) * (height - 30)))
+        label = ("%s  [%.3g, %.3g]" % (subkey, centers[0], centers[-1])
+                 if len(centers) else subkey)
+        panels.append(
+            f'<g>{bars}<text x="12" y="{y0 + 12}" font-size="10">'
+            f"{label}</text></g>")
+        y0 += height
+    return (f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+            f'height="{y0}" style="background:#fafafa">' + "".join(panels)
+            + "</svg>")
+
+
 class EventBroker:
     """Facade (eventprocessor.py:680-752): fan out live events to streamers,
-    accumulate per-epoch aggregates, persist history as JSON."""
+    accumulate per-epoch aggregates, persist history as JSON. weight/* events
+    are reduced to 200-bin histograms on arrival (arrays are not retained);
+    heatmap events render to colormapped PNGs under blobs/."""
 
     AGGREGATIONS = {"scalar/loss": "avg", "scalar/score": "avg",
                     "scalar/time": "sum"}
@@ -107,6 +163,8 @@ class EventBroker:
         self.sinks = list(sinks)
         self.metadata = metadata or MetadataKeeper()
         self._epoch_acc = defaultdict(list)
+        self._epoch_hists = {}
+        self.histograms = defaultdict(dict)  # key -> {epoch: {subkey: hist}}
         self.history = []
         if directory:
             os.makedirs(os.path.join(directory, "epochs", "blobs"), exist_ok=True)
@@ -124,6 +182,13 @@ class EventBroker:
             s.register(epoch, iteration, epoch_size, key, value, dtype)
         if dtype.startswith("scalar"):
             self._epoch_acc[(key, dtype)].append(float(value))
+        elif dtype.startswith("weight/"):
+            data = value if isinstance(value, dict) else {"values": value}
+            self._epoch_hists[key] = {
+                sk: v if (isinstance(v, tuple) and len(v) == 2)
+                else compute_histogram(v) for sk, v in data.items()}
+        elif dtype == "heatmap":
+            self._save_heatmap(epoch, key, value)
         elif dtype == "blob" and self.directory is not None:
             self._save_blob(epoch, key, value)
 
@@ -136,6 +201,22 @@ class EventBroker:
             arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
         Image.fromarray(arr).save(path)
 
+    def _save_heatmap(self, epoch, key, value):
+        """Render 2-D maps in [0, 1] to colormapped PNGs (Reds for loss keys,
+        coolwarm otherwise — eventprocessor.py:228-244)."""
+        if self.directory is None:
+            return
+        from PIL import Image
+        data = value if isinstance(value, dict) else {"": value}
+        for subkey, arr in data.items():
+            cmap = "reds" if ("loss" in key or "loss" in subkey) else "coolwarm"
+            rgb = _colormap(arr, cmap)
+            name = "_".join(x for x in (key.replace("/", "_"),
+                                        subkey.replace("/", "_")) if x)
+            path = os.path.join(self.directory, "epochs", "blobs",
+                                "%s_epoch_%02d.png" % (name, epoch))
+            Image.fromarray(rgb).save(path)
+
     def close_epoch(self, epoch):
         aggregated = {}
         for (key, dtype), values in self._epoch_acc.items():
@@ -143,6 +224,15 @@ class EventBroker:
             aggregated[key] = float(np.sum(values) if agg == "sum" else np.mean(values))
             self.metadata.add(epoch, key, aggregated[key])
         self._epoch_acc.clear()
+        for key, hists in self._epoch_hists.items():
+            self.histograms[key][epoch] = hists
+            if self.directory:
+                path = os.path.join(
+                    self.directory, "epochs", "blobs",
+                    "%s_epoch_%02d.svg" % (key.replace("/", "_"), epoch))
+                with open(path, "w") as f:
+                    f.write(_svg_histogram(hists))
+        self._epoch_hists = {}
         for s in self.streamers:
             s.close_epoch(epoch)
         self.history.append({"epoch": epoch, "metrics": aggregated})
@@ -150,15 +240,27 @@ class EventBroker:
             with open(os.path.join(self.directory, "epochs", "events.json"), "w") as f:
                 json.dump(self.history, f, indent=1)
         for sink in self.sinks:
-            sink.close_epoch(epoch, history=self.history, metadata=self.metadata)
+            sink.close_epoch(epoch, history=self.history, metadata=self.metadata,
+                             histograms=self.histograms)
         return aggregated
 
     def state_dict(self):
-        return {"history": self.history, "metadata": self.metadata.state_dict()}
+        return {"history": self.history, "metadata": self.metadata.state_dict(),
+                "histograms": {
+                    k: {e: {sk: (np.asarray(c).tolist(),
+                                 np.asarray(n).tolist())
+                            for sk, (c, n) in hs.items()}
+                        for e, hs in v.items()}
+                    for k, v in self.histograms.items()}}
 
     def load_state_dict(self, state):
         self.history = state["history"]
         self.metadata.load_state_dict(state["metadata"])
+        self.histograms = defaultdict(dict)
+        for k, v in (state.get("histograms") or {}).items():
+            for e, hs in v.items():
+                self.histograms[k][int(e)] = {
+                    sk: (np.asarray(c), np.asarray(n)) for sk, (c, n) in hs.items()}
 
 
 def initialize_processor(params, directory=None, decisive_criterion=None,

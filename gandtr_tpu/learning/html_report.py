@@ -40,7 +40,7 @@ class HtmlReport:
     def register(self, *args, **kwargs):
         pass
 
-    def close_epoch(self, epoch, history=None, metadata=None):
+    def close_epoch(self, epoch, history=None, metadata=None, histograms=None):
         if history is None:
             return
         keys = sorted({k for h in history for k in h["metrics"]})
@@ -60,6 +60,25 @@ class HtmlReport:
                 f"<figcaption>{html.escape(n)}</figcaption></figure>"
                 for n in imgs if n.lower().endswith((".jpg", ".png")))
 
+        # per-epoch weight/grad distributions (reference renders histogram
+        # sections per key, eventprocessor.py:640-654); the latest epoch's
+        # SVG is inlined, older epochs stay reachable under blobs/
+        dists = ""
+        if histograms:
+            from gandtr_tpu.learning.events import _svg_histogram
+            blocks = []
+            for key in sorted(histograms):
+                epochs = histograms[key]
+                if not epochs:
+                    continue
+                last = max(epochs)
+                blocks.append(
+                    f"<div class='metric'><h3>{html.escape(key)} "
+                    f"<small>epoch {last} ({len(epochs)} epochs)</small></h3>"
+                    + _svg_histogram(epochs[last]) + "</div>")
+            if blocks:
+                dists = "<h2>Distributions</h2>" + "".join(blocks)
+
         doc = f"""<!doctype html><html><head><meta charset="utf-8">
 <title>gandtr-tpu report</title>
 <style>body{{font-family:sans-serif;margin:20px}}
@@ -68,6 +87,7 @@ figure{{display:inline-block;margin:4px;text-align:center}}
 figcaption{{font-size:9px;max-width:128px;overflow:hidden}}</style></head>
 <body><h1>Experiment report — epoch {epoch}</h1>
 <h2>Metrics</h2>{''.join(rows)}
+{dists}
 <h2>Samples</h2>{thumbs}
 </body></html>"""
         with open(os.path.join(self.report_dir, "index.html"), "w") as f:

@@ -127,9 +127,10 @@ class Training:
         return state
 
     def _log_weight_norms(self, state, epoch):
-        """Per-subnet parameter L2 norms as weight/param events (the functional
-        analog of the reference's weight-histogram logging,
-        supervised_epoch.py:110-115)."""
+        """Per-subnet parameter events: L2-norm scalars plus the reference's
+        per-parameter weight histograms (supervised_epoch.py:110-115 +
+        network.py:81-82 'net/params' dict events; the broker reduces each
+        array to a 200-bin histogram on arrival)."""
         logger = self.events.logger("train/weights", epoch)
         variables = getattr(state, "variables", None)
         if not isinstance(variables, dict):
@@ -138,9 +139,13 @@ class Training:
             params = var.get("params") if isinstance(var, dict) else None
             if params is None:
                 continue
-            sq = sum(float(jnp.sum(jnp.square(l)))
-                     for l in jax.tree_util.tree_leaves(params))
+            leaves = jax.tree_util.tree_leaves_with_path(params)
+            sq = sum(float(jnp.sum(jnp.square(l))) for _, l in leaves)
             logger(f"{name}/l2", float(np.sqrt(sq)), "scalar/score")
+            logger(f"{name}/params",
+                   {jax.tree_util.keystr(path, simple=True, separator="."):
+                    np.asarray(leaf) for path, leaf in leaves},
+                   "weight/param")
 
     def resume_or_start(self, state, templates=None):
         """Epoch-granular resume (learning.py:40-59): reload latest epoch's

@@ -1,0 +1,117 @@
+"""Observability parity: weight/grad histograms + heatmap rendering.
+
+Reference renders per-epoch weight histograms and heatmaps into its report
+(/root/reference/mdir/tools/eventprocessor.py:176-328, 640-654). Our broker
+reduces weight/* events to 200-bin histograms on arrival, writes per-epoch
+SVG histogram blobs + colormapped heatmap PNGs, inlines a Distributions
+section in the HTML report, and carries histograms through state_dict resume.
+"""
+import os
+
+import numpy as np
+
+from gandtr_tpu.learning.events import (EventBroker, compute_histogram,
+                                        _colormap, initialize_processor)
+
+
+class TestHistogramEvents:
+    def test_weight_event_reduced_and_stored(self, tmp_path):
+        broker = EventBroker(directory=str(tmp_path))
+        rng = np.random.RandomState(0)
+        log = broker.logger("train/weights", epoch=1)
+        log("generator/params", {"conv.kernel": rng.randn(64, 9),
+                                 "conv.bias": rng.randn(64)}, "weight/param")
+        log("generator/grads", rng.randn(100), "weight/grad")
+        broker.close_epoch(1)
+
+        hists = broker.histograms["train/weights/generator/params"][1]
+        assert set(hists) == {"conv.kernel", "conv.bias"}
+        centers, counts = hists["conv.kernel"]
+        assert len(centers) == 200 and counts.sum() == 64 * 9
+        # blob SVGs written per histogram key
+        blobs = os.listdir(tmp_path / "epochs" / "blobs")
+        assert "train_weights_generator_params_epoch_01.svg" in blobs
+        assert "train_weights_generator_grads_epoch_01.svg" in blobs
+        svg = (tmp_path / "epochs" / "blobs" /
+               "train_weights_generator_params_epoch_01.svg").read_text()
+        assert svg.startswith("<svg") and "conv.kernel" in svg
+
+    def test_histogram_matches_reference_generate_hist(self):
+        """Same (centers, counts) as eventprocessor.py:246-252."""
+        rng = np.random.RandomState(3)
+        v = rng.randn(500)
+        centers, counts = compute_histogram(v)
+        ref_counts, ref_edges = np.histogram(v, bins=200, density=False)
+        np.testing.assert_allclose(centers,
+                                   (ref_edges[:-1] + ref_edges[1:]) / 2)
+        np.testing.assert_array_equal(counts, ref_counts)
+
+    def test_state_dict_roundtrip(self, tmp_path):
+        broker = EventBroker(directory=str(tmp_path))
+        log = broker.logger("w", epoch=2)
+        log("net/params", np.arange(10.0), "weight/param")
+        broker.close_epoch(2)
+        state = broker.state_dict()
+
+        other = EventBroker()
+        other.load_state_dict(state)
+        a = broker.histograms["w/net/params"][2]["values"]
+        b = other.histograms["w/net/params"][2]["values"]
+        np.testing.assert_allclose(a[0], b[0])
+        np.testing.assert_array_equal(a[1], b[1])
+
+
+class TestHeatmapEvents:
+    def test_heatmap_rendered_png(self, tmp_path):
+        broker = EventBroker(directory=str(tmp_path))
+        log = broker.logger("val/visual", epoch=3)
+        hm = np.linspace(0, 1, 64).reshape(8, 8)
+        log("attention", hm, "heatmap")
+        log("loss_map", {"pix": hm}, "heatmap")
+        blobs = os.listdir(tmp_path / "epochs" / "blobs")
+        assert "val_visual_attention_epoch_03.png" in blobs
+        assert "val_visual_loss_map_pix_epoch_03.png" in blobs
+        from PIL import Image
+        img = np.asarray(Image.open(
+            tmp_path / "epochs" / "blobs" / "val_visual_attention_epoch_03.png"))
+        assert img.shape == (8, 8, 3)
+
+    def test_colormaps(self):
+        v = np.array([[0.0, 0.5, 1.0]])
+        reds = _colormap(v, "reds")
+        cw = _colormap(v, "coolwarm")
+        # reds: light -> dark red; coolwarm: blue -> neutral -> red
+        assert reds[0, 0].sum() > reds[0, 2].sum()
+        assert cw[0, 0, 2] > cw[0, 0, 0]  # blue end
+        assert cw[0, 2, 0] > cw[0, 2, 2]  # red end
+        assert _colormap(np.array([[2.0]]), "reds").shape == (1, 1, 3)
+
+
+class TestReportSections:
+    def test_training_loop_emits_histograms_and_report(self, tmp_path):
+        """End-to-end: the Training driver logs weight/param dict events; the
+        report gains a Distributions section with the subnet's params."""
+        from gandtr_tpu.learning.training import Training
+
+        class FakeState:
+            variables = {"gen": {"params": {"conv": {
+                "kernel": np.random.RandomState(0).randn(4, 4)}}}}
+
+        class Loader(list):
+            dataset = object()
+
+        def step_fn(state, batch):
+            return state, {"total": float(np.sum(batch))}
+
+        broker = initialize_processor({"htmlreport": {}},
+                                      directory=str(tmp_path))
+        training = Training(step_fn=step_fn,
+                            loader=Loader([(np.ones(2),), (np.zeros(2),)]),
+                            epochs=2, events=broker)
+        training.run(FakeState())
+
+        assert broker.histograms["train/weights/gen/params"]
+        report = (tmp_path / "epochs" / "htmlreport" / "index.html").read_text()
+        assert "Distributions" in report
+        assert "train/weights/gen/params" in report
+        assert "conv.kernel" in report
