@@ -124,6 +124,53 @@ def conv_s2d(xp, kernel, s):
     return depth_to_space(y, s)
 
 
+def conv_dual_s2d(xp, kernel, s, fold="s2d"):
+    """Stride-1 VALID conv with few INPUT channels, rewritten as a block conv
+    on the space-to-depth-folded input with a phase-expanded kernel + d2s.
+
+    The generator's opening 7x7 conv 3->64 contracts only 3 channels per tap
+    (3/128 MXU utilization, ~22 TFLOP/s measured). Folding s x s input phases
+    into channels (the MLPerf-ResNet conv1 trick) makes the contraction
+    s*s*C wide, and expanding all s x s output phases into channels keeps the
+    output MXU-sized: one stride-1 conv over (Hp/s, Wp/s) blocks with an
+    (nb, nb, s*s*C, s*s*Co) kernel, then depth-to-space. Exact (same
+    multiply-add terms; extra taps multiply by structural zeros).
+
+    xp: (B, Hp, Wp, C) pre-padded; kernel (K, K, C, Co); output H=Hp-K+1
+    must satisfy H % s == 0 (same for W). fold: "s2d" (reshape-transpose) or
+    "slice" (strided-slice concat; same values — but CRASHES the axon
+    tunnel's TPU worker via its fusion emitter, like round 1's
+    reversed-slice SIGABRT; CPU/testing only).
+    """
+    K, _, C, Co = kernel.shape
+    B, Hp, Wp, _ = xp.shape
+    H, W = Hp - K + 1, Wp - K + 1
+    if H % s or W % s:
+        raise ValueError("output not divisible by s")
+    # number of input blocks covered by one output block's taps
+    nb = (s - 1 + K - 1) // s + 1
+    # pad the input to the exact covered extent: s*(H/s + nb - 1)
+    tgt_h, tgt_w = s * (H // s + nb - 1), s * (W // s + nb - 1)
+    xp = jnp.pad(xp, ((0, 0), (0, tgt_h - Hp), (0, tgt_w - Wp), (0, 0)))
+    if fold == "slice":
+        xs = jnp.concatenate(
+            [xp[:, e::s, f::s, :] for e in range(s) for f in range(s)], axis=-1)
+        # channel order (e, f, c) == s2d's phase-major order
+    else:
+        xs = space_to_depth(xp, s)
+    # S[bi, p, e, u] = 1 iff s*bi + e == p + u
+    S = np.zeros((nb, s, s, K), np.float32)
+    for p in range(s):
+        for u in range(K):
+            bi, e = divmod(p + u, s)
+            S[bi, p, e, u] = 1
+    S = jnp.asarray(S, xp.dtype)
+    Kb = jnp.einsum("apeu,bqfv,uvcd->abefcpqd", S, S, kernel.astype(xp.dtype))
+    Kb = Kb.reshape(nb, nb, s * s * C, s * s * Co)
+    y = _conv(xs, Kb)
+    return depth_to_space(y, s)
+
+
 def conv_stride_s2d(xp, kernel, stride):
     """Strided VALID conv on pre-padded input via s2d of the input only.
 

@@ -151,3 +151,22 @@ def test_conv_reflect_few_out_matches_pad_conv():
         got = fc.conv_reflect_few_out(x, k, p, s)
         np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
                                    rtol=2e-5, atol=1e-4)
+
+
+def test_conv_dual_s2d_matches_naive():
+    """Dual space-to-depth (input-phase fold + output-phase expansion) for
+    few-INPUT-channel stride-1 convs is exact. Measured on v5e: wins isolated
+    (1.01 vs 1.52 ms for the generator head conv) but LOSES once the IN+relu
+    epilogue is attached (d2s breaks producer fusion, 3.9 vs 2.5 ms), so it
+    is not dispatched; kept as the measured record (docs/PERF.md)."""
+    rng = np.random.RandomState(11)
+    for K, C, Co, H, s in [(7, 3, 64, 32, 4), (7, 3, 64, 32, 8),
+                           (3, 3, 8, 24, 2), (5, 2, 16, 40, 4)]:
+        x = jnp.asarray(rng.randn(2, H + K - 1, H + K - 1, C).astype(np.float32))
+        k = jnp.asarray(rng.randn(K, K, C, Co).astype(np.float32))
+        ref = jax.lax.conv_general_dilated(
+            x, k, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        for fold in ("s2d", "slice"):
+            got = fc.conv_dual_s2d(x, k, s, fold=fold)
+            np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                                       rtol=2e-5, atol=2e-4, err_msg=fold)
