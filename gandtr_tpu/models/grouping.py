@@ -307,8 +307,49 @@ class ClusteringCodebook(Codebook):
                                         self.params["iterations"])
 
 
+class FaissCodebook(Codebook):
+    """Codebook clustered at the start of the first epoch, faiss-style
+    (reference grouping.py:329-343: `functional.cluster_faiss` = faiss
+    k-means with L2 metric via the optional asmk dependency).
+
+    faiss is an optional dependency in the reference and absent here; when it
+    is importable we delegate to it, otherwise `compute_codebook` falls back
+    to the pure-JAX exact k-means (Forgy init + Lloyd iterations, faiss's
+    default niter=25) over chunked exact L2 distances — same algorithm
+    family, deterministic, no external dep. Codebooks are clustering
+    heuristics: centroids differ between faiss versions too, so the fallback
+    is behaviorally equivalent for training purposes.
+    """
+
+    def __init__(self, centroids, features, nearest, assignment, descriptor,
+                 weights, lr_multiplier=1.0, top_centroids=None, iterations=25,
+                 *, outputdim, **inference_params):
+        super().__init__(jnp.zeros((parse_size(centroids), outputdim)),
+                         features, nearest, assignment, descriptor, weights,
+                         lr_multiplier, top_centroids)
+        self.clustering = str_func_call("kmeans", CLUSTERING_FUNCTIONS)
+        self.params["iterations"] = iterations
+
+    def compute_codebook(self, descriptors, rng=None):
+        descriptors = jnp.asarray(descriptors)
+        n = self.params["centroids"]
+        try:
+            import faiss  # optional, mirrors the reference's asmk path
+            import numpy as _np
+            pts = _np.asarray(descriptors, _np.float32)
+            km = faiss.Kmeans(pts.shape[1], n, niter=self.params["iterations"])
+            km.train(pts)
+            self.codebook = jnp.asarray(km.centroids)
+        except ImportError:
+            rng = rng if rng is not None else jax.random.PRNGKey(0)
+            centroids = init_clusters_forgy(descriptors, n, rng)
+            self.codebook = self.clustering(descriptors, centroids,
+                                            self.params["iterations"])
+
+
 GROUPINGS = {
     "BatchClustering": BatchClustering,
     "ClusteringCodebook": ClusteringCodebook,
     "LoadedCodebook": LoadedCodebook,
+    "FaissCodebook": FaissCodebook,
 }

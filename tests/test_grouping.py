@@ -93,6 +93,19 @@ class TestClustering:
         grouped, weights = g.forward(images)
         assert grouped.shape == (3, 4, 8)
 
+    def test_faiss_codebook_fallback(self):
+        """FaissCodebook closes the reference registry (grouping.py:329-343);
+        without faiss installed it clusters via the pure-JAX exact k-means."""
+        g = G.FaissCodebook(4, "normres", "top-1", "uniform", "l2norm",
+                            "unif", outputdim=8, iterations=5)
+        g.compute_codebook(RNG.rand(60, 8).astype(np.float32))
+        assert g.codebook.shape == (4, 8)
+        assert float(jnp.abs(g.codebook).sum()) > 0
+        images = [feats(10), feats(10)]
+        grouped, weights = g.forward(images)
+        assert grouped.shape[0] == 2
+        assert "FaissCodebook" in G.GROUPINGS
+
     def test_clustering_codebook(self):
         g = G.ClusteringCodebook(4, "normres", "top-1", "uniform", "l2norm",
                                  "unif", outputdim=8, iterations=3)
