@@ -74,22 +74,44 @@ def dict_deep_overlay(*data, list_replace=False):
 
 def load_yaml_scenario(scenarios):
     """Load + overlay a chain of yaml files / `a.b.c=value` CLI overrides
-    (utils.py:21-36); later entries override earlier ones."""
-    first = scenarios[0]
-    if first.endswith(".yml") or first.endswith(".yaml"):
-        with open(first) as handle:
-            scenario = yaml.safe_load(handle)
-    elif "=" in first:
-        deep_key, value = first.split("=")
-        scenario = deep_set({}, deep_key.split("."), json.loads(value))
-    else:
-        raise ValueError("Unsupported scenario spec: %s" % first)
+    (utils.py:21-36); later files override earlier ones.
 
-    if scenarios[1:]:
-        scenario = dict_deep_overlay(scenario, load_yaml_scenario(scenarios[1:]))
-    if first.endswith(".yml") or first.endswith(".yaml"):
-        scenario = load_nested_templates(scenario, os.path.dirname(first))
+    `key=value` overrides (JSON-encoded values; trailing `*` replaces, `+`
+    appends to lists) apply AFTER file loading and template expansion so they
+    always win — merging them into the pre-expansion tree let a file's own
+    dotted keys (e.g. hedngan.yml's `network.path`) clobber the override."""
+    files = []
+    overrides = []
+    for spec in scenarios:
+        if spec.endswith(".yml") or spec.endswith(".yaml"):
+            files.append(spec)
+        elif "=" in spec:
+            overrides.append(spec)
+        else:
+            raise ValueError("Unsupported scenario spec: %s" % spec)
+    scenario = _load_yaml_files(files) if files else {}
+    for spec in overrides:
+        deep_key, value = spec.split("=", 1)
+        keys = deep_key.split(".")
+        value = json.loads(value)
+        if keys[-1].endswith("+"):
+            keys[-1] = keys[-1][:-1]
+            existing = get_deeply(scenario, keys, ignore_nonexistent=True)
+            value = (existing or []) + value
+        elif keys[-1].endswith("*"):
+            keys[-1] = keys[-1][:-1]
+        deep_set(scenario, keys, value)
     return scenario
+
+
+def _load_yaml_files(scenarios):
+    """File-chain overlay with per-file template expansion (utils.py:21-36)."""
+    first = scenarios[0]
+    with open(first) as handle:
+        scenario = yaml.safe_load(handle)
+    if scenarios[1:]:
+        scenario = dict_deep_overlay(scenario, _load_yaml_files(scenarios[1:]))
+    return load_nested_templates(scenario, os.path.dirname(first))
 
 
 def load_nested_templates(params, root_path):
