@@ -223,6 +223,11 @@ class EventBroker:
             agg = self.AGGREGATIONS.get(dtype, "avg")
             aggregated[key] = float(np.sum(values) if agg == "sum" else np.mean(values))
             self.metadata.add(epoch, key, aggregated[key])
+            # per-iteration scalar/time distributions render as histograms in
+            # the reference report (eventprocessor.py:640-654)
+            if dtype == "scalar/time" and len(values) > 1:
+                self._epoch_hists.setdefault(key, {})["iterations"] = \
+                    compute_histogram(values, bins=min(50, len(values)))
         self._epoch_acc.clear()
         for key, hists in self._epoch_hists.items():
             self.histograms[key][epoch] = hists

@@ -115,3 +115,17 @@ class TestReportSections:
         assert "Distributions" in report
         assert "train/weights/gen/params" in report
         assert "conv.kernel" in report
+
+    def test_scalar_time_distribution_histogram(self, tmp_path):
+        """Per-iteration scalar/time values become a distribution histogram
+        at close_epoch (reference eventprocessor.py:640-654)."""
+        broker = EventBroker(directory=str(tmp_path))
+        log = broker.logger("train/learning", 1, epoch_size=10)
+        for it in range(10):
+            log("time_data", 0.1 + 0.01 * it, "scalar/time", iteration=it)
+        agg = broker.close_epoch(1)
+        assert abs(agg["train/learning/time_data"] - sum(
+            0.1 + 0.01 * i for i in range(10))) < 1e-9  # sum aggregation
+        hists = broker.histograms["train/learning/time_data"][1]
+        centers, counts = hists["iterations"]
+        assert counts.sum() == 10
