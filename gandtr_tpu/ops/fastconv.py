@@ -278,6 +278,58 @@ def conv_reflect_few_out(x, kernel, p, s):
     return jnp.concatenate([top, mid, bot], axis=1)
 
 
+def conv_reflect_few_out_additive(x, kernel, p, s):
+    """'SAME' reflect-padded stride-1 conv with few output channels, without
+    materializing the (H+2p, W+2p, C) reflect tensor — v2 of
+    conv_reflect_few_out with where/add band placement.
+
+    Measured v5e, batch 24 tail (64->3 7x7 @256²): the reflect-pad
+    materialization itself costs ~1.7 ms (half-empty lanes at C=64, and the
+    padded tensor can't fold into the conv the way implicit zero padding
+    does), while the zero-padded conv_s2d runs in 0.77 ms. v1's concat
+    stitching of 3-px-wide pieces on a 3-lane tensor re-lost the win; here
+    the four border bands are recomputed exactly from small reflect-padded
+    strips and PLACED with full-size where/pad ops — cheap, because the
+    OUTPUT tensor is tiny (Co < 32 channels).
+
+    x: (B, H, W, C); kernel (K, K, C, Co), K == 2p+1, H % s == W % s == 0.
+    Bit-identical to pad-reflect + VALID conv.
+    """
+    K = kernel.shape[0]
+    B, H, W, C = x.shape
+    kernel = kernel.astype(x.dtype)
+    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+    out = conv_s2d(xp, kernel, s)
+
+    # band inputs: reflect only happens within p of each edge, so a
+    # (2p + p)-deep strip reflect-padded on its outer side reproduces the
+    # exact padded neighborhood of the first/last p output rows/cols
+    top_in = jnp.pad(x[:, :2 * p], ((0, 0), (p, 0), (p, p), (0, 0)),
+                     mode="reflect")
+    bot_in = jnp.pad(x[:, -2 * p:], ((0, 0), (0, p), (p, p), (0, 0)),
+                     mode="reflect")
+    tb = _conv(jnp.concatenate([top_in, bot_in], axis=0), kernel)
+    top, bot = tb[:B], tb[B:]          # (B, p, W, Co)
+    left_in = jnp.pad(x[:, :, :2 * p], ((0, 0), (p, p), (p, 0), (0, 0)),
+                      mode="reflect")
+    right_in = jnp.pad(x[:, :, -2 * p:], ((0, 0), (p, p), (0, p), (0, 0)),
+                       mode="reflect")
+    lr = _conv(jnp.concatenate([left_in, right_in], axis=0), kernel)
+    left, right = lr[:B], lr[B:]       # (B, H, p, Co)
+
+    # placement: pad each band to full size and select by row/col index —
+    # all on the (B, H, W, Co) output, a few MB for the few-out-channel case
+    rows = jnp.arange(H)[None, :, None, None]
+    cols = jnp.arange(W)[None, None, :, None]
+    out = jnp.where(cols < p, jnp.pad(left, ((0, 0), (0, 0), (0, W - p), (0, 0))), out)
+    out = jnp.where(cols >= W - p,
+                    jnp.pad(right, ((0, 0), (0, 0), (W - p, 0), (0, 0))), out)
+    out = jnp.where(rows < p, jnp.pad(top, ((0, 0), (0, H - p), (0, 0), (0, 0))), out)
+    out = jnp.where(rows >= H - p,
+                    jnp.pad(bot, ((0, 0), (H - p, 0), (0, 0), (0, 0))), out)
+    return out
+
+
 def dispatch_conv_reflect(x, kernel, p):
     """Fast path for Conv(pad_mode='reflect', stride 1, K == 2p+1) with few
     output channels; None -> pad + normal dispatch."""
