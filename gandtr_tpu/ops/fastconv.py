@@ -171,6 +171,49 @@ def conv_dual_s2d(xp, kernel, s, fold="s2d"):
     return depth_to_space(y, s)
 
 
+def conv_wfold(xp, kernel, f):
+    """Stride-1 VALID conv with few channels, contraction widened by folding
+    f adjacent W-phases into channels — TRANSPOSE-FREE (W and C are
+    memory-adjacent in NHWC, so the fold and unfold are pure reshapes,
+    unlike space_to_depth's H-folds which cost layout moves).
+
+    Exact: output phase d of W-block j is
+      out[f*j+d] = sum_u xp[f*j+d+u] k[u]   (per H-tap, channel pair)
+    and d+u spans [0, f+Kw-2] -> nbw = (f+Kw-2)//f + 1 W-taps whose folded
+    kernel holds k at (e, u) with f*bw + e == d + u. Contraction per tap
+    becomes f*C (lane-filling for C < 128), output channels f*Co, FLOP
+    inflation nbw*f/Kw.
+
+    xp: (B, Hp, Wp, C) pre-padded; kernel (Kh, Kw, C, Co). Output
+    (B, Hp-Kh+1, W, Co), W = Wp-Kw+1; requires W % f == 0.
+    """
+    Kh, Kw, C, Co = kernel.shape
+    B, Hp, Wp, _ = xp.shape
+    W = Wp - Kw + 1
+    if W % f:
+        raise ValueError("output width not divisible by fold")
+    nbw = (f + Kw - 2) // f + 1
+    wb_out = W // f
+    wb_in = wb_out + nbw - 1
+    tgt = wb_in * f
+    if tgt > Wp:
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, tgt - Wp), (0, 0)))
+    else:
+        xp = xp[:, :, :tgt]
+    xf = xp.reshape(B, Hp, wb_in, f * C)
+    S = np.zeros((nbw, f, f, Kw), np.float32)  # [bw, d, e, u]
+    for d in range(f):
+        for u in range(Kw):
+            bw, e = divmod(d + u, f)
+            S[bw, d, e, u] = 1
+    S = jnp.asarray(S, xp.dtype)
+    Kb = jnp.einsum("wdeu,huco->hwecdo", S, kernel.astype(xp.dtype))
+    Kb = Kb.reshape(Kh, nbw, f * C, f * Co)
+    y = _conv(xf, Kb)                      # (B, H, wb_out, f*Co)
+    H = Hp - Kh + 1
+    return y.reshape(B, H, W, Co)
+
+
 def conv_stride_s2d(xp, kernel, stride):
     """Strided VALID conv on pre-padded input via s2d of the input only.
 
@@ -366,10 +409,18 @@ def dispatch_conv(xp, kernel, stride):
         return None
     K, _, C, Co = kernel.shape
     B, Hp, Wp, _ = xp.shape
-    if stride != 1 or Co >= 32:
+    if stride != 1:
         return None
     H, W = Hp - K + 1, Wp - K + 1
     if H <= 0 or W <= 0:
+        return None
+    # NOT dispatched: conv_wfold (transpose-free W-phase fold) for
+    # few-INPUT-channel convs measured 2.58 -> 1.28 ms on the generator head
+    # WITH its IN+relu epilogue — but the FULL generator regressed 21.2 ->
+    # 24.2 ms (the reshape chain degrades the downstream stride-2 conv's
+    # layout; same composition trap as the round-1 two-stage s2d form).
+    # Kept as a parity-tested op for segment-level use (docs/PERF.md).
+    if Co >= 32:
         return None
     for s in (8, 4, 2):
         if s * s * Co < 128 or H % s or W % s or H // s < 2 or W // s < 2:

@@ -170,3 +170,37 @@ def test_conv_dual_s2d_matches_naive():
             got = fc.conv_dual_s2d(x, k, s, fold=fold)
             np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
                                        rtol=2e-5, atol=2e-4, err_msg=fold)
+
+
+def test_conv_wfold_matches_naive():
+    """Transpose-free W-phase fold for few-input-channel convs — exact."""
+    rng = np.random.RandomState(5)
+    for Kh, Kw, C, Co, H, W, f in [(3, 3, 64, 64, 12, 64, 2),
+                                   (7, 7, 3, 64, 16, 64, 8),
+                                   (3, 3, 3, 64, 10, 128, 8),
+                                   (5, 5, 4, 32, 9, 40, 4)]:
+        x = jnp.asarray(rng.randn(2, H + Kh - 1, W + Kw - 1, C).astype(np.float32))
+        k = jnp.asarray(rng.randn(Kh, Kw, C, Co).astype(np.float32))
+        ref = jax.lax.conv_general_dilated(
+            x, k, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        got = fc.conv_wfold(x, k, f)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                                   rtol=2e-5, atol=2e-4)
+
+
+def test_conv_layer_does_not_dispatch_wfold():
+    """wfold is intentionally NOT dispatched (full-generator regression:
+    21.2 -> 24.2 ms, layout composition trap — docs/PERF.md); the Conv layer
+    must produce the naive path's exact result."""
+    from gandtr_tpu.models.layers import Conv
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 70, 70, 3).astype(np.float32))
+    model = Conv(features=64, kernel_size=7, stride=1, padding=0)
+    var = model.init(jax.random.PRNGKey(0), x)
+    y_fast = model.apply(var, x)
+    assert y_fast.shape == (2, 64, 64, 64)
+    fc.set_enabled(False)
+    try:
+        y_naive = model.apply(var, x)
+    finally:
+        fc.set_enabled(True)
+    np.testing.assert_array_equal(np.asarray(y_fast), np.asarray(y_naive))
