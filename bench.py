@@ -1,6 +1,9 @@
-"""Benchmark: batched day→night generator inference at 256×256 on one chip.
+"""Benchmark: batched day→night generator inference at 256×256 on one chip,
+plus GeM-VGG16 descriptor extraction at the 1024px eval protocol.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints the PRIMARY metric as the FIRST JSON line (the driver parses it):
+{"metric", "value", "unit", "vs_baseline"}; the descriptor metric follows as
+a second JSON line (BASELINE.json's second named metric).
 
 Baseline note: the reference (mohwald/gandtr) publishes no throughput numbers
 (BASELINE.md). The driver's north star is ≥5× A100 images/sec/chip on v5e for
@@ -80,7 +83,55 @@ def main():
         "value": round(img_s, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(img_s / TARGET, 4),
-    }))
+    }), flush=True)
+
+    bench_descriptors()
+
+
+# A100 torch estimate for GeM-VGG16 descriptor extraction @1024²: the VGG16
+# stack is ~0.64 TFLOP/image; batched fp16 torch at ~20% of A100's 312
+# TFLOP/s tensor peak ≈ 100 img/s (the reference's own extract_vectors loop
+# is single-image and considerably slower). North star = 5× that.
+A100_DESC_ESTIMATE_IMG_S = 100.0
+DESC_TARGET = 5 * A100_DESC_ESTIMATE_IMG_S
+
+
+def bench_descriptors():
+    """GeM-VGG16 descriptors at the eval protocol size (1024², f32 — the
+    bit-faithful eval path; PERF.md: f32 ≈ bf16 for this graph)."""
+    from gandtr_tpu.models.retrieval import GemRetrievalNet
+
+    model = GemRetrievalNet(architecture="vgg16", pooling="gem")
+    # batch sweep @1024²: 2→124, 4→131, 6→137, 8→156 img/s (docs/PERF.md)
+    batch, hw = 8, 1024
+    x = jax.random.uniform(jax.random.PRNGKey(0), (batch, hw, hw, 3),
+                           jnp.float32)
+    variables = model.init(jax.random.PRNGKey(1), x[:1])
+
+    ITERS = 15
+
+    @jax.jit
+    def timed_loop(v, z):
+        def body(i, acc):
+            y = model.apply(v, z + i.astype(z.dtype) * 1e-4)
+            return acc + jnp.sum(y.astype(jnp.float32))
+        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+
+    acc = float(timed_loop(variables, x))
+    assert np.isfinite(acc)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(timed_loop(variables, x))
+        best = min(best, (time.perf_counter() - t0) / ITERS)
+
+    img_s = batch / best
+    print(json.dumps({
+        "metric": "gem_vgg16_descriptors_per_sec_1024px",
+        "value": round(img_s, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(img_s / DESC_TARGET, 4),
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -324,3 +324,186 @@ class TestPoolReplaySemantics:
         np.testing.assert_array_equal(np.asarray(out), expect)
         np.testing.assert_array_equal(np.asarray(new_state.images), buf)
         assert int(new_state.count) == pool_size
+
+
+class TestCutTrajectory:
+    def test_six_steps_gamma_scheduler(self):
+        """CUT (NCE family): 6 steps with persistent Adam + gamma
+        (ExponentialLR) schedule boundary every 2 steps, fixed patch ids.
+        Covers the joint G+F backward and the second scheduler flavor."""
+        import torch.nn as tnn
+        from test_cut_nce_golden import torch_cut_step  # noqa: F401
+        from gandtr_tpu.learning.schedules import gamma_schedule
+
+        torch.manual_seed(30)
+        tG = build_torch_resnet_generator(n_blocks=1, norm="instance", ngf=8)
+        tD = build_torch_discriminator(ndf=8, n_layers=2,
+                                       norm="instance").train()
+        layers = [0, 4]
+        x_probe = torch.zeros(1, 3, 32, 32)
+        feats, h = [], x_probe
+        for i, layer in enumerate(tG):
+            h = layer(h)
+            if i in layers:
+                feats.append(h)
+        mlps = [tnn.Sequential(tnn.Linear(f.shape[1], 16), tnn.ReLU(),
+                               tnn.Linear(16, 16)) for f in feats]
+
+        ms, _ = build_model_set({
+            "type": "NetworkSet",
+            "generator_X": {"model": {"architecture": "official_resnet_generator",
+                                      "ngf": 8, "n_blocks": 1,
+                                      "norm_layer": "instance"},
+                            "runtime": {"wrappers": "", "data": {}}},
+            "discriminator_Y": {"model": {"architecture":
+                                          "official_p2p_discriminator",
+                                          "ndf": 8, "n_layers": 2,
+                                          "norm_layer": "instance"},
+                                "runtime": {"wrappers": "", "data": {}}},
+            "featdown": {"model": {"architecture": "official_p2p_mlp",
+                                   "nc": 16},
+                         "runtime": {"wrappers": "", "data": {}}}})
+        x0 = jnp.zeros((1, 32, 32, 3))
+        gvar = ti.convert_torch_state(
+            dict(ms["generator_X"].init(jax.random.PRNGKey(0), x0)),
+            seq_state(tG))
+        dvar = ti.convert_torch_state(
+            dict(ms["discriminator_Y"].init(jax.random.PRNGKey(0), x0)),
+            seq_state(tD))
+        jfeats = ms["generator_X"].apply(gvar, x0, train=False, layers=layers,
+                                         encode_only=True)
+        fvar = dict(ms["featdown"].module.init(
+            jax.random.PRNGKey(1), jfeats, num_patches=4,
+            rng=jax.random.PRNGKey(2)))
+        mlp_state = {}
+        for i, m in enumerate(mlps):
+            for kk, v in ti.torch_state_to_numpy(m.state_dict()).items():
+                mlp_state[f"mlp_{i}.{kk}"] = v
+        fvar = ti.convert_torch_state(fvar, mlp_state,
+                                      key_map=ti.patchsample_key_map)
+        variables = {"generator_X": gvar, "discriminator_Y": dvar,
+                     "featdown": fvar}
+
+        adam = {"algorithm": "adam", "lr": LR, "beta1": 0.5, "beta2": 0.999}
+        optimizers = {n: initialize_optimizer(dict(adam))[0]
+                      for n in ("generator_X", "discriminator_Y", "featdown")}
+        state = gan_steps.make_gan_state(variables, optimizers)
+        patch_ids = [np.asarray([3, 17, 99, 512]), np.asarray([1, 7, 31, 63])]
+        step = jax.jit(gan_steps.build_cut_step(
+            ms.nets, optimizers, {"adversarial": 1, "identity": 10},
+            nce_layers=layers, num_patches=4, fixed_patch_ids=patch_ids))
+
+        optG = torch.optim.Adam(tG.parameters(), lr=LR, betas=(0.5, 0.999))
+        optD = torch.optim.Adam(tD.parameters(), lr=LR, betas=(0.5, 0.999))
+        optF = torch.optim.Adam([p for m in mlps for p in m.parameters()],
+                                lr=LR, betas=(0.5, 0.999))
+        gamma = 0.9
+        scheds = [torch.optim.lr_scheduler.ExponentialLR(o, gamma=gamma)
+                  for o in (optG, optD, optF)]
+        factor = gamma_schedule(nepochs=3, gamma=gamma)
+
+        import torch.nn.functional as TF
+        data = _batches(31, 6, batch=1)
+        it = 0
+        for epoch in range(3):
+            fac = 1.0 if epoch == 0 else factor(epoch - 1)
+            np.testing.assert_allclose(optG.param_groups[0]["lr"], LR * fac,
+                                       rtol=1e-9)
+            opt_states = dict(state.opt_states)
+            for n in opt_states:
+                opt_states[n] = set_epoch_lr(opt_states[n], LR, fac)
+            state = state.replace(opt_states=opt_states)
+
+            for _ in range(2):
+                real_X, real_Y = data[it]
+                it += 1
+                state, metrics, _ = step(state, _j(real_X), _j(real_Y))
+                ref = torch_cut_step_persistent(
+                    tG, tD, mlps, optG, optD, optF, real_X, real_Y,
+                    layers, patch_ids)
+                for k, v in ref.items():
+                    np.testing.assert_allclose(
+                        float(metrics[k]), v, rtol=3e-2, atol=3e-3,
+                        err_msg=f"step {it} {k}")
+            for s in scheds:
+                s.step()
+
+        theirs = ti.convert_torch_state(
+            {"params": state.variables["generator_X"]["params"]},
+            seq_state(tG))["params"]
+        a = np.asarray(
+            state.variables["generator_X"]["params"]["model_1"]["conv"]["kernel"])
+        np.testing.assert_allclose(
+            a, np.asarray(theirs["model_1"]["conv"]["kernel"]),
+            rtol=3e-2, atol=3e-4)
+
+
+def torch_cut_step_persistent(tG, tD, mlps, optG, optD, optF, real_X, real_Y,
+                              layers, patch_ids, w_adv=1.0, w_idt=10.0):
+    """One reference CUT step with caller-owned optimizers
+    (cut_epochs.py:18-77 semantics, as in test_cut_nce_golden but without
+    per-step optimizer construction)."""
+    import torch.nn.functional as F
+
+    real = torch.cat((real_X, real_Y), dim=0)
+    fake = tG(real)
+    n = real_X.size(0)
+    fake_Y, idt_Y = fake[:n], fake[n:]
+
+    optD.zero_grad()
+    pred_real = tD(real_Y)
+    pred_fake = tD(fake_Y.detach())
+    d_real = w_adv * F.mse_loss(pred_real, torch.zeros_like(pred_real))
+    d_fake = w_adv * F.mse_loss(pred_fake, torch.ones_like(pred_fake))
+    ((d_real + d_fake) * 0.5).backward()
+    optD.step()
+
+    def nce(src, dst):
+        def taps(x):
+            feats, h = [], x
+            for i, layer in enumerate(tG):
+                h = layer(h)
+                if i in layers:
+                    feats.append(h)
+            return feats
+
+        def sample(feats):
+            out = []
+            for fid, feat in enumerate(feats):
+                flat = feat.permute(0, 2, 3, 1).flatten(1, 2)
+                pid = torch.as_tensor(patch_ids[fid], dtype=torch.long)
+                x = flat[:, pid, :].flatten(0, 1)
+                x = mlps[fid](x)
+                norm = x.pow(2).sum(1, keepdim=True).pow(0.5)
+                out.append(x / (norm + 1e-7))
+            return out
+
+        fq, fk = sample(taps(dst)), sample(taps(src))
+        total = 0.0
+        for q, k in zip(fq, fk):
+            P = q.shape[0]
+            l_pos = torch.bmm(q.view(P, 1, -1),
+                              k.detach().view(P, -1, 1)).view(P, 1)
+            l_neg = torch.bmm(q.view(1, -1, q.shape[1]),
+                              k.detach().view(1, -1, q.shape[1]).transpose(2, 1))
+            l_neg.masked_fill_(
+                torch.eye(l_neg.shape[1], dtype=torch.bool)[None], -10.0)
+            logits = torch.cat((l_pos, l_neg.view(-1, l_neg.shape[2])), 1) / 0.07
+            total = total + F.cross_entropy(
+                logits, torch.zeros(logits.shape[0], dtype=torch.long),
+                reduction="none").mean()
+        return total / len(fq)
+
+    optG.zero_grad()
+    optF.zero_grad()
+    pred_fake2 = tD(fake_Y)
+    g_gan = w_adv * F.mse_loss(pred_fake2, torch.zeros_like(pred_fake2))
+    g_nce = nce(real_X, fake_Y)
+    g_idt = w_idt * nce(real_Y, idt_Y)
+    g_nce_total = (g_nce + g_idt) * 0.5
+    (g_gan + g_nce_total).backward()
+    optG.step()
+    optF.step()
+    return {"D_real": d_real.item(), "D_fake": d_fake.item(),
+            "G_gan": g_gan.item(), "G_nce": g_nce_total.item(),
+            "G_idt": g_idt.item()}
