@@ -34,8 +34,7 @@ def r101():
         def mk(iters):
             def fn(vv, z):
                 def body(i, acc):
-                    y = model.apply(vv, z + i.astype(z.dtype) * 1e-4,
-                                    train=False)
+                    y = model.apply(vv, z + i.astype(z.dtype) * 1e-4)
                     return acc + jnp.sum(y.astype(jnp.float32))
                 return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
             return fn
@@ -88,13 +87,17 @@ def train_step():
             s2, _, _ = step(s, x + i.astype(x.dtype) * 1e-5, y)
             return s2
         out = jax.lax.fori_loop(0, 5, body, st)
-        return out.step
+        # reduce over updated weights: WITHOUT this the whole training
+        # computation is dead code (fetching only out.step measured 4.8 ms)
+        return sum(jnp.sum(l.astype(jnp.float32))
+                   for l in jax.tree_util.tree_leaves(
+                       out.variables["generator_X"]["params"]))
 
-    assert int(loop(state, X, Y)) == 5
+    assert np.isfinite(float(loop(state, X, Y)))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        int(loop(state, X, Y))
+        float(loop(state, X, Y))
         best = min(best, (time.perf_counter() - t0) / 5)
     print(f"hedngan train step b10 bf16: {best*1e3:.1f} ms -> {B/best:.1f} img/s",
           flush=True)
