@@ -507,3 +507,111 @@ def torch_cut_step_persistent(tG, tD, mlps, optG, optD, optF, real_X, real_Y,
     return {"D_real": d_real.item(), "D_fake": d_fake.item(),
             "G_gan": g_gan.item(), "G_nce": g_nce_total.item(),
             "G_idt": g_idt.item()}
+
+
+class TestHedGanTrajectory:
+    def test_six_steps_lambda_scheduler(self):
+        """HED-GAN (non-distilled, 4th family): 6 steps with the `lambda`
+        (fixed-then-linear-decay, base_schedulers.py:15-20) schedule —
+        with this all four scheduler flavors have trajectory coverage
+        (const trivial, lambda here, lambda_p2p in HED^N-GAN, gamma in CUT)."""
+        from gandtr_tpu.learning.schedules import lambda_schedule
+
+        torch.manual_seed(40)
+        tG = build_torch_resnet_generator(n_blocks=1, norm="instance", ngf=8)
+        tD = build_torch_discriminator(ndf=8, n_layers=2,
+                                       norm="instance").train()
+        tH = build_torch_hed_small().eval()
+
+        cfg = {"type": "NetworkSet",
+               "generator_X": {"model": {"architecture": "official_resnet_generator",
+                                         "ngf": 8, "n_blocks": 1,
+                                         "norm_layer": "instance"},
+                               "runtime": {"wrappers": "", "data": {}}},
+               "discriminator_Y": {"model": {"architecture": "official_p2p_discriminator",
+                                             "ndf": 8, "n_layers": 2,
+                                             "norm_layer": "instance"},
+                                   "runtime": {"wrappers": "", "data": {}}},
+               "detector": {"model": {"architecture": "hed_interpolation",
+                                      "width_mult": 0.0625},
+                            "runtime": {"wrappers": "", "data": {}}}}
+        ms, _ = build_model_set(cfg)
+        x0 = jnp.zeros((2, 32, 32, 3))
+        variables = ms.init_all(jax.random.PRNGKey(0), {n: x0 for n in ms.nets})
+        variables["generator_X"] = ti.convert_torch_state(
+            variables["generator_X"], seq_state(tG))
+        variables["discriminator_Y"] = ti.convert_torch_state(
+            variables["discriminator_Y"], seq_state(tD))
+        variables["detector"] = ti.convert_torch_state(
+            variables["detector"], ti.torch_state_to_numpy(tH.state_dict()),
+            key_map=ti.hed_key_map)
+
+        adam = {"algorithm": "adam", "lr": LR, "beta1": 0.5, "beta2": 0.999}
+        optimizers = {n: initialize_optimizer(dict(adam))[0]
+                      for n in ("generator_X", "discriminator_Y")}
+        state = gan_steps.make_gan_state(variables, optimizers)
+        step = jax.jit(gan_steps.build_hedgan_step(
+            ms.nets, optimizers, {"adversarial": 1, "edge": 5}))
+
+        optG = torch.optim.Adam(tG.parameters(), lr=LR, betas=(0.5, 0.999))
+        optD = torch.optim.Adam(tD.parameters(), lr=LR, betas=(0.5, 0.999))
+        nepochs, fixed_ratio = 3, 1.0 / 3.0
+        rule = lambda e: 1 - max(0, e + 1 - fixed_ratio * nepochs) / float(
+            (1 - fixed_ratio) * nepochs + 1)
+        scheds = [torch.optim.lr_scheduler.LambdaLR(o, lr_lambda=rule)
+                  for o in (optG, optD)]
+        factor = lambda_schedule(nepochs, fixed_ratio)
+
+        data = _batches(41, 6)
+        it = 0
+        for epoch in range(3):
+            np.testing.assert_allclose(optG.param_groups[0]["lr"],
+                                       LR * factor(epoch), rtol=1e-9)
+            opt_states = dict(state.opt_states)
+            for n in opt_states:
+                opt_states[n] = set_epoch_lr(opt_states[n], LR, factor(epoch))
+            state = state.replace(opt_states=opt_states)
+
+            for _ in range(2):
+                real_X, real_Y = data[it]
+                it += 1
+                state, metrics, _ = step(state, _j(real_X), _j(real_Y))
+
+                # torch step (edges_epochs.py:8-54)
+                fake_Y = tG(real_X)
+                optD.zero_grad()
+                pred_real = tD(real_Y)
+                pred_fake = tD(fake_Y.detach())
+                d_real = F.mse_loss(pred_real, torch.zeros_like(pred_real))
+                d_fake = F.mse_loss(pred_fake, torch.ones_like(pred_fake))
+                ((d_real + d_fake) * 0.5).backward()
+                optD.step()
+
+                optG.zero_grad()
+                fake_Y2 = tG(real_X)
+                pred_fake2 = tD(fake_Y2)
+                fake_E = tH(fake_Y2)
+                with torch.no_grad():
+                    real_E = tH(real_X)
+                g_gan = F.mse_loss(pred_fake2, torch.zeros_like(pred_fake2))
+                g_hed = 5.0 * F.l1_loss(fake_E, real_E)
+                (g_gan + g_hed).backward()
+                optG.step()
+
+                ref = {"D_real": d_real.item(), "D_fake": d_fake.item(),
+                       "G_gan": g_gan.item(), "G_hed": g_hed.item()}
+                for k, v in ref.items():
+                    np.testing.assert_allclose(
+                        float(metrics[k]), v, rtol=2e-2, atol=2e-3,
+                        err_msg=f"step {it} {k}")
+            for s in scheds:
+                s.step()
+
+        theirs = ti.convert_torch_state(
+            {"params": state.variables["generator_X"]["params"]},
+            seq_state(tG))["params"]
+        a = np.asarray(
+            state.variables["generator_X"]["params"]["model_1"]["conv"]["kernel"])
+        np.testing.assert_allclose(
+            a, np.asarray(theirs["model_1"]["conv"]["kernel"]),
+            rtol=2e-2, atol=3e-4)
