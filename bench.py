@@ -27,6 +27,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from gandtr_tpu.utils.compile_cache import enable_from_env
+
+# persistent client-side compile cache: the two bench graphs cost ~15 min of
+# first-compile through the tunnel; cached reruns skip it
+enable_from_env(default_on=True)
 
 A100_ESTIMATE_IMG_S = 400.0
 TARGET = 5 * A100_ESTIMATE_IMG_S

@@ -13,7 +13,6 @@ to a multiple with masked pooling instead (faster, approximate near borders).
 """
 import os
 import pickle
-from collections import OrderedDict
 
 import numpy as np
 from PIL import Image

@@ -8,7 +8,6 @@ frozen subnets stored once and symlinked, and resume via `load_latest_epoch`.
 Serialization is flax msgpack over the variables pytree + a JSON sidecar of
 numpy-free training metadata.
 """
-import json
 import os
 import pickle
 

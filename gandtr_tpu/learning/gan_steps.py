@@ -20,7 +20,7 @@ import optax
 import flax.struct
 
 from gandtr_tpu.ops import losses as L
-from gandtr_tpu.learning.image_pool import PoolState, pool_query, init_pool
+from gandtr_tpu.learning.image_pool import pool_query, init_pool
 
 
 @flax.struct.dataclass

@@ -12,8 +12,6 @@ import jax
 import jax.numpy as jnp
 
 from gandtr_tpu.data import transforms as T
-from gandtr_tpu.learning.events import EventBroker
-from gandtr_tpu.learning.checkpoints import Checkpoints
 
 
 def set_epoch_lr(opt_state, base_lr, factor):

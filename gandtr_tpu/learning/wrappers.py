@@ -15,7 +15,7 @@ loop).
 import hashlib
 import json
 import re
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Sequence, Tuple
 
 import numpy as np
 import jax

@@ -10,7 +10,7 @@ BatchNorm runs with frozen (running) statistics even in training — the
 reference keeps descriptor-net BN in eval mode during fine-tuning
 (/root/reference/mdir/components/model/network/cirnet.py:36-45).
 """
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 

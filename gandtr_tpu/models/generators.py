@@ -7,7 +7,7 @@ mirror the torch Sequential indices (`model_<i>`) so reference .pth checkpoints
 map 1:1, and `layers=`/`encode_only=` feature taps use the same indices as the
 torch forward (p2p_networks.py:318-337) for CUT's PatchNCE.
 """
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 import flax.linen as nn

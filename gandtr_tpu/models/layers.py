@@ -7,7 +7,7 @@ imported .pth weights produce matching outputs:
 - InstanceNorm (affine=False) / BatchNorm with torch momentum semantics
 - antialiased blur-pool Downsample/Upsample (p2p_networks.py:72-130)
 """
-from typing import Any, Callable, Sequence, Tuple
+from typing import Callable, Sequence, Tuple
 
 import numpy as np
 import jax

@@ -9,7 +9,7 @@ explicit JAX PRNG key (no hidden global RNG), and MLPs are created eagerly from
 the static layer spec — there is no lazy `create_mlp` path because shapes are
 known at trace time.
 """
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

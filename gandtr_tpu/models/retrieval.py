@@ -6,7 +6,6 @@ features → (local whiten) → pool → L2N → (whiten → L2N). The descripto
 is returned as (N, D); use `.T` where the reference's D×N column layout is
 required (losses, whitening).
 """
-from typing import Optional
 
 import jax.numpy as jnp
 import flax.linen as nn

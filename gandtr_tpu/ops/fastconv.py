@@ -20,8 +20,6 @@ Reference parity is unaffected: these kick in underneath models/layers.py
 Conv/ConvTranspose when `ENABLED` (the default) and the shape heuristics
 match; `set_enabled(False)` restores the naive lowering.
 """
-import math
-
 import numpy as np
 import jax
 import jax.numpy as jnp

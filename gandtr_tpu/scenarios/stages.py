@@ -10,7 +10,6 @@ import os
 import pickle
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from gandtr_tpu.utils.io import resolve_path

@@ -11,7 +11,6 @@ import urllib.request
 import warnings
 from pathlib import Path
 
-from gandtr_tpu.utils.io import resolve_path
 
 ICCV23_URL = "http://ptak.felk.cvut.cz/personal/jenicto2/download/iccv23_gan/"
 CMP_URL = "http://cmp.felk.cvut.cz/cnnimageretrieval/data/"

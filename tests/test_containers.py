@@ -5,7 +5,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
-import pytest
 
 from gandtr_tpu.learning.network import (WrappedNet, MultiheadModule,
                                          GlobalLocalModule, build_single_net)

@@ -1,7 +1,6 @@
 """Full fine-tune experiment on synthetic data: mining -> tuples -> GAN
 augmentation in-loop -> contrastive updates -> checkpoints."""
 import os
-import pickle
 
 import numpy as np
 from PIL import Image

@@ -11,7 +11,6 @@ import torch.nn as tnn
 import torch.nn.functional as F
 import jax
 import jax.numpy as jnp
-import pytest
 
 from gandtr_tpu.learning.network import build_model_set
 from gandtr_tpu.learning.optimizers import initialize_optimizer

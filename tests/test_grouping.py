@@ -1,6 +1,5 @@
 """Grouping/VLAD layers: DSL parsing, hard/soft assignment, clustering."""
 import numpy as np
-import pytest
 import jax
 import jax.numpy as jnp
 

@@ -16,7 +16,6 @@ import numpy as np
 import pytest
 import torch
 import torch.nn.functional as F
-import jax
 import jax.numpy as jnp
 from PIL import Image
 

@@ -13,7 +13,6 @@ import subprocess
 import sys
 
 import jax
-import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

@@ -10,7 +10,6 @@ import json
 
 import numpy as np
 import pytest
-import torch
 from PIL import Image
 
 from gandtr_tpu.scenarios.run import run_target, FUNCTIONS

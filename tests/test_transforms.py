@@ -1,7 +1,6 @@
 """Tests for the host-side transform DSL pipeline."""
 import numpy as np
 from PIL import Image
-import pytest
 
 from gandtr_tpu.data import transforms as T
 

@@ -5,9 +5,7 @@ import hashlib
 import numpy as np
 import torch
 import torch.nn.functional as F
-import jax
 import jax.numpy as jnp
-import pytest
 
 from gandtr_tpu.learning import wrappers as W
 
