@@ -29,8 +29,10 @@ import jax.numpy as jnp
 
 from gandtr_tpu.utils.compile_cache import enable_from_env
 
-# persistent client-side compile cache: the two bench graphs cost ~15 min of
-# first-compile through the tunnel; cached reruns skip it
+# persistent compile cache (opt-out via GANDTR_TPU_COMPILE_CACHE=0).
+# Measured NOT to speed up reruns through the axon tunnel (compilation is
+# server-side: warm 1626s vs cold 1105s, within chip variance) — kept for
+# directly-attached deployments where the client compiles.
 enable_from_env(default_on=True)
 
 A100_ESTIMATE_IMG_S = 400.0
