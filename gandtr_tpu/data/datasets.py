@@ -15,6 +15,14 @@ from PIL import Image, ImageFile
 ImageFile.LOAD_TRUNCATED_IMAGES = True
 
 
+import os as _os
+
+# Native (C++) decode fast path: libjpeg/libpng on GIL-released ctypes calls,
+# bit-exact vs PIL (tests/test_native_loader.py). Default on; disable with
+# GANDTR_TPU_NATIVE_LOADER=0 (e.g. when bisecting loader behavior).
+_NATIVE_OK = _os.environ.get("GANDTR_TPU_NATIVE_LOADER", "1") != "0"
+
+
 def imread(path, mode="RGB"):
     """Load an image; `archive.h5#key` reads from an HDF5 dataset (the
     reference's h5 image storage, traindataset.py h5 branch)."""
@@ -24,6 +32,12 @@ def imread(path, mode="RGB"):
         with h5py.File(h5path, "r") as f:
             arr = np.asarray(f[key])
         return Image.fromarray(arr).convert(mode)
+    if _NATIVE_OK and mode == "RGB":
+        from gandtr_tpu import native
+        if native.available():
+            arr = native.decode(path)
+            if arr is not None:
+                return Image.fromarray(arr)
     with open(path, "rb") as f:
         return Image.open(f).convert(mode)
 
