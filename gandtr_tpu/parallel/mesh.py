@@ -66,6 +66,54 @@ def data_parallel_step(step_fn, mesh, axis="data", num_batch_args=2):
     return wrapped
 
 
+def spatial_mesh(n_data, n_sp, devices=None, axes=("data", "sp")):
+    """Sanctioned constructor for a 2-D data×spatial mesh.
+
+    Spatial (image-dim) sharding of conv stacks is numerically hazardous in
+    two ways on the current XLA SPMD partitioner (jax 0.9.0), both producing
+    SILENTLY wrong values, so this helper enforces the safe configuration:
+
+    1. The fastconv strided-conv rewrites (ops/fastconv.py conv_s2d: stride-s
+       conv + depth_to_space) partition incorrectly whenever the window grid
+       crosses spatial shard boundaries unaligned — measured maxdiff ~10 on
+       the first HED conv (vs 1e-6 for every plain conv). This helper
+       therefore disables fastconv process-wide; re-enable explicitly via
+       `fastconv.set_enabled(True)` only after dropping spatial shardings.
+       (fastconv targets MXU lane-filling on a single chip; under spatial
+       sharding the lanes are a per-shard concern anyway.)
+    2. Halo exchange breaks when a layer's spatial shard becomes smaller than
+       its conv halo (deep feature maps: a 3×3 conv on a 2-row map sharded
+       4-way diverges by ~0.13). Validate the shard count against the model's
+       total downsampling with `max_spatial_shards` before picking n_sp.
+
+    tests/test_spatial_sharding.py pins both hazards and the safe-path
+    equality vs replicated execution.
+    """
+    from gandtr_tpu.ops import fastconv
+    fastconv.set_enabled(False)
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= n_data * n_sp
+    return Mesh(np.asarray(devices[:n_data * n_sp]).reshape(n_data, n_sp),
+                axes)
+
+
+def max_spatial_shards(image_hw, total_downsample, max_halo=2):
+    """Largest spatial shard count that keeps every layer's shard at least as
+    wide as its conv halo (hazard 2 in `spatial_mesh`): the deepest feature
+    map has image_hw/total_downsample rows, and each of the n_sp shards must
+    hold >= max_halo of them. Returns at least 1.
+
+    E.g. HED (16× downsampling, 3×3 convs → halo 2) at 64px: deepest map has
+    4 rows, so at most 2 shards.
+    """
+    deepest = image_hw // total_downsample
+    n = max(deepest // max_halo, 1)
+    # shard counts must divide the ORIGINAL image dim for even sharding
+    while n > 1 and image_hw % n:
+        n -= 1
+    return n
+
+
 def init_distributed(coordinator_address=None, num_processes=None,
                      process_id=None):
     """Multi-host initialization (SURVEY.md §5.8): call once per host before
