@@ -136,3 +136,21 @@ def process_local_batch(global_batch, axis="data"):
     import jax
     assert global_batch % jax.process_count() == 0
     return global_batch // jax.process_count()
+
+
+def global_batch_array(mesh, local, axis="data"):
+    """Assemble a globally-sharded batch from this process's local shard.
+
+    Multi-host JAX cannot `device_put` a host array onto devices of other
+    processes: each process loads its own slice of the batch (rows
+    [process_index * local_batch, ...)) and this wraps them into one global
+    jax.Array sharded over the mesh axis. Single-process: plain device_put
+    (identical semantics, zero overhead path).
+
+    tests/test_multihost.py drives this across real separate processes with
+    gloo collectives on CPU.
+    """
+    sh = NamedSharding(mesh, P(axis))
+    if jax.process_count() == 1:
+        return jax.device_put(local, sh)
+    return jax.make_array_from_process_local_data(sh, local)
