@@ -17,6 +17,7 @@ batch 24, steady-state, on the real TPU chip. (Batch sweep 16/24/32/40/48:
 24 is reproducibly ~4% faster than 32 — 1057 vs 1020 img/s; docs/PERF.md.)
 """
 import json
+import subprocess
 import sys
 import time
 import os
@@ -141,5 +142,49 @@ def bench_descriptors():
     }), flush=True)
 
 
+# The tunnel chip can transiently wedge (FAILED_PRECONDITION, then HANGS on
+# new dispatches) and recovers on its own in ~5-10 min (CLAUDE.md). A hang
+# cannot be caught inline, so the default invocation runs the measurement in
+# a watchdog subprocess (35 min timeout ≫ the ~12 min normal wall) and
+# retries once after a recovery wait; stdout is forwarded only on success so
+# the driver never parses a partial line.
+_INNER_ENV = "GANDTR_BENCH_INNER"
+_ATTEMPTS = 2
+_TIMEOUT_S = 2100
+_RECOVERY_WAIT_S = 420
+
+
+def _watchdog():
+    env = dict(os.environ)
+    env[_INNER_ENV] = "1"
+    last = None
+    for attempt in range(_ATTEMPTS):
+        try:
+            proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                  env=env, capture_output=True, text=True,
+                                  timeout=_TIMEOUT_S)
+        except subprocess.TimeoutExpired as e:
+            last = "timeout after %ds; stderr tail: %s" % (
+                _TIMEOUT_S, (e.stderr or b"")[-500:])
+        else:
+            if proc.returncode == 0 and '"metric"' in proc.stdout:
+                sys.stdout.write(proc.stdout)
+                sys.stderr.write(proc.stderr[-2000:])
+                return 0
+            last = "rc=%d; stderr tail: %s" % (proc.returncode,
+                                               proc.stderr[-1500:])
+        sys.stderr.write("bench attempt %d failed (%s)\n" % (attempt + 1, last))
+        if attempt + 1 < _ATTEMPTS:
+            sys.stderr.write("waiting %ds for chip recovery before retry\n"
+                             % _RECOVERY_WAIT_S)
+            sys.stderr.flush()
+            time.sleep(_RECOVERY_WAIT_S)
+    sys.stderr.write("bench failed after %d attempts: %s\n" % (_ATTEMPTS, last))
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get(_INNER_ENV) == "1":
+        main()
+    else:
+        sys.exit(_watchdog())

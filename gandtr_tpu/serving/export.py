@@ -1,0 +1,193 @@
+"""AOT export of hub models as serving artifacts (jax.export / StableHLO).
+
+The reference's deployment story is torch.hub: a serving process needs the
+whole codebase + checkpoint importer in-process (hubconf.py,
+mdir/hub/model.py:17-42). Here the jitted forward — weights baked in as
+constants, device preprocessing (CLAHE + normalize) optionally fused
+in-graph — is exported through `jax.export` and serialized, so a server
+loads ONE directory and calls a compiled program.
+
+Artifact layout (a directory):
+    meta.json     — kind, input spec, batch buckets, transform provenance
+    b<N>.jaxexp   — one serialized `jax.export.Exported` per batch bucket
+
+Why batch buckets instead of a symbolic batch dim: every serving graph here
+is per-image independent (instance norm, GeM pooling, per-image CLAHE), so
+padding a request batch up to the next bucket and slicing the outputs is
+EXACT — and fixed shapes keep the artifact compatible with lowerings that
+reject symbolic dims (the Pallas CLAHE kernel among them).
+"""
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+FORMAT_VERSION = 1
+
+
+def _artifact_kind(model):
+    """'embedding' (descriptor nets: output (N, D)) vs 'generator'
+    (image-to-image: output (N, H, W, C)). Descriptor models carry a
+    pooling entry in their meta (GemRetrievalNet.meta / hub._embedding)."""
+    return "embedding" if "pooling" in model.meta else "generator"
+
+
+def export_hub_model(model, path, image_hw, batch_buckets=(1, 4, 8),
+                     from_uint8=True, with_mask=False, platforms=None,
+                     kind=None):
+    """Export a `hub.HubModel` (or anything with .net/.variables/.meta/
+    .data_params on the net) into a serving artifact at `path`.
+
+    - `image_hw`: the fixed (H, W) the serving graphs are compiled for.
+    - `batch_buckets`: compiled batch sizes; requests are padded up to the
+      next bucket (exact — graphs are per-image independent).
+    - `from_uint8`: bake the device preprocessing in: input is uint8 RGB and
+      the graph runs /255 + (CLAHE +) normalize exactly as the training/eval
+      pipelines do (data.transforms.split_device_transform); generators also
+      denormalize + quantize the output to uint8 in-graph (byte-identical to
+      the host sink, scenarios/infer_stage.py). With False, the graph takes
+      the already-normalized f32 tensor.
+    - `with_mask`: add a (N, H, W) f32 valid-pixel mask input for
+      aspect-preserving pad-to-bucket serving via masked GeM
+      (models/retrieval.py mask path). Only valid for embedding models
+      without multiscale/whitening wrappers (wrappers don't thread masks).
+    - `platforms`: jax.export platform list (default: current backend).
+    """
+    from jax import export as jexport
+
+    kind = kind or _artifact_kind(model)
+    h, w = int(image_hw[0]), int(image_hw[1])
+    buckets = sorted(set(int(b) for b in batch_buckets))
+    assert buckets and buckets[0] >= 1
+
+    data_params = dict(getattr(model.net, "data_params", None) or {})
+    mean_std = data_params.get("mean_std", [[0.5] * 3, [0.5] * 3])
+    tf_str = data_params.get("transforms", "pil2np | totensor | normalize")
+
+    device_pre = None
+    if from_uint8:
+        from gandtr_tpu.data.transforms import split_device_transform
+        _, device_pre = split_device_transform(tf_str, mean_std)
+        if device_pre is None:
+            raise ValueError(
+                "from_uint8=True needs a device-splittable transform "
+                "pipeline; got %r" % tf_str)
+    if with_mask:
+        if kind != "embedding":
+            raise ValueError("with_mask only applies to embedding models")
+        if model.net.wrappers_eval:
+            raise ValueError(
+                "with_mask requires an eval-wrapper-free net (wrappers "
+                "don't thread masks); got %r" % model.net.wrappers_eval)
+
+    mean_j = jnp.asarray(mean_std[0], jnp.float32)
+    std_j = jnp.asarray(mean_std[1], jnp.float32)
+    variables = model.variables
+    ctx = {"msp": model.meta.get("msp", 1.0)}
+
+    def forward(x, *extra):
+        if from_uint8:
+            x = device_pre(x.astype(jnp.float32) / 255.0)
+        kw = {"mask": extra[0]} if with_mask else {}
+        y = model.net.apply(variables, x, train=False, ctx=ctx, **kw)
+        if from_uint8 and kind == "generator":
+            rgb = jnp.clip(y * std_j + mean_j, 0, 1)
+            y = jnp.floor(rgb * 255.0).astype(jnp.uint8)
+        return y
+
+    in_dtype = jnp.uint8 if from_uint8 else jnp.float32
+    os.makedirs(path, exist_ok=True)
+    out_spec = None
+    for b in buckets:
+        args = [jax.ShapeDtypeStruct((b, h, w, 3), in_dtype)]
+        if with_mask:
+            args.append(jax.ShapeDtypeStruct((b, h, w), jnp.float32))
+        exp = jexport.export(jax.jit(forward), platforms=platforms)(*args)
+        out_spec = [list(a.shape[1:]) for a in jax.tree_util.tree_leaves(
+            exp.out_avals)][0]
+        with open(os.path.join(path, "b%d.jaxexp" % b), "wb") as f:
+            f.write(exp.serialize())
+
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "kind": kind,
+        "image_hw": [h, w],
+        "batch_buckets": buckets,
+        "input_dtype": "uint8" if from_uint8 else "float32",
+        "with_mask": bool(with_mask),
+        "output_shape_per_item": out_spec,
+        "transforms": tf_str,
+        "mean_std": [list(map(float, mean_std[0])),
+                     list(map(float, mean_std[1]))],
+        "model_meta": {k: v for k, v in model.meta.items()
+                       if isinstance(v, (int, float, str, bool))},
+        "jax_version": jax.__version__,
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+    return meta
+
+
+class Servable:
+    """A loaded serving artifact: `servable(images[, masks])` on numpy
+    (N, H, W, 3) arrays of the artifact's dtype. Requests above the largest
+    bucket are chunked; partial chunks are padded to the next bucket and the
+    outputs sliced — exact, since the graphs are per-image independent.
+    Compilation happens lazily once per bucket."""
+
+    def __init__(self, path):
+        with open(os.path.join(path, "meta.json")) as f:
+            self.meta = json.load(f)
+        if self.meta.get("format_version") != FORMAT_VERSION:
+            raise ValueError("Unsupported artifact format_version %r"
+                             % self.meta.get("format_version"))
+        self.path = path
+        self.buckets = list(self.meta["batch_buckets"])
+        self._compiled = {}
+
+    def _fn_for(self, bucket):
+        if bucket not in self._compiled:
+            from jax import export as jexport
+            with open(os.path.join(self.path, "b%d.jaxexp" % bucket),
+                      "rb") as f:
+                exp = jexport.deserialize(f.read())
+            self._compiled[bucket] = jax.jit(exp.call)
+        return self._compiled[bucket]
+
+    def _run_chunk(self, x, mask):
+        n = x.shape[0]
+        bucket = next((b for b in self.buckets if b >= n), self.buckets[-1])
+        pad = bucket - n
+        if pad:
+            reps = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+            x = np.pad(x, reps, mode="edge")
+            if mask is not None:
+                mask = np.pad(mask, [(0, pad), (0, 0), (0, 0)], mode="edge")
+        args = (x,) if mask is None else (x, mask)
+        out = np.asarray(self._fn_for(bucket)(*args))
+        return out[:n]
+
+    def __call__(self, images, masks=None):
+        x = np.asarray(images)
+        h, w = self.meta["image_hw"]
+        if x.ndim == 3:
+            x = x[None]
+        assert x.shape[1:] == (h, w, 3), (x.shape, self.meta["image_hw"])
+        want_mask = self.meta["with_mask"]
+        if want_mask:
+            masks = (np.ones(x.shape[:3], np.float32) if masks is None
+                     else np.asarray(masks, np.float32))
+        elif masks is not None:
+            raise ValueError("artifact was exported without mask input")
+        cap = self.buckets[-1]
+        outs = []
+        for i in range(0, x.shape[0], cap):
+            outs.append(self._run_chunk(
+                x[i:i + cap], masks[i:i + cap] if want_mask else None))
+        return np.concatenate(outs, 0)
+
+
+def load_artifact(path):
+    return Servable(path)

@@ -1,0 +1,276 @@
+"""Serving subsystem: AOT export artifacts (jax.export), bucket/chunk
+padding exactness, the micro-batching service, and the HTTP server
+end-to-end. All on the CPU backend (conftest)."""
+import io
+import json
+import os
+import threading
+import urllib.request
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gandtr_tpu.hub import HubModel, GENERATOR_DATA
+from gandtr_tpu.learning.network import WrappedNet
+from gandtr_tpu.models import initialize_model
+from gandtr_tpu.serving import (
+    export_hub_model, load_artifact, BatchingService, serve_http)
+
+HW = 32
+
+
+def tiny_generator_hub():
+    module = initialize_model({
+        "architecture": "official_resnet_generator", "ngf": 8, "n_blocks": 1,
+        "no_antialias": True, "no_antialias_up": True,
+        "norm_layer": "instance"})
+    x0 = jnp.zeros((1, HW, HW, 3), jnp.float32)
+    variables = dict(module.init(jax.random.PRNGKey(0), x0, train=False))
+    net = WrappedNet(module=module, meta={}, data_params=dict(GENERATOR_DATA))
+    return HubModel(net, variables, transform=None,
+                    meta={"in_channels": 3, "out_channels": 3})
+
+
+def tiny_embedding_hub(with_wrappers=False):
+    from gandtr_tpu.models.retrieval import GemRetrievalNet
+    module = GemRetrievalNet(architecture="vgg16", pooling="gem")
+    x0 = jnp.zeros((1, HW * 2, HW * 2, 3), jnp.float32)
+    variables = dict(module.init(jax.random.PRNGKey(1), x0))
+    net = WrappedNet(module=module, meta=module.meta,
+                     data_params={"transforms": "pil2np | totensor | normalize",
+                                  "mean_std": [[0.485, 0.456, 0.406],
+                                               [0.229, 0.224, 0.225]]})
+    return HubModel(net, variables, transform=None, meta=dict(module.meta))
+
+
+@pytest.fixture(scope="module")
+def gen_artifact(tmp_path_factory):
+    model = tiny_generator_hub()
+    path = str(tmp_path_factory.mktemp("art") / "gen")
+    meta = export_hub_model(model, path, (HW, HW), batch_buckets=(2,),
+                            from_uint8=True)
+    return model, path, meta
+
+
+def _reference_generator_out(model, imgs_u8):
+    """What the exported uint8->uint8 graph must equal: device preprocess
+    (normalize) -> module -> denormalize + floor-quantize (infer_stage)."""
+    mean = np.asarray(GENERATOR_DATA["mean_std"][0], np.float32)
+    std = np.asarray(GENERATOR_DATA["mean_std"][1], np.float32)
+    x = (imgs_u8.astype(np.float32) / 255.0 - mean) / std
+    y = np.asarray(model.net.apply(model.variables, jnp.asarray(x),
+                                   train=False, ctx={"msp": 1.0}))
+    rgb = np.clip(y * std + mean, 0, 1)
+    return np.floor(rgb * 255.0).astype(np.uint8)
+
+
+class TestExportGenerator:
+    def test_meta(self, gen_artifact):
+        _, path, meta = gen_artifact
+        assert meta["kind"] == "generator"
+        assert meta["input_dtype"] == "uint8"
+        on_disk = json.load(open(os.path.join(path, "meta.json")))
+        assert on_disk == meta
+        assert os.path.exists(os.path.join(path, "b2.jaxexp"))
+
+    def test_bucket_pad_and_chunk_exact(self, gen_artifact):
+        model, path, _ = gen_artifact
+        servable = load_artifact(path)
+        rng = np.random.RandomState(0)
+        # n=1 exercises pad-to-bucket, n=3 exercises chunking (cap 2)
+        for n in (1, 3):
+            imgs = rng.randint(0, 256, (n, HW, HW, 3), np.uint8)
+            out = servable(imgs)
+            ref = _reference_generator_out(model, imgs)
+            assert out.shape == (n, HW, HW, 3) and out.dtype == np.uint8
+            # XLA-CPU jit contracts FMAs (CLAUDE.md): round-half-even ties in
+            # the quantization can flip +-1 vs the eager reference compute.
+            diff = np.abs(out.astype(int) - ref.astype(int))
+            assert diff.max() <= 1
+            assert (diff == 0).mean() > 0.999
+
+    def test_single_image_auto_batch_dim(self, gen_artifact):
+        _, path, _ = gen_artifact
+        servable = load_artifact(path)
+        img = np.zeros((HW, HW, 3), np.uint8)
+        assert servable(img).shape == (1, HW, HW, 3)
+
+
+class TestExportEmbeddingMask:
+    def test_masked_export_matches_direct(self, tmp_path):
+        model = tiny_embedding_hub()
+        path = str(tmp_path / "emb")
+        meta = export_hub_model(model, path, (HW * 2, HW * 2),
+                                batch_buckets=(1, 2), from_uint8=False,
+                                with_mask=True)
+        assert meta["kind"] == "embedding"
+        servable = load_artifact(path)
+        rng = np.random.RandomState(1)
+        x = rng.rand(2, HW * 2, HW * 2, 3).astype(np.float32)
+        out = servable(x)  # default all-ones mask
+        ref = np.asarray(model.net.apply(model.variables, jnp.asarray(x),
+                                         train=False, ctx={"msp": 1.0}))
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)
+        # unit-norm descriptors (embedding path ends in L2N)
+        np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, atol=1e-5)
+
+    def test_mask_ignores_padding(self, tmp_path):
+        """Aspect-preserving serving: descriptor of an image padded to the
+        bucket (with its mask) ~= descriptor of the unpadded image. VGG16's
+        stride-32 receptive fields bleed a little across the boundary, so
+        require high cosine rather than equality."""
+        model = tiny_embedding_hub()
+        path = str(tmp_path / "emb")
+        export_hub_model(model, path, (HW * 2, HW * 2), batch_buckets=(1,),
+                         from_uint8=False, with_mask=True)
+        servable = load_artifact(path)
+        rng = np.random.RandomState(2)
+        h_valid = HW * 2 - 16
+        base = rng.rand(h_valid, HW * 2, 3).astype(np.float32)
+        padded = np.pad(base, [(0, 16), (0, 0), (0, 0)], mode="edge")
+        mask = np.zeros((HW * 2, HW * 2), np.float32)
+        mask[:h_valid] = 1.0
+        d_masked = servable(padded[None], masks=mask[None])[0]
+        d_direct = np.asarray(model.net.apply(
+            model.variables, jnp.asarray(base[None]), train=False,
+            ctx={"msp": 1.0}))[0]
+        cos = float(np.dot(d_masked, d_direct))
+        # at this tiny test resolution the stride-32 feature map is 4x4 and
+        # the pad boundary bleeds into a whole feature row; at the 1024px
+        # serving size the boundary fraction is ~8x smaller
+        assert cos > 0.95, cos
+
+    def test_wrapped_net_rejects_mask(self, tmp_path):
+        from gandtr_tpu.learning.wrappers import CirMultiscaleAggregation
+        model = tiny_embedding_hub()
+        model.net = WrappedNet(module=model.net.module,
+                               wrappers_eval=[CirMultiscaleAggregation(
+                                   scales=True)],
+                               meta=model.net.meta,
+                               data_params=model.net.data_params)
+        with pytest.raises(ValueError, match="wrapper-free"):
+            export_hub_model(model, str(tmp_path / "x"), (HW, HW),
+                             with_mask=True, from_uint8=False)
+
+
+class TestBatchingService:
+    def test_concurrent_correctness(self):
+        seen_batches = []
+
+        def fn(x):
+            seen_batches.append(x.shape[0])
+            return x * 2.0
+
+        svc = BatchingService(fn, max_batch=4, max_wait_ms=30)
+        try:
+            items = [np.full((3,), i, np.float32) for i in range(16)]
+            results = [None] * 16
+
+            def worker(i):
+                results[i] = svc.submit(items[i]).result(timeout=30)
+
+            threads = [threading.Thread(target=worker, args=(i,))
+                       for i in range(16)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            for i in range(16):
+                np.testing.assert_array_equal(results[i], items[i] * 2)
+            assert all(b <= 4 for b in seen_batches)
+            assert sum(seen_batches) == 16
+        finally:
+            svc.close()
+
+    def test_error_fans_out(self):
+        def fn(x):
+            raise RuntimeError("boom")
+
+        svc = BatchingService(fn, max_batch=2, max_wait_ms=1)
+        try:
+            fut = svc.submit(np.zeros((2,)))
+            with pytest.raises(RuntimeError, match="boom"):
+                fut.result(timeout=10)
+        finally:
+            svc.close()
+
+    def test_multi_arg_items(self):
+        def fn(x, m):
+            return (x * m[..., None]).sum(axis=(1, 2, 3))
+
+        svc = BatchingService(fn, max_batch=4, max_wait_ms=1)
+        try:
+            x = np.ones((2, 2, 3), np.float32)
+            m = np.ones((2, 2), np.float32)
+            out = svc(x, m)
+            assert out == pytest.approx(12.0)
+        finally:
+            svc.close()
+
+
+class TestHttpServer:
+    @pytest.fixture()
+    def server(self, gen_artifact):
+        _, path, _ = gen_artifact
+        srv = serve_http({"day2night": load_artifact(path)}, port=0,
+                         max_wait_ms=1.0, block=False)
+        yield srv
+        srv.shutdown()
+        for e in srv.models.values():
+            e.batcher.close()
+
+    def _url(self, server, path):
+        host, port = server.server_address
+        return "http://%s:%d%s" % (host, port, path)
+
+    def test_healthz_and_listing(self, server):
+        with urllib.request.urlopen(self._url(server, "/healthz")) as r:
+            health = json.load(r)
+        assert health["status"] == "ok"
+        with urllib.request.urlopen(self._url(server, "/v1/models")) as r:
+            models = json.load(r)
+        assert models["day2night"]["kind"] == "generator"
+
+    def _predict(self, server, body, ctype):
+        req = urllib.request.Request(
+            self._url(server, "/v1/models/day2night:predict"), data=body,
+            headers={"Content-Type": ctype}, method="POST")
+        return urllib.request.urlopen(req)
+
+    def test_predict_npy(self, server, gen_artifact):
+        model, _, _ = gen_artifact
+        rng = np.random.RandomState(3)
+        img = rng.randint(0, 256, (HW, HW, 3), np.uint8)
+        buf = io.BytesIO()
+        np.save(buf, img)
+        with self._predict(server, buf.getvalue(),
+                           "application/octet-stream") as r:
+            assert r.headers["Content-Type"] == "image/png"
+            png = r.read()
+        from PIL import Image
+        out = np.asarray(Image.open(io.BytesIO(png)))
+        ref = _reference_generator_out(model, img[None])[0]
+        diff = np.abs(out.astype(int) - ref.astype(int))
+        assert diff.max() <= 1 and (diff == 0).mean() > 0.999  # FMA ties
+
+    def test_predict_png_bytes_resizes(self, server):
+        from PIL import Image
+        img = Image.fromarray(
+            np.random.RandomState(4).randint(0, 256, (50, 70, 3), np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        with self._predict(server, buf.getvalue(), "image/png") as r:
+            out = np.asarray(Image.open(io.BytesIO(r.read())))
+        assert out.shape == (HW, HW, 3)
+
+    def test_unknown_model_404(self, server):
+        req = urllib.request.Request(
+            self._url(server, "/v1/models/nope:predict"), data=b"x",
+            headers={"Content-Type": "application/octet-stream"},
+            method="POST")
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req)
+        assert exc.value.code == 404
