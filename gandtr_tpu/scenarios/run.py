@@ -64,6 +64,11 @@ def _lazy_infer_incrementally(params, data):
     return infer_incrementally(params, data)
 
 
+def _lazy_export(params, data):
+    from gandtr_tpu.scenarios.export_stage import export
+    return export(params, data)
+
+
 FUNCTIONS = {
     # our names
     "gandtr_tpu.stages.train": _lazy_train,
@@ -75,6 +80,7 @@ FUNCTIONS = {
     "mdir.stages.validate.validate": _lazy_validate,
     "mdir.stages.infer.infer": _lazy_infer,
     "gandtr_tpu.stages.infer_incrementally": _lazy_infer_incrementally,
+    "gandtr_tpu.stages.export": _lazy_export,
     "mdir.stages.infer.infer_incrementally": _lazy_infer_incrementally,
     "mdir.stages.multistep.infer_and_learn_whitening": lambda p, d: __import__(
         "gandtr_tpu.scenarios.multistep_stage", fromlist=["x"]

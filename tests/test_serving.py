@@ -211,6 +211,44 @@ class TestBatchingService:
             svc.close()
 
 
+class TestExportStage:
+    def test_scenario_stage_roundtrip(self, tmp_path):
+        from gandtr_tpu.scenarios.run import FUNCTIONS
+        params = {
+            "network": {"model": {"architecture": "official_resnet_generator",
+                                  "ngf": 8, "n_blocks": 1,
+                                  "no_antialias": True,
+                                  "no_antialias_up": True,
+                                  "norm_layer": "instance"},
+                        "runtime": {"wrappers": "",
+                                    "data": dict(GENERATOR_DATA)}},
+            "export": {"directory": str(tmp_path / "art"),
+                       "image_hw": [HW, HW], "batch_buckets": [2],
+                       "from_uint8": True},
+        }
+        (meta,) = FUNCTIONS["gandtr_tpu.stages.export"](params, ())
+        assert meta["kind"] == "generator"
+        servable = load_artifact(meta["directory"])
+        out = servable(np.zeros((1, HW, HW, 3), np.uint8))
+        assert out.shape == (1, HW, HW, 3) and out.dtype == np.uint8
+
+    def test_stage_rejects_unknown_params(self, tmp_path):
+        from gandtr_tpu.scenarios.export_stage import export
+        params = {
+            "network": {"model": {"architecture": "official_resnet_generator",
+                                  "ngf": 8, "n_blocks": 1,
+                                  "no_antialias": True,
+                                  "no_antialias_up": True,
+                                  "norm_layer": "instance"},
+                        "runtime": {"wrappers": "",
+                                    "data": dict(GENERATOR_DATA)}},
+            "export": {"directory": str(tmp_path / "art"),
+                       "image_hw": [HW, HW], "typo_key": 1},
+        }
+        with pytest.raises(AssertionError, match="typo_key"):
+            export(params, ())
+
+
 class TestHttpServer:
     @pytest.fixture()
     def server(self, gen_artifact):
