@@ -135,9 +135,14 @@ class Servable:
     (N, H, W, 3) arrays of the artifact's dtype. Requests above the largest
     bucket are chunked; partial chunks are padded to the next bucket and the
     outputs sliced — exact, since the graphs are per-image independent.
-    Compilation happens lazily once per bucket."""
+    Compilation happens lazily once per bucket.
 
-    def __init__(self, path):
+    `devices`: round-robin the chunks of a request over multiple chips
+    (each device compiles the same exported program once; dispatches are
+    async, so chunks run concurrently — linear scaling like the eval
+    extractor's round-robin, eval/retrieval.py ShapeCachedExtractor)."""
+
+    def __init__(self, path, devices=None):
         with open(os.path.join(path, "meta.json")) as f:
             self.meta = json.load(f)
         if self.meta.get("format_version") != FORMAT_VERSION:
@@ -145,6 +150,7 @@ class Servable:
                              % self.meta.get("format_version"))
         self.path = path
         self.buckets = list(self.meta["batch_buckets"])
+        self.devices = list(devices) if devices else None
         self._compiled = {}
 
     def _fn_for(self, bucket):
@@ -156,7 +162,8 @@ class Servable:
             self._compiled[bucket] = jax.jit(exp.call)
         return self._compiled[bucket]
 
-    def _run_chunk(self, x, mask):
+    def _run_chunk(self, x, mask, device=None):
+        """Dispatch one chunk; returns (device_array, n) without blocking."""
         n = x.shape[0]
         bucket = next((b for b in self.buckets if b >= n), self.buckets[-1])
         pad = bucket - n
@@ -166,8 +173,9 @@ class Servable:
             if mask is not None:
                 mask = np.pad(mask, [(0, pad), (0, 0), (0, 0)], mode="edge")
         args = (x,) if mask is None else (x, mask)
-        out = np.asarray(self._fn_for(bucket)(*args))
-        return out[:n]
+        if device is not None:
+            args = tuple(jax.device_put(a, device) for a in args)
+        return self._fn_for(bucket)(*args), n
 
     def __call__(self, images, masks=None):
         x = np.asarray(images)
@@ -182,12 +190,14 @@ class Servable:
         elif masks is not None:
             raise ValueError("artifact was exported without mask input")
         cap = self.buckets[-1]
-        outs = []
-        for i in range(0, x.shape[0], cap):
-            outs.append(self._run_chunk(
-                x[i:i + cap], masks[i:i + cap] if want_mask else None))
-        return np.concatenate(outs, 0)
+        pending = []
+        for ci, i in enumerate(range(0, x.shape[0], cap)):
+            dev = (self.devices[ci % len(self.devices)]
+                   if self.devices else None)
+            pending.append(self._run_chunk(
+                x[i:i + cap], masks[i:i + cap] if want_mask else None, dev))
+        return np.concatenate([np.asarray(out)[:n] for out, n in pending], 0)
 
 
-def load_artifact(path):
-    return Servable(path)
+def load_artifact(path, devices=None):
+    return Servable(path, devices=devices)

@@ -91,6 +91,16 @@ class TestExportGenerator:
             assert diff.max() <= 1
             assert (diff == 0).mean() > 0.999
 
+    def test_multi_device_round_robin(self, gen_artifact):
+        model, path, _ = gen_artifact
+        servable = load_artifact(path, devices=jax.devices()[:4])
+        rng = np.random.RandomState(5)
+        imgs = rng.randint(0, 256, (7, HW, HW, 3), np.uint8)  # 4 chunks @cap 2
+        out = servable(imgs)
+        ref = _reference_generator_out(model, imgs)
+        diff = np.abs(out.astype(int) - ref.astype(int))
+        assert diff.max() <= 1 and (diff == 0).mean() > 0.999  # FMA ties
+
     def test_single_image_auto_batch_dim(self, gen_artifact):
         _, path, _ = gen_artifact
         servable = load_artifact(path)
