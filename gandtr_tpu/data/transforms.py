@@ -580,3 +580,14 @@ def split_device_transform(transforms_str, mean_std):
         return (x - jnp.asarray(mean)) / jnp.asarray(std)
 
     return host_fn, device_fn
+
+
+def device_quantize_rgb(y, mean_std):
+    """In-graph denormalize + truncate a model output to uint8 RGB —
+    byte-identical to the host image sink's `(rgb * 255).astype(uint8)`
+    (scenarios/infer_stage.py RgbImageSaver). The single definition keeps
+    the infer/output stage and the serving export quantizing identically."""
+    mean = jnp.asarray(mean_std[0], jnp.float32)
+    std = jnp.asarray(mean_std[1], jnp.float32)
+    rgb = jnp.clip(y * std + mean, 0, 1)
+    return jnp.floor(rgb * 255.0).astype(jnp.uint8)

@@ -47,6 +47,8 @@ class GemRetrievalNet(nn.Module):
         if self.regional:
             # Rpool (cirtorch layers/pooling.py:76-113): per-region pooling +
             # learnable regional whitening + sum aggregation
+            if feat_mask is not None:
+                raise ValueError("mask is not supported with regional pooling")
             if self.pooling == "gem":
                 p = self.param("gem_p", nn.initializers.constant(self.gem_p_init), (1,))
                 rp = lambda f: pool_ops.gem(f, p=p[0])
@@ -63,6 +65,11 @@ class GemRetrievalNet(nn.Module):
         elif self.pooling in ("mac", "spoc"):
             o = pool_ops.POOLINGS[self.pooling](o, mask=feat_mask)
         else:
+            # never ignore a caller's mask silently: a padded-bucket input
+            # would pool over pad pixels and produce a wrong descriptor
+            if feat_mask is not None:
+                raise ValueError(
+                    "mask is not supported with pooling %r" % self.pooling)
             o = pool_ops.POOLINGS[self.pooling](o)
 
         o = l2n(o)
@@ -124,9 +131,19 @@ class GemRetrievalNetAttention(nn.Module):
         o = features(x)
         att = ATTENTIONS[self.attention](o, normalize_max=self.normalize_max)
         o = o * att
+        feat_mask = None
+        if mask is not None:
+            fh, fw = o.shape[1], o.shape[2]
+            feat_mask = mask[:, ::x.shape[1] // fh,
+                             ::x.shape[2] // fw][:, :fh, :fw]
         if self.pooling == "gem":
             p = self.param("gem_p", nn.initializers.constant(self.gem_p_init), (1,))
-            o = pool_ops.gem(o, p=p[0])
+            o = pool_ops.gem(o, p=p[0], mask=feat_mask)
+        elif self.pooling in ("mac", "spoc"):
+            o = pool_ops.POOLINGS[self.pooling](o, mask=feat_mask)
+        elif feat_mask is not None:
+            raise ValueError(
+                "mask is not supported with pooling %r" % self.pooling)
         else:
             o = pool_ops.POOLINGS[self.pooling](o)
         return l2n(o)

@@ -13,7 +13,7 @@ Config::
       export:
         directory: <artifact dir>
         image_hw: [256, 256]
-        batch_buckets: [1, 8, 24]      # default
+        batch_buckets: [1, 4, 8]       # default
         from_uint8: true               # fuse device preprocess (default)
         with_mask: false               # masked-GeM aspect-preserving input
         kind: null                     # override embedding/generator detect

@@ -129,8 +129,6 @@ def infer(params, data):
     batch_size = int(data_cfg.get("loader", {}).get("batch_size", 8))
     jit_cache = {}
 
-    mean_j = jnp.asarray(mean_std[0], jnp.float32)
-    std_j = jnp.asarray(mean_std[1], jnp.float32)
     device_post = bool(out_type == "image" and
                        data_cfg.get("device_postprocess", True))
 
@@ -142,9 +140,8 @@ def infer(params, data):
             x = device_pre(xf)
         y = model.apply(v, x, train=False, **fwd_kwargs)
         if device_post:
-            rgb = jnp.clip(y * std_j + mean_j, 0, 1)
-            # truncation, matching the host sink's `(rgb*255).astype(uint8)`
-            y = jnp.floor(rgb * 255.0).astype(jnp.uint8)
+            from gandtr_tpu.data.transforms import device_quantize_rgb
+            y = device_quantize_rgb(y, mean_std)
         return y
 
     def flush(bucket_names, bucket_arrs):

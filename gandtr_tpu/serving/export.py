@@ -52,7 +52,10 @@ def export_hub_model(model, path, image_hw, batch_buckets=(1, 4, 8),
     - `with_mask`: add a (N, H, W) f32 valid-pixel mask input for
       aspect-preserving pad-to-bucket serving via masked GeM
       (models/retrieval.py mask path). Only valid for embedding models
-      without multiscale/whitening wrappers (wrappers don't thread masks).
+      without multiscale/whitening wrappers (wrappers don't thread masks);
+      models that cannot honor a mask (regional pooling, poolings without a
+      masked form) refuse the kwarg at export trace time rather than
+      silently pooling over pad pixels.
     - `platforms`: jax.export platform list (default: current backend).
     """
     from jax import export as jexport
@@ -82,8 +85,6 @@ def export_hub_model(model, path, image_hw, batch_buckets=(1, 4, 8),
                 "with_mask requires an eval-wrapper-free net (wrappers "
                 "don't thread masks); got %r" % model.net.wrappers_eval)
 
-    mean_j = jnp.asarray(mean_std[0], jnp.float32)
-    std_j = jnp.asarray(mean_std[1], jnp.float32)
     variables = model.variables
     ctx = {"msp": model.meta.get("msp", 1.0)}
 
@@ -93,8 +94,8 @@ def export_hub_model(model, path, image_hw, batch_buckets=(1, 4, 8),
         kw = {"mask": extra[0]} if with_mask else {}
         y = model.net.apply(variables, x, train=False, ctx=ctx, **kw)
         if from_uint8 and kind == "generator":
-            rgb = jnp.clip(y * std_j + mean_j, 0, 1)
-            y = jnp.floor(rgb * 255.0).astype(jnp.uint8)
+            from gandtr_tpu.data.transforms import device_quantize_rgb
+            y = device_quantize_rgb(y, mean_std)
         return y
 
     in_dtype = jnp.uint8 if from_uint8 else jnp.float32
@@ -185,8 +186,12 @@ class Servable:
         assert x.shape[1:] == (h, w, 3), (x.shape, self.meta["image_hw"])
         want_mask = self.meta["with_mask"]
         if want_mask:
-            masks = (np.ones(x.shape[:3], np.float32) if masks is None
-                     else np.asarray(masks, np.float32))
+            if masks is None:
+                masks = np.ones(x.shape[:3], np.float32)
+            else:
+                masks = np.asarray(masks, np.float32)
+                if masks.ndim == 2:  # single image, mirror x = x[None]
+                    masks = masks[None]
         elif masks is not None:
             raise ValueError("artifact was exported without mask input")
         cap = self.buckets[-1]

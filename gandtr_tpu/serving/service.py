@@ -37,13 +37,18 @@ class BatchingService:
         self.max_wait_s = float(max_wait_ms) / 1000.0
         self._q = queue.Queue()
         self._closed = False
+        self._lock = threading.Lock()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
     def submit(self, *arrays):
-        assert not self._closed, "service closed"
         fut = Future()
-        self._q.put((tuple(np.asarray(a) for a in arrays), fut))
+        # lock so no item can land behind the _STOP sentinel (a submit that
+        # raced close() would otherwise hang its waiter forever)
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("service closed")
+            self._q.put((tuple(np.asarray(a) for a in arrays), fut))
         return fut
 
     def __call__(self, *arrays):
@@ -71,6 +76,19 @@ class BatchingService:
                 batch.append(nxt)
             self._run(batch)
 
+    @staticmethod
+    def _resolve(fut, value=None, error=None):
+        """Set a future's outcome, tolerating waiters that cancelled or
+        timed out — a stray InvalidStateError here would kill the batcher
+        thread and hang the whole service."""
+        try:
+            if error is not None:
+                fut.set_exception(error)
+            else:
+                fut.set_result(value)
+        except Exception:
+            pass
+
     def _run(self, batch):
         futs = [f for _, f in batch]
         try:
@@ -81,16 +99,26 @@ class BatchingService:
             assert outs.shape[0] == len(batch)
         except Exception as e:  # fan the failure out to every waiter
             for f in futs:
-                if not f.done():
-                    f.set_exception(e)
+                self._resolve(f, error=e)
             return
         for i, f in enumerate(futs):
-            f.set_result(outs[i])
+            self._resolve(f, value=outs[i])
 
     def close(self):
-        self._closed = True
-        self._q.put(_STOP)
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._q.put(_STOP)
         self._thread.join(timeout=10)
+        # the worker exits at the sentinel; fail any stragglers it skipped
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not _STOP:
+                self._resolve(item[1], error=RuntimeError("service closed"))
 
 
 def _decode_image_bytes(body, content_type):
@@ -174,15 +202,19 @@ class _Handler(BaseHTTPRequestHandler):
         entry = self.server.models.get(name)
         if entry is None:
             return self._send(404, {"error": "unknown model %r" % name})
-        try:
+        try:  # client-side problems: undecodable/malformed request body
             body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
             img = _decode_image_bytes(
                 body, self.headers.get("Content-Type", ""))
             x, mask = _fit_to_artifact(img, entry.meta)
+            x = entry.prepare(x)
+        except Exception as e:
+            return self._send(400, {"error": "%s: %s" % (type(e).__name__, e)})
+        try:  # server-side problems: backend/batcher failures are 5xx
             args = (x,) if mask is None else (x, mask)
             out = entry.batcher.submit(*args).result(timeout=600)
         except Exception as e:
-            return self._send(400, {"error": "%s: %s" % (type(e).__name__, e)})
+            return self._send(500, {"error": "%s: %s" % (type(e).__name__, e)})
         if entry.meta["kind"] == "embedding":
             self._send(200, {"descriptor": [float(v) for v in out]})
         else:
@@ -197,6 +229,22 @@ class _ModelEntry:
         self.meta = servable.meta
         self.batcher = BatchingService(
             servable, max_batch=max_batch, max_wait_ms=max_wait_ms)
+        # artifacts exported with from_uint8=False expect the normalized f32
+        # tensor: rebuild the host transform pipeline from the artifact's
+        # own provenance (meta records the transform DSL + mean_std)
+        self._host_tf = None
+        if self.meta["input_dtype"] == "float32":
+            from gandtr_tpu.data.transforms import initialize_transforms
+            self._host_tf = initialize_transforms(
+                self.meta["transforms"], self.meta["mean_std"])
+
+    def prepare(self, img_u8):
+        """Decoded+fitted uint8 (H, W, 3) -> the artifact's input dtype."""
+        if self._host_tf is None:
+            return img_u8
+        from PIL import Image
+        return np.asarray(self._host_tf(Image.fromarray(img_u8)),
+                          np.float32)
 
 
 def serve_http(models, host="127.0.0.1", port=0, max_batch=None,

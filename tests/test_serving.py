@@ -5,6 +5,7 @@ import io
 import json
 import os
 import threading
+import time
 import urllib.request
 
 import numpy as np
@@ -108,13 +109,19 @@ class TestExportGenerator:
         assert servable(img).shape == (1, HW, HW, 3)
 
 
+@pytest.fixture(scope="module")
+def emb_artifact(tmp_path_factory):
+    model = tiny_embedding_hub()
+    path = str(tmp_path_factory.mktemp("art") / "emb")
+    meta = export_hub_model(model, path, (HW * 2, HW * 2),
+                            batch_buckets=(1, 2), from_uint8=False,
+                            with_mask=True)
+    return model, path, meta
+
+
 class TestExportEmbeddingMask:
-    def test_masked_export_matches_direct(self, tmp_path):
-        model = tiny_embedding_hub()
-        path = str(tmp_path / "emb")
-        meta = export_hub_model(model, path, (HW * 2, HW * 2),
-                                batch_buckets=(1, 2), from_uint8=False,
-                                with_mask=True)
+    def test_masked_export_matches_direct(self, emb_artifact):
+        model, path, meta = emb_artifact
         assert meta["kind"] == "embedding"
         servable = load_artifact(path)
         rng = np.random.RandomState(1)
@@ -127,15 +134,12 @@ class TestExportEmbeddingMask:
         # unit-norm descriptors (embedding path ends in L2N)
         np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, atol=1e-5)
 
-    def test_mask_ignores_padding(self, tmp_path):
+    def test_mask_ignores_padding(self, emb_artifact):
         """Aspect-preserving serving: descriptor of an image padded to the
         bucket (with its mask) ~= descriptor of the unpadded image. VGG16's
         stride-32 receptive fields bleed a little across the boundary, so
         require high cosine rather than equality."""
-        model = tiny_embedding_hub()
-        path = str(tmp_path / "emb")
-        export_hub_model(model, path, (HW * 2, HW * 2), batch_buckets=(1,),
-                         from_uint8=False, with_mask=True)
+        model, path, _ = emb_artifact
         servable = load_artifact(path)
         rng = np.random.RandomState(2)
         h_valid = HW * 2 - 16
@@ -152,6 +156,37 @@ class TestExportEmbeddingMask:
         # the pad boundary bleeds into a whole feature row; at the 1024px
         # serving size the boundary fraction is ~8x smaller
         assert cos > 0.95, cos
+
+    def test_single_image_2d_mask(self, emb_artifact):
+        _, path, _ = emb_artifact
+        servable = load_artifact(path)
+        img = np.zeros((HW * 2, HW * 2, 3), np.float32)
+        mask = np.ones((HW * 2, HW * 2), np.float32)
+        assert servable(img, masks=mask).shape[0] == 1
+
+    def test_mask_refused_by_unsupported_pooling(self):
+        """A pooling without a masked form must refuse the mask kwarg at
+        trace time instead of silently pooling over pad pixels."""
+        from gandtr_tpu.models.retrieval import GemRetrievalNet
+        module = GemRetrievalNet(architecture="vgg16", pooling="rmac")
+        x = jnp.zeros((1, HW * 2, HW * 2, 3), jnp.float32)
+        with pytest.raises(ValueError, match="mask is not supported"):
+            module.init(jax.random.PRNGKey(0), x,
+                        mask=jnp.ones((1, HW * 2, HW * 2)))
+
+    def test_attention_net_honors_mask(self):
+        from gandtr_tpu.models.retrieval import GemRetrievalNetAttention
+        module = GemRetrievalNetAttention(architecture="vgg16", pooling="gem")
+        x = jnp.asarray(np.random.RandomState(6).rand(1, HW * 2, HW * 2, 3),
+                        jnp.float32)
+        v = module.init(jax.random.PRNGKey(0), x)
+        full = module.apply(v, x, mask=jnp.ones((1, HW * 2, HW * 2)))
+        plain = module.apply(v, x)
+        np.testing.assert_allclose(np.asarray(full), np.asarray(plain),
+                                   rtol=1e-5)
+        half = jnp.zeros((1, HW * 2, HW * 2)).at[:, :HW].set(1.0)
+        masked = module.apply(v, x, mask=half)
+        assert not np.allclose(np.asarray(masked), np.asarray(plain))
 
     def test_wrapped_net_rejects_mask(self, tmp_path):
         from gandtr_tpu.learning.wrappers import CirMultiscaleAggregation
@@ -207,6 +242,51 @@ class TestBatchingService:
         finally:
             svc.close()
 
+    def test_cancelled_future_does_not_kill_batcher(self):
+        def fn(x):
+            time.sleep(0.05)
+            return x
+
+        svc = BatchingService(fn, max_batch=2, max_wait_ms=1)
+        try:
+            f1 = svc.submit(np.zeros((1,), np.float32))
+            f1.cancel()  # waiter gave up; batcher must survive set_result
+            out = svc.submit(np.ones((1,), np.float32)).result(timeout=30)
+            np.testing.assert_array_equal(out, np.ones((1,), np.float32))
+        finally:
+            svc.close()
+
+    def test_close_never_strands_a_future(self):
+        """submit racing close(): every submit either resolves or raises —
+        no future may hang forever."""
+        svc = BatchingService(lambda x: x, max_batch=4, max_wait_ms=1)
+        futs, errors = [], []
+
+        def submitter():
+            for _ in range(50):
+                try:
+                    futs.append(svc.submit(np.zeros((1,), np.float32)))
+                except RuntimeError:
+                    errors.append(1)
+                    return
+
+        t = threading.Thread(target=submitter)
+        t.start()
+        time.sleep(0.01)
+        svc.close()
+        t.join(timeout=10)
+        for f in futs:
+            try:
+                f.result(timeout=5)  # must not time out
+            except RuntimeError:
+                pass
+
+    def test_submit_after_close_raises(self):
+        svc = BatchingService(lambda x: x, max_batch=2, max_wait_ms=1)
+        svc.close()
+        with pytest.raises(RuntimeError, match="closed"):
+            svc.submit(np.zeros((1,), np.float32))
+
     def test_multi_arg_items(self):
         def fn(x, m):
             return (x * m[..., None]).sum(axis=(1, 2, 3))
@@ -261,9 +341,11 @@ class TestExportStage:
 
 class TestHttpServer:
     @pytest.fixture()
-    def server(self, gen_artifact):
+    def server(self, gen_artifact, emb_artifact):
         _, path, _ = gen_artifact
-        srv = serve_http({"day2night": load_artifact(path)}, port=0,
+        _, emb_path, _ = emb_artifact
+        srv = serve_http({"day2night": load_artifact(path),
+                          "embed": load_artifact(emb_path)}, port=0,
                          max_wait_ms=1.0, block=False)
         yield srv
         srv.shutdown()
@@ -313,6 +395,25 @@ class TestHttpServer:
         with self._predict(server, buf.getvalue(), "image/png") as r:
             out = np.asarray(Image.open(io.BytesIO(r.read())))
         assert out.shape == (HW, HW, 3)
+
+    def test_embedding_f32_masked_artifact_over_http(self, server):
+        """An f32 artifact (from_uint8=False, masked): the server rebuilds
+        the host transform from the artifact's provenance and pads
+        aspect-preserving; response is a descriptor JSON."""
+        from PIL import Image
+        img = Image.fromarray(np.random.RandomState(7).randint(
+            0, 256, (40, HW * 2, 3), np.uint8))  # non-square: pad + mask
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        req = urllib.request.Request(
+            self._url(server, "/v1/models/embed:predict"),
+            data=buf.getvalue(), headers={"Content-Type": "image/png"},
+            method="POST")
+        with urllib.request.urlopen(req) as r:
+            out = json.load(r)
+        desc = np.asarray(out["descriptor"])
+        assert desc.shape == (512,)
+        np.testing.assert_allclose(np.linalg.norm(desc), 1.0, atol=1e-4)
 
     def test_unknown_model_404(self, server):
         req = urllib.request.Request(
