@@ -168,12 +168,15 @@ class DecodePool:
 
 
 _shared_pool = None
+# own lock: DecodePool.__init__ -> _load() takes the module _lock, which is
+# non-reentrant — guarding with _lock here would self-deadlock
+_pool_lock = threading.Lock()
 
 
 def shared_pool():
     """Process-wide pool for the dataset imread fast path."""
     global _shared_pool
-    with _lock:
+    with _pool_lock:
         if _shared_pool is None:
             _shared_pool = DecodePool()
         return _shared_pool

@@ -66,7 +66,9 @@ static int decode_jpeg(FILE* f, uint8_t** out, int* h, int* w,
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = jpeg_error_exit_cb;
   jerr.pub.output_message = jpeg_output_message_cb;
-  uint8_t* buf = nullptr;
+  // volatile: modified between setjmp and a decoder-error longjmp — a plain
+  // local's value would be indeterminate in the handler (free of garbage)
+  uint8_t* volatile buf = nullptr;
   if (setjmp(jerr.setjmp_buffer)) {
     jpeg_destroy_decompress(&cinfo);
     free(buf);
@@ -135,8 +137,9 @@ static int decode_png(FILE* f, uint8_t** out, int* h, int* w) {
     png_destroy_read_struct(&png, nullptr, nullptr);
     return GANDTR_E_NOMEM;
   }
-  uint8_t* buf = nullptr;
-  std::vector<png_bytep> rows;
+  // volatile for the same setjmp/longjmp reason as decode_jpeg; rows are
+  // read one at a time (no row-pointer vector mutated after setjmp)
+  uint8_t* volatile buf = nullptr;
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     free(buf);
@@ -161,6 +164,8 @@ static int decode_png(FILE* f, uint8_t** out, int* h, int* w) {
   if (png_get_valid(png, info, PNG_INFO_tRNS))
     // tRNS would expand to an alpha channel; strip it the same way
     png_set_strip_alpha(png);
+  // row-at-a-time reading below needs explicit interlace passes
+  const int passes = png_set_interlace_handling(png);
   png_read_update_info(png, info);
 
   const int W = png_get_image_width(png, info);
@@ -174,10 +179,9 @@ static int decode_png(FILE* f, uint8_t** out, int* h, int* w) {
     png_destroy_read_struct(&png, &info, nullptr);
     return GANDTR_E_NOMEM;
   }
-  rows.resize(H);
-  for (int y = 0; y < H; ++y)
-    rows[y] = buf + static_cast<size_t>(y) * W * 3;
-  png_read_image(png, rows.data());
+  for (int p = 0; p < passes; ++p)
+    for (int y = 0; y < H; ++y)
+      png_read_row(png, buf + static_cast<size_t>(y) * W * 3, nullptr);
   png_read_end(png, nullptr);
   png_destroy_read_struct(&png, &info, nullptr);
   *out = buf;

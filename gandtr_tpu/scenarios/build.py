@@ -65,14 +65,17 @@ def _load_pretrained_into(variables, model_cfg, name):
         return variables
     try:
         state = load_torch_checkpoint(url)
-        if "net" in state:
-            state = state["net"]["model_state"]
-        key_map = ti.key_map_for_architecture(model_cfg.get("architecture", ""))
-        return ti.convert_torch_state(variables, state, key_map=key_map,
-                                      strict=False, min_coverage=1.0)
     except Exception as exc:  # zero-egress envs: keep random init
-        warnings.warn("Could not load pretrained '%s' for %s: %s" % (url, name, exc))
+        warnings.warn("Could not fetch pretrained '%s' for %s: %s"
+                      % (url, name, exc))
         return variables
+    # the checkpoint IS present: an incomplete import must fail loudly here,
+    # not degrade to random weights behind a warning
+    if "net" in state:
+        state = state["net"]["model_state"]
+    key_map = ti.key_map_for_architecture(model_cfg.get("architecture", ""))
+    return ti.convert_torch_state(variables, state, key_map=key_map,
+                                  strict=False, min_coverage=1.0)
 
 
 def build_gan_experiment(scenario, sample_hw=256, batch_size=None,

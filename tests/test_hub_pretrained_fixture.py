@@ -195,3 +195,46 @@ class TestGeneratorPretrained:
             ref = tg(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
         np.testing.assert_allclose(out, np.transpose(ref.numpy(), (0, 2, 3, 1)),
                                    rtol=1e-3, atol=1e-4)
+
+
+class TestBuildPretrainedLoading:
+    """scenarios/build._load_pretrained_into: unreachable checkpoints keep
+    random init with a warning (zero-egress tolerance), but a PRESENT
+    checkpoint that fills less than 100% of the model must fail loudly —
+    never silently degrade to random weights."""
+
+    def _hed_cfg(self, url):
+        return {"architecture": "hed_interpolation", "width_mult": 0.0625,
+                "pretrained": url}
+
+    def _hed_variables(self):
+        import jax
+        import jax.numpy as jnp
+        from gandtr_tpu.models import initialize_model
+        m = initialize_model({"architecture": "hed_interpolation",
+                              "width_mult": 0.0625})
+        return m, dict(m.init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, 32, 32, 3), jnp.float32)))
+
+    def test_unreachable_checkpoint_warns_and_keeps_init(self, tmp_path):
+        import warnings
+        from gandtr_tpu.scenarios.build import _load_pretrained_into
+        _, variables = self._hed_variables()
+        cfg = self._hed_cfg(str(tmp_path / "missing.pth"))
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            out = _load_pretrained_into(variables, cfg, "detector")
+        assert out is variables
+        assert any("Could not fetch" in str(x.message) for x in w)
+
+    def test_partial_checkpoint_raises_not_warns(self, tmp_path):
+        import torch
+        from gandtr_tpu.scenarios.build import _load_pretrained_into
+        from gandtr_tpu.utils.torch_import import ImportCoverageError
+        model, variables = self._hed_variables()
+        # a present checkpoint with a single bogus tensor: ~0% coverage
+        path = tmp_path / "partial.pth"
+        torch.save({"nonexistent.weight": torch.zeros(3)}, str(path))
+        with pytest.raises(ImportCoverageError):
+            _load_pretrained_into(variables, self._hed_cfg(str(path)),
+                                  "detector")

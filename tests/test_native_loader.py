@@ -118,3 +118,22 @@ class TestNativeDecode:
         assert gray.mode == "L"
         ref = Image.open(images[0]).convert("L")
         np.testing.assert_array_equal(np.asarray(gray), np.asarray(ref))
+
+
+class TestSharedPool:
+    def test_shared_pool_no_deadlock(self, images):
+        """shared_pool() must not self-deadlock on first use (DecodePool's
+        lazy _load() takes the module lock; shared_pool uses its own)."""
+        import threading
+        result = {}
+
+        def use():
+            pool = native.shared_pool()
+            result["arrs"] = pool.decode_batch(images[:2])
+
+        t = threading.Thread(target=use, daemon=True)
+        t.start()
+        t.join(timeout=30)
+        assert not t.is_alive(), "shared_pool() deadlocked"
+        assert all(a is not None for a in result["arrs"])
+        assert native.shared_pool() is native.shared_pool()
