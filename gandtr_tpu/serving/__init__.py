@@ -14,5 +14,6 @@ path adds both:
 """
 from gandtr_tpu.serving.export import (  # noqa: F401
     export_hub_model, load_artifact, Servable)
+from gandtr_tpu.serving.index import RetrievalIndex  # noqa: F401
 from gandtr_tpu.serving.service import (  # noqa: F401
     BatchingService, serve_http)

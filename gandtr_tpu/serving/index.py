@@ -1,0 +1,116 @@
+"""In-memory descriptor index with on-device exact top-k search.
+
+Productionizes the eval ranking path: the reference ranks with a host numpy
+matmul at evaluation time only (/root/reference/mdir/components/optim/score/
+cirscore.py:71-72); here the database lives on device(s) and each query is
+one MXU matmul + `lax.top_k`. Multiple devices hold disjoint database shards
+(round-robin by insertion order); per-shard top-k results merge on host —
+exact, and the database scales with the chip count.
+"""
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class RetrievalIndex:
+    """Exact cosine/IP top-k over L2-normalized descriptor rows.
+
+    add() appends (names, (N, D) rows); query() returns per-query
+    [(name, score), ...] best-first. Device placement is lazy: the database
+    uploads (sharded round-robin over `devices`) on the first query after a
+    change."""
+
+    def __init__(self, dim, devices=None):
+        self.dim = int(dim)
+        self.names = []
+        self._vecs = []          # list of (N_i, D) float32 blocks
+        self.devices = list(devices) if devices else [None]
+        self._shards = None      # per-device jnp arrays, built lazily
+        self._topk_cache = {}
+
+    def __len__(self):
+        return sum(v.shape[0] for v in self._vecs)
+
+    def add(self, names, descriptors):
+        descriptors = np.ascontiguousarray(descriptors, np.float32)
+        if descriptors.ndim == 1:
+            descriptors = descriptors[None]
+        assert descriptors.shape == (len(names), self.dim), descriptors.shape
+        self.names.extend(str(n) for n in names)
+        self._vecs.append(descriptors)
+        self._shards = None  # re-shard on next query
+
+    def _build_shards(self):
+        full = (np.concatenate(self._vecs, 0) if self._vecs
+                else np.zeros((0, self.dim), np.float32))
+        n_dev = len(self.devices)
+        bounds = np.linspace(0, full.shape[0], n_dev + 1).astype(int)
+        self._shards = []
+        for di, dev in enumerate(self.devices):
+            chunk = full[bounds[di]:bounds[di + 1]]
+            arr = (jax.device_put(chunk, dev) if dev is not None
+                   else jnp.asarray(chunk))
+            self._shards.append((int(bounds[di]), arr))
+
+    def _topk_fn(self, k):
+        if k not in self._topk_cache:
+            @jax.jit
+            def fn(db, q):
+                scores = jnp.dot(q, db.T,
+                                 precision=jax.lax.Precision.HIGHEST,
+                                 preferred_element_type=jnp.float32)
+                return jax.lax.top_k(scores, k)
+            self._topk_cache[k] = fn
+        return self._topk_cache[k]
+
+    def query(self, qvecs, k=10):
+        """qvecs: (Nq, D) or (D,) rows. Returns a list per query of
+        [(name, score), ...], length min(k, len(index)), best-first."""
+        q = np.asarray(qvecs, np.float32)
+        if q.ndim == 1:
+            q = q[None]
+        assert q.shape[1] == self.dim, q.shape
+        n = len(self)
+        if n == 0:
+            return [[] for _ in range(q.shape[0])]
+        k = min(int(k), n)
+        if self._shards is None:
+            self._build_shards()
+        parts = []  # (vals (Nq, k_i), global idx (Nq, k_i)) per shard, async
+        for offset, db in self._shards:
+            if db.shape[0] == 0:
+                continue
+            kk = min(k, db.shape[0])
+            vals, idx = self._topk_fn(kk)(db, jnp.asarray(q))
+            parts.append((vals, idx, offset))
+        vals = np.concatenate([np.asarray(v) for v, _, _ in parts], 1)
+        idx = np.concatenate([np.asarray(i) + off for _, i, off in parts], 1)
+        order = np.argsort(-vals, axis=1, kind="stable")[:, :k]
+        out = []
+        for qi in range(q.shape[0]):
+            out.append([(self.names[idx[qi, j]], float(vals[qi, j]))
+                        for j in (order[qi])])
+        return out
+
+    def save(self, path):
+        """One .npz + sidecar meta; load with RetrievalIndex.load()."""
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        full = (np.concatenate(self._vecs, 0) if self._vecs
+                else np.zeros((0, self.dim), np.float32))
+        np.savez_compressed(path, vecs=full,
+                            names=np.asarray(self.names, dtype=object),
+                            meta=json.dumps({"dim": self.dim}))
+
+    @classmethod
+    def load(cls, path, devices=None):
+        with np.load(path if str(path).endswith(".npz") else path + ".npz",
+                     allow_pickle=True) as z:
+            meta = json.loads(str(z["meta"]))
+            idx = cls(meta["dim"], devices=devices)
+            vecs = z["vecs"]
+            if vecs.shape[0]:
+                idx.add([str(n) for n in z["names"]], vecs)
+        return idx

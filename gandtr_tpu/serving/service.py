@@ -195,13 +195,19 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(404, {"error": "not found"})
 
     def do_POST(self):
-        path = self.path
-        if not (path.startswith("/v1/models/") and path.endswith(":predict")):
+        path, _, qs = self.path.partition("?")
+        action = next((a for a in (":predict", ":search")
+                       if path.startswith("/v1/models/")
+                       and path.endswith(a)), None)
+        if action is None:
             return self._send(404, {"error": "not found"})
-        name = path[len("/v1/models/"):-len(":predict")]
+        name = path[len("/v1/models/"):-len(action)]
         entry = self.server.models.get(name)
         if entry is None:
             return self._send(404, {"error": "unknown model %r" % name})
+        if action == ":search" and entry.index is None:
+            return self._send(404, {"error": "model %r has no search index"
+                                    % name})
         try:  # client-side problems: undecodable/malformed request body
             body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
             img = _decode_image_bytes(
@@ -215,7 +221,13 @@ class _Handler(BaseHTTPRequestHandler):
             out = entry.batcher.submit(*args).result(timeout=600)
         except Exception as e:
             return self._send(500, {"error": "%s: %s" % (type(e).__name__, e)})
-        if entry.meta["kind"] == "embedding":
+        if action == ":search":
+            from urllib.parse import parse_qs
+            k = int(parse_qs(qs).get("k", ["10"])[0])
+            results = entry.index.query(np.asarray(out)[None], k=k)[0]
+            self._send(200, {"results": [{"name": n, "score": s}
+                                         for n, s in results]})
+        elif entry.meta["kind"] == "embedding":
             self._send(200, {"descriptor": [float(v) for v in out]})
         else:
             from PIL import Image
@@ -225,8 +237,9 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 class _ModelEntry:
-    def __init__(self, servable, max_batch, max_wait_ms):
+    def __init__(self, servable, max_batch, max_wait_ms, index=None):
         self.meta = servable.meta
+        self.index = index
         self.batcher = BatchingService(
             servable, max_batch=max_batch, max_wait_ms=max_wait_ms)
         # artifacts exported with from_uint8=False expect the normalized f32
@@ -248,11 +261,13 @@ class _ModelEntry:
 
 
 def serve_http(models, host="127.0.0.1", port=0, max_batch=None,
-               max_wait_ms=5.0, block=True):
+               max_wait_ms=5.0, block=True, indices=None):
     """Serve `models` ({name: Servable-or-artifact-path}) over HTTP.
 
     Endpoints: GET /healthz, GET /v1/models, POST /v1/models/<name>:predict
-    (body = JPEG/PNG/npy image; response = descriptor JSON or PNG).
+    (body = JPEG/PNG/npy image; response = descriptor JSON or PNG), and —
+    for embedding models with a RetrievalIndex in `indices[name]` —
+    POST /v1/models/<name>:search?k=10 (image body → top-k {name, score}).
     With block=False returns the started server (`.server_address`,
     `.shutdown()`); its batchers are in `.models`."""
     from gandtr_tpu.serving.export import Servable, load_artifact
@@ -261,7 +276,8 @@ def serve_http(models, host="127.0.0.1", port=0, max_batch=None,
     for name, m in models.items():
         servable = m if isinstance(m, Servable) else load_artifact(m)
         cap = max_batch or servable.buckets[-1]
-        entries[name] = _ModelEntry(servable, cap, max_wait_ms)
+        entries[name] = _ModelEntry(servable, cap, max_wait_ms,
+                                    index=(indices or {}).get(name))
 
     server = ThreadingHTTPServer((host, port), _Handler)
     server.models = entries

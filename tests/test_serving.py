@@ -339,6 +339,63 @@ class TestExportStage:
             export(params, ())
 
 
+class TestRetrievalIndex:
+    def _db(self, n=500, d=64, seed=0):
+        rng = np.random.RandomState(seed)
+        v = rng.randn(n, d).astype(np.float32)
+        return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+    def test_exact_topk_vs_numpy(self):
+        from gandtr_tpu.serving import RetrievalIndex
+        db, q = self._db(500, 64), self._db(7, 64, seed=1)
+        idx = RetrievalIndex(64)
+        idx.add([f"im{i}" for i in range(250)], db[:250])
+        idx.add([f"im{i}" for i in range(250, 500)], db[250:])
+        results = idx.query(q, k=9)
+        scores = q @ db.T
+        for qi in range(7):
+            ref = np.argsort(-scores[qi], kind="stable")[:9]
+            assert [n for n, _ in results[qi]] == [f"im{j}" for j in ref]
+            np.testing.assert_allclose([s for _, s in results[qi]],
+                                       scores[qi][ref], rtol=1e-5)
+
+    def test_multi_device_shards_match_single(self):
+        from gandtr_tpu.serving import RetrievalIndex
+        db, q = self._db(200, 32), self._db(3, 32, seed=2)
+        single = RetrievalIndex(32)
+        multi = RetrievalIndex(32, devices=jax.devices()[:4])
+        names = [f"x{i}" for i in range(200)]
+        single.add(names, db)
+        multi.add(names, db)
+        # per-shard matmuls round differently at ~1e-7; names must agree
+        # exactly, scores to float tolerance
+        got_s, got_m = single.query(q, k=11), multi.query(q, k=11)
+        for rs, rm in zip(got_s, got_m):
+            assert [n for n, _ in rs] == [n for n, _ in rm]
+            np.testing.assert_allclose([s for _, s in rs],
+                                       [s for _, s in rm], rtol=1e-5)
+
+    def test_save_load_roundtrip(self, tmp_path):
+        from gandtr_tpu.serving import RetrievalIndex
+        db = self._db(40, 16)
+        idx = RetrievalIndex(16)
+        idx.add([f"n{i}" for i in range(40)], db)
+        p = str(tmp_path / "index.npz")
+        idx.save(p)
+        idx2 = RetrievalIndex.load(p)
+        assert len(idx2) == 40 and idx2.dim == 16
+        assert idx.query(db[:2], k=3) == idx2.query(db[:2], k=3)
+
+    def test_empty_and_k_clamp(self):
+        from gandtr_tpu.serving import RetrievalIndex
+        idx = RetrievalIndex(8)
+        assert idx.query(np.zeros((2, 8), np.float32)) == [[], []]
+        idx.add(["only"], np.ones((1, 8), np.float32) / np.sqrt(8))
+        (res,) = idx.query(np.ones((1, 8), np.float32) / np.sqrt(8), k=10)
+        assert len(res) == 1 and res[0][0] == "only"
+        assert res[0][1] == pytest.approx(1.0, abs=1e-5)
+
+
 class TestHttpServer:
     @pytest.fixture()
     def server(self, gen_artifact, emb_artifact):
@@ -414,6 +471,54 @@ class TestHttpServer:
         desc = np.asarray(out["descriptor"])
         assert desc.shape == (512,)
         np.testing.assert_allclose(np.linalg.norm(desc), 1.0, atol=1e-4)
+
+    def test_search_endpoint_end_to_end(self, emb_artifact):
+        """Image -> descriptor -> top-k over an attached RetrievalIndex."""
+        from gandtr_tpu.serving import RetrievalIndex
+        _, emb_path, _ = emb_artifact
+        index = RetrievalIndex(512)
+        srv = serve_http({"embed": load_artifact(emb_path)}, port=0,
+                         max_wait_ms=1.0, block=False,
+                         indices={"embed": index})
+        try:
+            host, port = srv.server_address
+            rng = np.random.RandomState(8)
+            imgs = [rng.randint(0, 256, (HW * 2, HW * 2, 3), np.uint8)
+                    for _ in range(3)]
+
+            def post(action, img):
+                buf = io.BytesIO()
+                np.save(buf, img)
+                req = urllib.request.Request(
+                    "http://%s:%d/v1/models/embed%s" % (host, port, action),
+                    data=buf.getvalue(),
+                    headers={"Content-Type": "application/octet-stream"},
+                    method="POST")
+                with urllib.request.urlopen(req) as r:
+                    return json.load(r)
+
+            for i, img in enumerate(imgs):
+                desc = np.asarray(post(":predict", img)["descriptor"])
+                index.add(["img%d" % i], desc[None])
+            got = post(":search?k=2", imgs[1])["results"]
+            assert got[0]["name"] == "img1"
+            assert got[0]["score"] == pytest.approx(1.0, abs=1e-4)
+            # noise images yield correlated descriptors (~0.997); only the
+            # self-match should be ~exactly 1
+            assert len(got) == 2 and got[1]["score"] < got[0]["score"] - 1e-3
+        finally:
+            srv.shutdown()
+            for e in srv.models.values():
+                e.batcher.close()
+
+    def test_search_without_index_404(self, server):
+        req = urllib.request.Request(
+            self._url(server, "/v1/models/day2night:search"), data=b"x",
+            headers={"Content-Type": "application/octet-stream"},
+            method="POST")
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req)
+        assert exc.value.code == 404
 
     def test_unknown_model_404(self, server):
         req = urllib.request.Request(
