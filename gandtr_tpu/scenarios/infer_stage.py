@@ -75,9 +75,23 @@ class EmbeddingOutput:
         self.names.append(name)
         self.vecs.append(np.asarray(vec).reshape(-1))
 
-    def matrix(self):
-        return np.stack(self.vecs, axis=1) if self.vecs else \
-            np.zeros((self.dimensions, 0))
+    def matrix(self, order=None):
+        """(D, N) columns. With `order` (a name list), columns follow that
+        order with NaN fill for missing names — required because the infer
+        loop flushes shape buckets out of input order (output.py:143-146
+        NaN-row semantics)."""
+        if order is None:
+            return np.stack(self.vecs, axis=1) if self.vecs else \
+                np.zeros((self.dimensions, 0))
+        by_name = dict(zip(self.names, self.vecs))
+        # actual vec length wins over the configured dimensions (e.g. HED
+        # edge maps dumped through the embedding sink)
+        dim = self.vecs[0].size if self.vecs else self.dimensions
+        out = np.full((dim, len(order)), np.nan, np.float32)
+        for i, n in enumerate(order):
+            if n in by_name:
+                out[:, i] = by_name[n]
+        return out
 
     def close(self):
         pass
@@ -183,7 +197,10 @@ def infer(params, data):
 
     meta = {"count": len(names)}
     if out_type != "image":
-        meta["vecs"] = sink.matrix()
+        # input-name order, NOT bucket-flush order: downstream consumers
+        # (whitening qidxs/pidxs, index building) index columns positionally
+        meta["vecs"] = sink.matrix(order=names)
+        meta["names"] = list(names)
     return (meta,)
 
 

@@ -40,7 +40,8 @@ def infer_and_learn_whitening(params, data):
     infer_params = dict(params)
     infer_params.setdefault("output", {})["type"] = "embedding"
     (meta,) = infer(infer_params, (paths,))
-    descriptors = meta.pop("vecs")  # (D, N)
+    descriptors = meta.pop("vecs")  # (D, N), in `paths` order
+    meta.pop("names", None)
 
     if whitening["type"] == "lw":
         cid_to_idx = {cid: i for i, cid in enumerate(pkl["cids"])}

@@ -69,6 +69,11 @@ def _lazy_export(params, data):
     return export(params, data)
 
 
+def _lazy_build_index(params, data):
+    from gandtr_tpu.scenarios.index_stage import build_index
+    return build_index(params, data)
+
+
 FUNCTIONS = {
     # our names
     "gandtr_tpu.stages.train": _lazy_train,
@@ -81,6 +86,7 @@ FUNCTIONS = {
     "mdir.stages.infer.infer": _lazy_infer,
     "gandtr_tpu.stages.infer_incrementally": _lazy_infer_incrementally,
     "gandtr_tpu.stages.export": _lazy_export,
+    "gandtr_tpu.stages.build_index": _lazy_build_index,
     "mdir.stages.infer.infer_incrementally": _lazy_infer_incrementally,
     "mdir.stages.multistep.infer_and_learn_whitening": lambda p, d: __import__(
         "gandtr_tpu.scenarios.multistep_stage", fromlist=["x"]
@@ -98,7 +104,8 @@ FUNCTIONS = {
     "print_scores": print_scores,
 }
 
-NEEDS_DATA = {"mdir.stages.infer.infer", "gandtr_tpu.stages.infer"}
+NEEDS_DATA = {"mdir.stages.infer.infer", "gandtr_tpu.stages.infer",
+              "gandtr_tpu.stages.build_index"}
 
 
 def parse_targets(scenario, targets, path=""):

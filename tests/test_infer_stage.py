@@ -63,6 +63,72 @@ def test_embedding_output(imgdir):
                                atol=1e-4)
 
 
+EMB_NET = {"type": "SingleNetwork",
+           "model": {"architecture": "cirnet", "cir_architecture": "vgg16",
+                     "pooling": "gem", "local_whitening": False,
+                     "whitening": False},
+           "runtime": {"wrappers": "", "data": {}}}
+
+
+def test_embedding_order_with_mixed_shapes(tmp_path):
+    """Shape-bucketed flushes must NOT reorder descriptor columns: column i
+    belongs to input name i (whitening qidxs/pidxs and infer_incrementally
+    both index positionally)."""
+    rng = np.random.RandomState(3)
+    d = tmp_path / "ims"
+    d.mkdir()
+    names = []
+    for i in range(5):
+        hw = (32, 32) if i % 2 == 0 else (48, 32)  # two shape buckets
+        Image.fromarray((rng.rand(*hw, 3) * 255).astype(np.uint8)
+                        ).save(d / f"m{i}.png")
+        names.append(f"m{i}.png")
+    params = {
+        "network": dict(EMB_NET),
+        "data": {"image_dir": str(d) + "/*",
+                 "transforms": "pil2np | totensor | normalize",
+                 "mean_std": [[0.485, 0.456, 0.406], [0.229, 0.224, 0.225]],
+                 "loader": {"batch_size": 2}},
+        "output": {"type": "embedding", "dimensions": 512},
+    }
+    (meta,) = infer(dict(params), (names,))
+    assert meta["names"] == names
+    (meta_rev,) = infer(dict(params), (names[::-1],))
+    # same name -> same column regardless of submission order
+    np.testing.assert_allclose(meta["vecs"], meta_rev["vecs"][:, ::-1],
+                               atol=1e-5)
+
+
+def test_build_index_stage(imgdir, tmp_path):
+    from gandtr_tpu.scenarios.index_stage import build_index
+    from gandtr_tpu.serving.index import RetrievalIndex
+    names = [f"im{i}.jpg" for i in range(3)]
+    params = {
+        "network": dict(EMB_NET),
+        "data": {"image_dir": str(imgdir) + "/*",
+                 "transforms": "pil2np | totensor | normalize",
+                 "mean_std": [[0.485, 0.456, 0.406], [0.229, 0.224, 0.225]]},
+        "index": {"path": str(tmp_path / "db.npz"), "dimensions": 512},
+    }
+    (meta,) = build_index(dict(params), (names,))
+    assert meta["count"] == 3 and meta["failed"] == 0
+
+    idx = RetrievalIndex.load(meta["path"])
+    assert len(idx) == 3
+    # querying with a db image's own descriptor returns it at rank 1
+    (emb_meta,) = infer({"network": dict(EMB_NET),
+                         "data": dict(params["data"]),
+                         "output": {"type": "embedding", "dimensions": 512}},
+                        (names,))
+    (res,) = idx.query(emb_meta["vecs"][:, 1], k=2)
+    assert res[0][0] == "im1.jpg"
+    assert res[0][1] == pytest.approx(1.0, abs=1e-4)
+
+    # idempotent skip on re-run
+    (meta2,) = build_index(dict(params), (names,))
+    assert meta2["status"] == "skipped" and meta2["count"] == 3
+
+
 def test_multistep_whitening(imgdir, tmp_path):
     # cid-style names: path derived as cid[-2:]/cid[-4:-2]/cid[-6:-4]/cid
     rng = np.random.RandomState(1)
