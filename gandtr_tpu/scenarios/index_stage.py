@@ -54,6 +54,11 @@ def build_index(params, data):
 
     rows = np.asarray(meta["vecs"]).T  # (N, D), in `names` order
     keep = ~np.isnan(rows).any(axis=1)
+    # the sink reports the ACTUAL descriptor dim (e.g. resnet backbones are
+    # 2048-D regardless of the configured default) — index by what the model
+    # produced, not the config
+    if len(names) and rows.shape[1] != dims:
+        dims = rows.shape[1]
     index = RetrievalIndex(dims)
     if keep.any():
         index.add([n for n, k in zip(names, keep) if k], rows[keep])

@@ -4,11 +4,12 @@ Productionizes the eval ranking path: the reference ranks with a host numpy
 matmul at evaluation time only (/root/reference/mdir/components/optim/score/
 cirscore.py:71-72); here the database lives on device(s) and each query is
 one MXU matmul + `lax.top_k`. Multiple devices hold disjoint database shards
-(round-robin by insertion order); per-shard top-k results merge on host —
+(contiguous equal-size row blocks); per-shard top-k results merge on host —
 exact, and the database scales with the chip count.
 """
 import json
 import os
+import threading
 
 import numpy as np
 import jax
@@ -20,8 +21,8 @@ class RetrievalIndex:
 
     add() appends (names, (N, D) rows); query() returns per-query
     [(name, score), ...] best-first. Device placement is lazy: the database
-    uploads (sharded round-robin over `devices`) on the first query after a
-    change."""
+    uploads (split into contiguous equal-size blocks over `devices`) on the
+    first query after a change."""
 
     def __init__(self, dim, devices=None):
         self.dim = int(dim)
@@ -30,6 +31,9 @@ class RetrievalIndex:
         self.devices = list(devices) if devices else [None]
         self._shards = None      # per-device jnp arrays, built lazily
         self._topk_cache = {}
+        # serve_http handles requests in threads; add/build/query must not
+        # observe a half-built shard list
+        self._lock = threading.Lock()
 
     def __len__(self):
         return sum(v.shape[0] for v in self._vecs)
@@ -39,9 +43,10 @@ class RetrievalIndex:
         if descriptors.ndim == 1:
             descriptors = descriptors[None]
         assert descriptors.shape == (len(names), self.dim), descriptors.shape
-        self.names.extend(str(n) for n in names)
-        self._vecs.append(descriptors)
-        self._shards = None  # re-shard on next query
+        with self._lock:
+            self.names.extend(str(n) for n in names)
+            self._vecs.append(descriptors)
+            self._shards = None  # re-shard on next query
 
     def _build_shards(self):
         full = (np.concatenate(self._vecs, 0) if self._vecs
@@ -73,41 +78,47 @@ class RetrievalIndex:
         if q.ndim == 1:
             q = q[None]
         assert q.shape[1] == self.dim, q.shape
-        n = len(self)
+        with self._lock:  # snapshot a consistent (names, shards) view
+            if self._shards is None:
+                self._build_shards()
+            shards, names = self._shards, list(self.names)
+        n = len(names)
         if n == 0:
             return [[] for _ in range(q.shape[0])]
         k = min(int(k), n)
-        if self._shards is None:
-            self._build_shards()
+        qj = jnp.asarray(q)  # upload once, not per shard
         parts = []  # (vals (Nq, k_i), global idx (Nq, k_i)) per shard, async
-        for offset, db in self._shards:
+        for offset, db in shards:
             if db.shape[0] == 0:
                 continue
             kk = min(k, db.shape[0])
-            vals, idx = self._topk_fn(kk)(db, jnp.asarray(q))
+            vals, idx = self._topk_fn(kk)(db, qj)
             parts.append((vals, idx, offset))
         vals = np.concatenate([np.asarray(v) for v, _, _ in parts], 1)
         idx = np.concatenate([np.asarray(i) + off for _, i, off in parts], 1)
         order = np.argsort(-vals, axis=1, kind="stable")[:, :k]
         out = []
         for qi in range(q.shape[0]):
-            out.append([(self.names[idx[qi, j]], float(vals[qi, j]))
+            out.append([(names[idx[qi, j]], float(vals[qi, j]))
                         for j in (order[qi])])
         return out
 
     def save(self, path):
-        """One .npz + sidecar meta; load with RetrievalIndex.load()."""
+        """One .npz + sidecar meta; load with RetrievalIndex.load().
+        Names are stored as a plain unicode array — no pickle on either
+        side, so index files are safe to load from untrusted paths."""
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        full = (np.concatenate(self._vecs, 0) if self._vecs
-                else np.zeros((0, self.dim), np.float32))
-        np.savez_compressed(path, vecs=full,
-                            names=np.asarray(self.names, dtype=object),
+        with self._lock:
+            full = (np.concatenate(self._vecs, 0) if self._vecs
+                    else np.zeros((0, self.dim), np.float32))
+            names = np.asarray(self.names, dtype=str)
+        np.savez_compressed(path, vecs=full, names=names,
                             meta=json.dumps({"dim": self.dim}))
 
     @classmethod
     def load(cls, path, devices=None):
-        with np.load(path if str(path).endswith(".npz") else path + ".npz",
-                     allow_pickle=True) as z:
+        with np.load(path if str(path).endswith(".npz")
+                     else path + ".npz") as z:
             meta = json.loads(str(z["meta"]))
             idx = cls(meta["dim"], devices=devices)
             vecs = z["vecs"]

@@ -209,6 +209,11 @@ class _Handler(BaseHTTPRequestHandler):
             return self._send(404, {"error": "model %r has no search index"
                                     % name})
         try:  # client-side problems: undecodable/malformed request body
+            if action == ":search":
+                from urllib.parse import parse_qs
+                k = int(parse_qs(qs).get("k", ["10"])[0])
+                if k < 1:
+                    raise ValueError("k must be >= 1, got %d" % k)
             body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
             img = _decode_image_bytes(
                 body, self.headers.get("Content-Type", ""))
@@ -219,12 +224,11 @@ class _Handler(BaseHTTPRequestHandler):
         try:  # server-side problems: backend/batcher failures are 5xx
             args = (x,) if mask is None else (x, mask)
             out = entry.batcher.submit(*args).result(timeout=600)
+            if action == ":search":
+                results = entry.index.query(np.asarray(out)[None], k=k)[0]
         except Exception as e:
             return self._send(500, {"error": "%s: %s" % (type(e).__name__, e)})
         if action == ":search":
-            from urllib.parse import parse_qs
-            k = int(parse_qs(qs).get("k", ["10"])[0])
-            results = entry.index.query(np.asarray(out)[None], k=k)[0]
             self._send(200, {"results": [{"name": n, "score": s}
                                          for n, s in results]})
         elif entry.meta["kind"] == "embedding":

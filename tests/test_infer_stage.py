@@ -26,6 +26,12 @@ NET = {"type": "SingleNetwork",
                  "n_blocks": 1, "norm_layer": "instance"},
        "runtime": {"wrappers": "", "data": {}}}
 
+EMB_NET = {"type": "SingleNetwork",
+           "model": {"architecture": "cirnet", "cir_architecture": "vgg16",
+                     "pooling": "gem", "local_whitening": False,
+                     "whitening": False},
+           "runtime": {"wrappers": "", "data": {}}}
+
 
 def test_image_output_with_append_skip(imgdir, tmp_path):
     out_dir = tmp_path / "out"
@@ -47,11 +53,7 @@ def test_image_output_with_append_skip(imgdir, tmp_path):
 
 def test_embedding_output(imgdir):
     params = {
-        "network": {"type": "SingleNetwork",
-                    "model": {"architecture": "cirnet",
-                              "cir_architecture": "vgg16", "pooling": "gem",
-                              "local_whitening": False, "whitening": False},
-                    "runtime": {"wrappers": "", "data": {}}},
+        "network": dict(EMB_NET),
         "data": {"image_dir": str(imgdir) + "/*",
                  "transforms": "pil2np | totensor | normalize",
                  "mean_std": [[0.485, 0.456, 0.406], [0.229, 0.224, 0.225]]},
@@ -61,13 +63,6 @@ def test_embedding_output(imgdir):
     assert meta["vecs"].shape == (512, 3)
     np.testing.assert_allclose(np.linalg.norm(meta["vecs"], axis=0), 1.0,
                                atol=1e-4)
-
-
-EMB_NET = {"type": "SingleNetwork",
-           "model": {"architecture": "cirnet", "cir_architecture": "vgg16",
-                     "pooling": "gem", "local_whitening": False,
-                     "whitening": False},
-           "runtime": {"wrappers": "", "data": {}}}
 
 
 def test_embedding_order_with_mixed_shapes(tmp_path):
@@ -147,11 +142,7 @@ def test_multistep_whitening(imgdir, tmp_path):
     params = {
         "whitening": {"type": "lw", "dataset_pkl": str(pkl_path),
                       "directory": str(tmp_path / "exp")},
-        "network": {"type": "SingleNetwork",
-                    "model": {"architecture": "cirnet",
-                              "cir_architecture": "vgg16", "pooling": "gem",
-                              "local_whitening": False, "whitening": False},
-                    "runtime": {"wrappers": "", "data": {}}},
+        "network": dict(EMB_NET),
         "data": {"image_dir": str(imgdir) + "/*",
                  "transforms": "pil2np | totensor | normalize",
                  "mean_std": [[0.485, 0.456, 0.406], [0.229, 0.224, 0.225]]},
@@ -221,11 +212,7 @@ def test_infer_incrementally(imgdir):
     from gandtr_tpu.scenarios.infer_stage import infer_incrementally
 
     params = {
-        "network": {"type": "SingleNetwork",
-                    "model": {"architecture": "cirnet",
-                              "cir_architecture": "vgg16", "pooling": "gem",
-                              "local_whitening": False, "whitening": False},
-                    "runtime": {"wrappers": "", "data": {}}},
+        "network": dict(EMB_NET),
         "data": {"image_dir": str(imgdir) + "/*",
                  "transforms": "pil2np | totensor | normalize",
                  "mean_std": [[0.485, 0.456, 0.406], [0.229, 0.224, 0.225]]},

@@ -511,6 +511,29 @@ class TestHttpServer:
             for e in srv.models.values():
                 e.batcher.close()
 
+    def test_search_bad_k_is_400(self, emb_artifact):
+        """Malformed ?k= must be a 400 JSON error, not a dropped socket."""
+        from gandtr_tpu.serving import RetrievalIndex
+        _, emb_path, _ = emb_artifact
+        srv = serve_http({"embed": load_artifact(emb_path)}, port=0,
+                         max_wait_ms=1.0, block=False,
+                         indices={"embed": RetrievalIndex(512)})
+        try:
+            host, port = srv.server_address
+            for bad in ("abc", "0", "-3"):
+                req = urllib.request.Request(
+                    "http://%s:%d/v1/models/embed:search?k=%s"
+                    % (host, port, bad), data=b"x",
+                    headers={"Content-Type": "application/octet-stream"},
+                    method="POST")
+                with pytest.raises(urllib.error.HTTPError) as exc:
+                    urllib.request.urlopen(req)
+                assert exc.value.code == 400
+        finally:
+            srv.shutdown()
+            for e in srv.models.values():
+                e.batcher.close()
+
     def test_search_without_index_404(self, server):
         req = urllib.request.Request(
             self._url(server, "/v1/models/day2night:search"), data=b"x",
