@@ -375,6 +375,27 @@ class TestRetrievalIndex:
             np.testing.assert_allclose([s for _, s in rs],
                                        [s for _, s in rm], rtol=1e-5)
 
+    def test_chunked_topk_path_exact(self):
+        """Databases above the chunk threshold use the two-stage top-k;
+        results (values AND index-based names, incl. duplicate-row ties)
+        must equal the plain path and numpy."""
+        from gandtr_tpu.serving import RetrievalIndex
+        d = 16
+        base = self._db(1000, d, seed=4)
+        # tile rows so exact score ties exist across chunk boundaries
+        db = np.concatenate([base] * 20, 0)          # 20000 rows > 4*CHUNK
+        q = self._db(3, d, seed=5)
+        idx = RetrievalIndex(d)  # 20000 rows -> two recursion levels @128
+        names = [f"r{i}" for i in range(db.shape[0])]
+        idx.add(names, db)
+        res = idx.query(q, k=7)
+        scores = q @ db.T
+        for qi in range(3):
+            ref = np.argsort(-scores[qi], kind="stable")[:7]
+            assert [n for n, _ in res[qi]] == [f"r{j}" for j in ref]
+            np.testing.assert_allclose([s for _, s in res[qi]],
+                                       scores[qi][ref], rtol=1e-5)
+
     def test_save_load_roundtrip(self, tmp_path):
         from gandtr_tpu.serving import RetrievalIndex
         db = self._db(40, 16)
