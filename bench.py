@@ -1,9 +1,12 @@
 """Benchmark: batched day→night generator inference at 256×256 on one chip,
-plus GeM-VGG16 descriptor extraction at the 1024px eval protocol.
+plus GeM-VGG16 descriptor extraction at the 1024px eval protocol, plus the
+serving index search (exact top-10 over a 100k descriptor database).
 
 Prints the PRIMARY metric as the FIRST JSON line (the driver parses it):
 {"metric", "value", "unit", "vs_baseline"}; the descriptor metric follows as
-a second JSON line (BASELINE.json's second named metric).
+a second JSON line (BASELINE.json's second named metric), then the index
+search metric (vs_baseline there = speedup over the reference's host-numpy
+ranking measured on this host).
 
 Baseline note: the reference (mohwald/gandtr) publishes no throughput numbers
 (BASELINE.md). The driver's north star is ≥5× A100 images/sec/chip on v5e for
@@ -139,6 +142,62 @@ def bench_descriptors():
         "value": round(img_s, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(img_s / DESC_TARGET, 4),
+    }), flush=True)
+
+    bench_index_search()
+
+
+def bench_index_search():
+    """Serving `:search` ranking: exact top-10 over a 100k×512 descriptor
+    database, 16-query batches, on-device (RetrievalIndex query graph).
+    Baseline = the reference's ranking path measured on THIS host: numpy
+    scores = vecs.T @ qvecs + full argsort (cirscore.py:71-72)."""
+    from gandtr_tpu.serving.index import RetrievalIndex
+    import jax.lax as lax
+
+    N, D, Q, K, ITERS = 100_000, 512, 16, 10, 50
+    rng = np.random.RandomState(0)
+    db = rng.randn(N, D).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    q = rng.randn(Q, D).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+    topk = RetrievalIndex(D)._exact_topk
+    db_d, q_d = jax.device_put(db), jax.device_put(q)
+
+    @jax.jit
+    def timed_loop(dbj, q0):
+        def body(i, carry):
+            acc, qq = carry
+            s = jnp.dot(qq, dbj.T, preferred_element_type=jnp.float32)
+            vals, idx = topk(s, K)
+            acc = acc + vals.sum() + (idx % 97).sum().astype(jnp.float32)
+            return acc, qq + vals[:, :1] * 1e-9
+        return lax.fori_loop(0, ITERS, body, (jnp.float32(0.0), q0))[0]
+
+    assert np.isfinite(float(timed_loop(db_d, q_d)))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(timed_loop(db_d, q_d))
+        best = min(best, (time.perf_counter() - t0) / ITERS)
+    qps = Q / best
+
+    # reference path on this host (one rep is ~stable; take best of 3)
+    ref_best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        scores = np.dot(db, q.T)                     # (N, Q), vecs.T @ qvecs
+        ranks = np.argsort(-scores, axis=0)          # full sort, as cirscore
+        ref_best = min(ref_best, time.perf_counter() - t0)
+    assert ranks.shape == (N, Q)
+    ref_qps = Q / ref_best
+
+    print(json.dumps({
+        "metric": "index_search_queries_per_sec_100k_db",
+        "value": round(qps, 1),
+        "unit": "queries/s/chip",
+        "vs_baseline": round(qps / ref_qps, 2),
     }), flush=True)
 
 
