@@ -159,6 +159,54 @@ def test_multistep_whitening(imgdir, tmp_path):
     assert meta2.get("status") == "skipped"
 
 
+def test_multistep_whitening_mixed_shapes(imgdir, tmp_path):
+    """Whitening pairs (qidxs/pidxs) index descriptor COLUMNS positionally;
+    with mixed image shapes the shape-bucketed infer loop flushes out of
+    input order, so the lw result must equal a per-image (order-free)
+    reference computation."""
+    from gandtr_tpu.ops import whiten as whiten_ops
+    rng = np.random.RandomState(7)
+    cids = []
+    for i in range(6):
+        cid = "%040d" % (7654321 + i)
+        sub = imgdir / cid[-2:] / cid[-4:-2] / cid[-6:-4]
+        os.makedirs(sub, exist_ok=True)
+        hw = (32, 32) if i % 2 == 0 else (48, 32)  # two shape buckets
+        Image.fromarray((rng.rand(*hw, 3) * 255).astype(np.uint8)
+                        ).save(sub / cid, format="PNG")  # lossless
+        cids.append(cid)
+    pkl_path = tmp_path / "whiten_mixed.pkl"
+    with open(pkl_path, "wb") as f:
+        pickle.dump({"cids": cids, "qidxs": [0, 1], "pidxs": [3, 4]}, f)
+
+    data_cfg = {"image_dir": str(imgdir) + "/*",
+                "transforms": "pil2np | totensor | normalize",
+                "mean_std": [[0.485, 0.456, 0.406], [0.229, 0.224, 0.225]],
+                "loader": {"batch_size": 2}}
+    params = {
+        "whitening": {"type": "lw", "dataset_pkl": str(pkl_path),
+                      "directory": ""},
+        "network": dict(EMB_NET),
+        "data": dict(data_cfg),
+        "output": {"dimensions": 512},
+    }
+    (meta,) = infer_and_learn_whitening(dict(params), ())
+    lw = meta["whitening"]
+
+    # order-free reference: infer each image ALONE, assemble columns by cid
+    cols = []
+    for cid in cids:
+        path = "/".join([cid[-2:], cid[-4:-2], cid[-6:-4], cid])
+        (m1,) = infer({"network": dict(EMB_NET), "data": dict(data_cfg),
+                       "output": {"type": "embedding", "dimensions": 512}},
+                      ([path],))
+        cols.append(m1["vecs"][:, 0])
+    descs = np.stack(cols, axis=1)
+    m_ref, P_ref = whiten_ops.whitenlearn_with_retry(descs, [0, 1], [3, 4])
+    np.testing.assert_allclose(lw["m"], m_ref, atol=1e-4)
+    np.testing.assert_allclose(lw["P"], P_ref, atol=2e-3)
+
+
 def test_batched_equals_single(imgdir, tmp_path):
     """Same-shape batching (+ tail padding) produces identical images to
     batch_size=1 processing."""
