@@ -51,9 +51,18 @@ def _mlp(**kw):
 
 def _cirnet(**kw):
     arch = kw.pop("cir_architecture", None) or kw.pop("architecture", "vgg16")
+    pooling = kw.pop("pooling", "gem")
+    pooling_params = None
+    if isinstance(pooling, dict):
+        # dict-configured pooling override, e.g.
+        # {type: GeometricMedianWeiszfeld, iterations: 3, ...} (cirnet.py:61-63)
+        pooling = dict(pooling)
+        pooling_params = pooling
+        pooling = pooling_params.pop("type")
     return GemRetrievalNet(
         architecture=arch,
-        pooling=kw.pop("pooling", "gem"),
+        pooling=pooling,
+        pooling_params=pooling_params,
         local_whitening=bool(kw.pop("local_whitening", False)),
         whitening=bool(kw.pop("whitening", False)),
         regional=bool(kw.pop("regional", False)),

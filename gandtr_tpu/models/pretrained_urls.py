@@ -29,18 +29,26 @@ L_WHITENING = {
 }
 
 R_WHITENING = {
+    "alexnet-gem-r": f"{_W}-alexnet-gem-r-rwhiten-c8cf7e2.pth",
     "vgg16-gem-r": f"{_W}-vgg16-gem-r-rwhiten-19b204e.pth",
     "resnet101-mac-r": f"{_W}-resnet101-mac-r-rwhiten-7f1ed8c.pth",
     "resnet101-gem-r": f"{_W}-resnet101-gem-r-rwhiten-adace84.pth",
 }
 
 WHITENING = {
+    "alexnet-gem": f"{_W}-alexnet-gem-whiten-454ad53.pth",
+    "alexnet-gem-r": f"{_W}-alexnet-gem-r-whiten-4c9126b.pth",
     "vgg16-gem": f"{_W}-vgg16-gem-whiten-eaa6695.pth",
     "vgg16-gem-r": f"{_W}-vgg16-gem-r-whiten-83582df.pth",
     "resnet50-gem": f"{_W}-resnet50-gem-whiten-f15da7b.pth",
     "resnet101-mac-r": f"{_W}-resnet101-mac-r-whiten-9df41d3.pth",
     "resnet101-gem": f"{_W}-resnet101-gem-whiten-22ab0c1.pth",
     "resnet101-gem-r": f"{_W}-resnet101-gem-r-whiten-b379c0a.pth",
+    "resnet101-gemmp": f"{_W}-resnet101-gemmp-whiten-770f53c.pth",
+    "resnet152-gem": f"{_W}-resnet152-gem-whiten-abe7b93.pth",
+    "densenet121-gem": f"{_W}-densenet121-gem-whiten-79e3eea.pth",
+    "densenet169-gem": f"{_W}-densenet169-gem-whiten-6b2a76a.pth",
+    "densenet201-gem": f"{_W}-densenet201-gem-whiten-22ea45c.pth",
 }
 
 

@@ -22,6 +22,10 @@ class GemRetrievalNet(nn.Module):
     whitening: bool = False
     regional: bool = False
     gem_p_init: float = 3.0
+    # extra kwargs for dict-configured pooling overrides (cirnet.py:61-63),
+    # e.g. {"iterations": 3, "intermediate_gradients": False} for
+    # GeometricMedianWeiszfeld
+    pooling_params: dict = None
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -64,6 +68,27 @@ class GemRetrievalNet(nn.Module):
             o = pool_ops.gem(o, p=p, mask=feat_mask)
         elif self.pooling in ("mac", "spoc"):
             o = pool_ops.POOLINGS[self.pooling](o, mask=feat_mask)
+        elif self.pooling == "GeometricMedianWeiszfeld":
+            # dict-configured pooling override (reference cirnet.py:61-63 +
+            # layers/pooling.py:44-68)
+            if feat_mask is not None:
+                raise ValueError(
+                    "mask is not supported with pooling %r" % self.pooling)
+            from gandtr_tpu.models.extra_layers import geometric_median_weiszfeld
+            pp = dict(self.pooling_params or {})
+            o = geometric_median_weiszfeld(
+                o, iterations=int(pp.get("iterations", 3)),
+                intermediate_gradients=bool(
+                    pp.get("intermediate_gradients", False)))
+            o = o.reshape(o.shape[0], -1)
+        elif self.pooling == "HordeCascadedKOrder":
+            # listed in the reference POOLINGS registry, but its forward
+            # returns a LIST of high-order embeddings — the reference's own
+            # CirRetrievalNet.forward cannot consume it as a pooling override
+            # either; use models.extra_layers.HordeCascadedKOrder directly as
+            # a training regularizer instead
+            raise NotImplementedError(
+                "HordeCascadedKOrder is a regularizer, not a pooling override")
         else:
             # never ignore a caller's mask silently: a padded-bucket input
             # would pool over pad pixels and produce a wrong descriptor
