@@ -131,6 +131,90 @@ def export_hub_model(model, path, image_hw, batch_buckets=(1, 4, 8),
     return meta
 
 
+def export_sharded_model(model, path, image_hw, n_devices,
+                         batch_per_device=1, from_uint8=True, axis="data",
+                         devices=None, platforms=None, kind=None):
+    """Export ONE SPMD serving program batch-sharded over an `n_devices`
+    mesh (GSPMD; XLA emits any collectives). Complements `export_hub_model`'s
+    round-robin: a sharded artifact serves a whole batch in a single
+    dispatch across all chips of a slice — one program, one queue, no host
+    chunking — and is the natural form when the per-chip batch is small
+    enough that dispatch overhead dominates round-robin.
+
+    The exported program records the device count; `load_artifact` must be
+    given exactly `n_devices` devices. Export requires `n_devices` visible
+    devices too (pass `devices`, or e.g. an 8-CPU-device test mesh).
+    """
+    from jax import export as jexport
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    kind = kind or _artifact_kind(model)
+    h, w = int(image_hw[0]), int(image_hw[1])
+    devs = list(devices) if devices is not None else jax.devices()[:n_devices]
+    if len(devs) < n_devices:
+        raise ValueError("export_sharded_model needs %d devices, have %d"
+                         % (n_devices, len(devs)))
+    mesh = Mesh(np.asarray(devs[:n_devices]), (axis,))
+    batch = int(n_devices) * int(batch_per_device)
+
+    data_params = dict(getattr(model.net, "data_params", None) or {})
+    mean_std = data_params.get("mean_std", [[0.5] * 3, [0.5] * 3])
+    tf_str = data_params.get("transforms", "pil2np | totensor | normalize")
+
+    device_pre = None
+    if from_uint8:
+        from gandtr_tpu.data.transforms import split_device_transform
+        _, device_pre = split_device_transform(tf_str, mean_std)
+        if device_pre is None:
+            raise ValueError(
+                "from_uint8=True needs a device-splittable transform "
+                "pipeline; got %r" % tf_str)
+
+    variables = model.variables
+    ctx = {"msp": model.meta.get("msp", 1.0)}
+
+    def forward(x):
+        if from_uint8:
+            x = device_pre(x.astype(jnp.float32) / 255.0)
+        y = model.net.apply(variables, x, train=False, ctx=ctx)
+        if from_uint8 and kind == "generator":
+            from gandtr_tpu.data.transforms import device_quantize_rgb
+            y = device_quantize_rgb(y, mean_std)
+        return y
+
+    in_dtype = jnp.uint8 if from_uint8 else jnp.float32
+    sh = NamedSharding(mesh, P(axis))
+    jitted = jax.jit(forward, in_shardings=sh, out_shardings=sh)
+    exp = jexport.export(jitted, platforms=platforms)(
+        jax.ShapeDtypeStruct((batch, h, w, 3), in_dtype))
+    out_spec = [list(a.shape[1:]) for a in jax.tree_util.tree_leaves(
+        exp.out_avals)][0]
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "b%d.jaxexp" % batch), "wb") as f:
+        f.write(exp.serialize())
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "kind": kind,
+        "image_hw": [h, w],
+        "batch_buckets": [batch],
+        "input_dtype": "uint8" if from_uint8 else "float32",
+        "with_mask": False,
+        "sharded": {"n_devices": int(n_devices), "axis": axis,
+                    "batch_per_device": int(batch_per_device)},
+        "output_shape_per_item": out_spec,
+        "transforms": tf_str,
+        "mean_std": [list(map(float, mean_std[0])),
+                     list(map(float, mean_std[1]))],
+        "model_meta": {k: v for k, v in model.meta.items()
+                       if isinstance(v, (int, float, str, bool))},
+        "jax_version": jax.__version__,
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+    return meta
+
+
 class Servable:
     """A loaded serving artifact: `servable(images[, masks])` on numpy
     (N, H, W, 3) arrays of the artifact's dtype. Requests above the largest
@@ -153,6 +237,20 @@ class Servable:
         self.buckets = list(self.meta["batch_buckets"])
         self.devices = list(devices) if devices else None
         self._compiled = {}
+        self._sharding = None
+        sharded = self.meta.get("sharded")
+        if sharded:
+            # SPMD artifact: `devices` is the mesh (exact count), inputs are
+            # batch-sharded over it — no round-robin chunk dispatch
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+            devs = self.devices or jax.devices()[:sharded["n_devices"]]
+            if len(devs) != sharded["n_devices"]:
+                raise ValueError(
+                    "sharded artifact needs exactly %d devices, got %d"
+                    % (sharded["n_devices"], len(devs)))
+            mesh = Mesh(np.asarray(devs), (sharded["axis"],))
+            self._sharding = NamedSharding(mesh, P(sharded["axis"]))
+            self.devices = None
 
     def _fn_for(self, bucket):
         if bucket not in self._compiled:
@@ -174,7 +272,9 @@ class Servable:
             if mask is not None:
                 mask = np.pad(mask, [(0, pad), (0, 0), (0, 0)], mode="edge")
         args = (x,) if mask is None else (x, mask)
-        if device is not None:
+        if self._sharding is not None:
+            args = tuple(jax.device_put(a, self._sharding) for a in args)
+        elif device is not None:
             args = tuple(jax.device_put(a, device) for a in args)
         return self._fn_for(bucket)(*args), n
 

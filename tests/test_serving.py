@@ -572,3 +572,48 @@ class TestHttpServer:
         with pytest.raises(urllib.error.HTTPError) as exc:
             urllib.request.urlopen(req)
         assert exc.value.code == 404
+
+
+class TestShardedExport:
+    """export_sharded_model: ONE SPMD program batch-sharded over the mesh
+    (vs export_hub_model's per-device round-robin)."""
+
+    @pytest.fixture(scope="class")
+    def sharded_artifact(self, tmp_path_factory):
+        import jax
+        from gandtr_tpu.serving.export import export_sharded_model
+        model = tiny_embedding_hub()
+        path = str(tmp_path_factory.mktemp("art") / "sharded")
+        meta = export_sharded_model(model, path, (HW * 2, HW * 2),
+                                    n_devices=len(jax.devices()),
+                                    batch_per_device=1)
+        return model, path, meta
+
+    def test_meta_and_exact_outputs(self, sharded_artifact):
+        import jax
+        model, path, meta = sharded_artifact
+        n = len(jax.devices())
+        assert meta["sharded"]["n_devices"] == n
+        assert meta["batch_buckets"] == [n]
+
+        servable = load_artifact(path)
+        rng = np.random.RandomState(0)
+        imgs = (rng.rand(n, HW * 2, HW * 2, 3) * 255).astype(np.uint8)
+        out = servable(imgs)
+        mean = np.asarray([0.485, 0.456, 0.406], np.float32)
+        std = np.asarray([0.229, 0.224, 0.225], np.float32)
+        x = (imgs.astype(np.float32) / 255.0 - mean) / std
+        ref = np.asarray(model.net.apply(model.variables, jnp.asarray(x),
+                                         train=False, ctx={"msp": 1.0}))
+        assert out.shape == ref.shape
+        assert np.abs(out - ref).max() < 2e-5
+
+        # a partial batch pads to the sharded bucket and slices back — exact
+        out3 = servable(imgs[:3])
+        assert np.abs(out3 - ref[:3]).max() < 2e-5
+
+    def test_wrong_device_count_refused(self, sharded_artifact):
+        import jax
+        _, path, _ = sharded_artifact
+        with pytest.raises(ValueError, match="exactly"):
+            load_artifact(path, devices=jax.devices()[:1])
