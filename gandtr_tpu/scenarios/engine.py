@@ -96,11 +96,25 @@ def load_yaml_scenario(scenarios):
         value = json.loads(value)
         if keys[-1].endswith("+"):
             keys[-1] = keys[-1][:-1]
-            existing = get_deeply(scenario, keys, ignore_nonexistent=True)
+            try:
+                existing = get_deeply(scenario, keys, ignore_nonexistent=True)
+            except TypeError:  # scalar intermediate — replaced below
+                existing = None
             value = (existing or []) + value
         elif keys[-1].endswith("*"):
             keys[-1] = keys[-1][:-1]
-        deep_set(scenario, keys, value)
+        # reference semantics (utils.py:27-34): the override is its own tree
+        # deep-overlaid on top, so a scalar intermediate is REPLACED by the
+        # override subtree (not an error) — e.g. `beta.x=1` over `beta: day`
+        # yields `beta: {x: 1}`
+        node = scenario
+        for k in keys[:-1]:
+            nxt = node.get(k) if isinstance(node, dict) else None
+            if not isinstance(nxt, dict):
+                nxt = {}
+                node[k] = nxt
+            node = nxt
+        node[keys[-1]] = value
     return scenario
 
 

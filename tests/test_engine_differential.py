@@ -1,0 +1,262 @@
+"""Differential fuzz: our YAML scenario engine vs the reference's ACTUAL
+loader code.
+
+The scenario engine is the framework's public configuration UX — the claim
+is that the reference's YAMLs (and habits: overlay chains, `key*`/`key+`
+operators, `__template__` includes with dotted keys, `${var}` expansion)
+behave identically here. Instead of hand-picked cases, this loads the
+reference's own `mdir/tools/utils.py` + `daan/core/experiments.py` standalone
+(importlib, stubbed parent packages — no torch/torchvision import chain) and
+compares outputs over hundreds of randomized configs.
+"""
+import copy
+import importlib.util
+import json
+import os
+import sys
+import types
+
+import pytest
+import yaml
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference tree not mounted")
+
+
+@pytest.fixture(scope="module")
+def ref_utils():
+    """The reference's loader module, loaded standalone."""
+    def load_file(name, path):
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    for pkg in ["daan", "daan.core", "mdir", "mdir.tools"]:
+        if pkg not in sys.modules:
+            m = types.ModuleType(pkg)
+            m.__path__ = []
+            sys.modules[pkg] = m
+    if "mdir.tools.download" not in sys.modules:
+        dl = types.ModuleType("mdir.tools.download")
+        dl.download_and_load_pretrained = lambda *a, **k: None
+        sys.modules["mdir.tools.download"] = dl
+    load_file("daan.core.experiments",
+              os.path.join(REF, "mdir/external/daan/core/experiments.py"))
+    return load_file("mdir.tools.utils",
+                     os.path.join(REF, "mdir/tools/utils.py"))
+
+
+KEYS = ["alpha", "beta", "gamma", "delta", "x", "y", "net", "data"]
+
+
+def rand_value(rng, depth=0):
+    r = rng.random()
+    if depth < 3 and r < 0.25:
+        return {rng.choice(KEYS): rand_value(rng, depth + 1)
+                for _ in range(rng.randint(1, 2))}
+    if r < 0.4:
+        return [rand_value(rng, 3) for _ in range(rng.randint(0, 2))]
+    if r < 0.6:
+        return rng.randint(-10, 9)
+    if r < 0.7:
+        return rng.choice([True, False, None])
+    if r < 0.8:
+        return round(rng.random() * 10, 3)
+    return rng.choice(["day", "night", "a_b", ""])
+
+
+def rand_tree(rng, depth=0):
+    return {rng.choice(KEYS): rand_value(rng, depth + 1)
+            for _ in range(rng.randint(1, 3))}
+
+
+def make_overlay_for(rng, base, depth=0):
+    """An overlay tree valid against `base`: mixes plain merges, `key*`
+    replaces, `key+` appends (on list/str values), and brand-new keys."""
+    out = {}
+    for key, value in base.items():
+        r = rng.random()
+        if r < 0.35:
+            continue  # leave untouched
+        if r < 0.5:
+            out[key + "*"] = rand_value(rng, depth + 1)  # replace
+        elif r < 0.6 and isinstance(value, list):
+            out[key + "+"] = [rand_value(rng, 3) for _ in range(2)]
+        elif r < 0.6 and isinstance(value, str):
+            out[key + "+"] = "_suffix"
+        elif isinstance(value, dict) and value and depth < 3:
+            out[key] = make_overlay_for(rng, value, depth + 1)
+        else:
+            out[key] = rand_value(rng, depth + 1)
+    if rng.random() < 0.7:
+        out["new_" + rng.choice(KEYS)] = rand_value(rng, depth + 1)
+    return out
+
+
+class TestOverlayChains:
+    def test_200_random_file_chains(self, ref_utils, tmp_path):
+        import random
+        from gandtr_tpu.scenarios import engine
+
+        for seed in range(200):
+            rng = random.Random(seed)
+            base = rand_tree(rng)
+            over1 = make_overlay_for(rng, base)
+            files = []
+            for i, tree in enumerate([base, over1]):
+                p = tmp_path / ("s%d_%d.yml" % (seed, i))
+                p.write_text(yaml.safe_dump(tree))
+                files.append(str(p))
+            # NOTE no key=value CLI overrides here: ours deliberately applies
+            # them AFTER file merging so they always win (engine.py docstring)
+            # while the reference folds them into the chain — positions them
+            # differently in degenerate type-mismatch chains. Well-formed CLI
+            # overrides are covered by TestCliOverrides below.
+            try:
+                ours = engine.load_yaml_scenario(list(files))
+            except Exception:
+                ours = "__rejected__"
+            try:
+                ref = ref_utils.load_yaml_scenario(list(files))
+            except Exception:
+                ref = "__rejected__"
+            assert ours == ref, (seed, files, ours, ref)
+
+
+class TestCliOverrides:
+    def test_100_wellformed_overrides_match_reference(self, ref_utils,
+                                                      tmp_path):
+        """CLI `a.b=value` overrides into dict/missing intermediates — the
+        well-formed cases — produce identical trees in both loaders."""
+        import random
+        for seed in range(100):
+            rng = random.Random(3000 + seed)
+            base = {k: rand_tree(rng, 1) for k in KEYS[:4]}
+            p = tmp_path / ("c%d.yml" % seed)
+            p.write_text(yaml.safe_dump(base))
+            k1 = rng.choice(KEYS[:4])
+            k2 = "fresh_%s" % rng.choice(KEYS)  # never collides with a scalar
+            spec = "%s.%s=%s" % (k1, k2, json.dumps(rand_value(rng, 3)))
+            from gandtr_tpu.scenarios import engine
+            ours = engine.load_yaml_scenario([str(p), spec])
+            ref = ref_utils.load_yaml_scenario([str(p), spec])
+            assert ours == ref, (seed, spec, ours, ref)
+
+    def test_scalar_intermediate_replaced_like_reference(self, ref_utils,
+                                                         tmp_path):
+        """`beta.x=1` over `beta: day`: the reference replaces the scalar
+        with the override subtree (type-mismatch overlay); ours matches."""
+        from gandtr_tpu.scenarios import engine
+        p = tmp_path / "s.yml"
+        p.write_text("beta: day\nkeep: 1\n")
+        ours = engine.load_yaml_scenario([str(p), "beta.x=-5"])
+        ref = ref_utils.load_yaml_scenario([str(p), "beta.x=-5"])
+        assert ours == ref == {"beta": {"x": -5}, "keep": 1}
+
+
+class TestTemplates:
+    def test_100_random_template_includes(self, ref_utils, tmp_path):
+        import random
+        from gandtr_tpu.scenarios import engine
+
+        for seed in range(100):
+            rng = random.Random(1000 + seed)
+            template = rand_tree(rng)
+            tname = "tpl%d.yml" % seed
+            (tmp_path / tname).write_text(yaml.safe_dump(template))
+
+            # a config whose nested section includes the template, with a
+            # dotted deep-set key and an overlay on a template key
+            section = {"__template__": tname}
+            if template:
+                tkey = rng.choice(sorted(template))
+                section[tkey + "*"] = rand_value(rng, 2)
+            section["%s.%s" % (rng.choice(KEYS), rng.choice(KEYS))] = \
+                rand_value(rng, 3)
+            cfg = rand_tree(rng)
+            cfg["section"] = section
+            p = tmp_path / ("cfg%d.yml" % seed)
+            p.write_text(yaml.safe_dump(cfg))
+
+            try:
+                ours = engine.load_yaml_scenario([str(p)])
+            except Exception:
+                ours = "__rejected__"
+            try:
+                ref = ref_utils.load_yaml_scenario([str(p)])
+            except Exception:
+                ref = "__rejected__"
+            assert ours == ref, (seed, ours, ref)
+
+
+def sprinkle_vars(rng, data, paths):
+    """Replace some leaves with ${dotted.path} refs (full-value and embedded
+    forms) drawn from `paths`."""
+    if isinstance(data, dict):
+        return {k: sprinkle_vars(rng, v, paths) for k, v in data.items()}
+    if isinstance(data, list):
+        return [sprinkle_vars(rng, v, paths) for v in data]
+    r = rng.random()
+    if paths and r < 0.25:
+        return "${%s}" % rng.choice(paths)
+    if paths and r < 0.35:
+        return "pre_${%s}_post" % rng.choice(paths)
+    return data
+
+
+def leaf_paths(tree, prefix=()):
+    out = []
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out += leaf_paths(v, prefix + (str(k),))
+    elif isinstance(tree, list):
+        for i, v in enumerate(tree):
+            out += leaf_paths(v, prefix + (str(i),))
+    else:
+        out.append(".".join(prefix))
+    return [p for p in out if p]
+
+
+class TestResolveVariables:
+    def test_300_random_contexts(self, ref_utils, tmp_path):
+        import random
+        from gandtr_tpu.scenarios import engine
+
+        for seed in range(300):
+            rng = random.Random(2000 + seed)
+            context = rand_tree(rng)
+            context["SCENARIO_NAME"] = "scn%d" % seed
+            paths = [p for p in leaf_paths(context)
+                     if all(s.replace("_", "").replace("-", "").isalnum()
+                            for s in p.split("."))]
+            data = sprinkle_vars(rng, rand_tree(rng), paths)
+
+            ours = engine.resolve_variables(copy.deepcopy(data),
+                                            copy.deepcopy(context))
+            ref = ref_utils.resolve_variables(copy.deepcopy(data),
+                                              copy.deepcopy(context))
+            assert ours == ref, (seed, data, ours, ref)
+
+    def test_unresolvable_raises_in_both(self, ref_utils):
+        from gandtr_tpu.scenarios import engine
+        data = {"k": "${does.not.exist}"}
+        with pytest.raises(Exception):
+            ref_utils.resolve_variables(copy.deepcopy(data), {"a": 1})
+        with pytest.raises(Exception):
+            engine.resolve_variables(copy.deepcopy(data), {"a": 1})
+
+    def test_nested_variable_values(self, ref_utils):
+        # a variable whose value itself contains a variable resolves
+        # recursively against the same context in both implementations
+        from gandtr_tpu.scenarios import engine
+        context = {"a": "${b.c}", "b": {"c": 7}, "d": ["${a}", "x_${b.c}"]}
+        data = {"k": "${d}", "e": "${a}"}
+        ours = engine.resolve_variables(copy.deepcopy(data),
+                                        copy.deepcopy(context))
+        ref = ref_utils.resolve_variables(copy.deepcopy(data),
+                                          copy.deepcopy(context))
+        assert ours == ref
