@@ -260,3 +260,45 @@ class TestResolveVariables:
         ref = ref_utils.resolve_variables(copy.deepcopy(data),
                                           copy.deepcopy(context))
         assert ours == ref
+
+
+class TestWrapperSplit:
+    """Our bracket-aware wrapper-DSL comma split vs the reference's `splitp`
+    (utils.py:95-112) on well-formed (balanced) strings."""
+
+    def _rand_seq(self, rng, depth=0):
+        toks = []
+        for _ in range(rng.randint(1, 5)):
+            r = rng.random()
+            if r < 0.25 and depth < 3:
+                l, rr = rng.choice(["[]", "()", "{}"])
+                toks.append(l + self._rand_seq(rng, depth + 1) + rr)
+            elif r < 0.5:
+                toks.append(rng.choice(["a", "bb", "0.5", "anc", ""]))
+            elif r < 0.75:
+                toks.append(",")
+            else:
+                toks.append(":")
+        return "".join(toks)
+
+    def test_300_random_balanced_strings(self, ref_utils):
+        import random
+        from gandtr_tpu.learning.wrappers import split_wrapper_string
+        for seed in range(300):
+            rng = random.Random(4000 + seed)
+            s = self._rand_seq(rng)
+            ref = [x.strip() for x in
+                   ref_utils.splitp(s, ",", check_valid_pairs=True)
+                   if x.strip()]
+            ours = [x.strip() for x in split_wrapper_string(s) if x.strip()]
+            assert ours == ref, (seed, s, ours, ref)
+
+    def test_real_wrapper_specs(self, ref_utils):
+        from gandtr_tpu.learning.wrappers import split_wrapper_string
+        spec = ("meanstd_post:[[0.5,0.5,0.5],[0.5,0.5,0.5]]:"
+                "[[0.485,0.456,0.406],[0.229,0.224,0.225]],"
+                "clahepost:[[0.5,0.5,0.5],[0.5,0.5,0.5]]:1.0,"
+                "cir_ratio_pass_through:0.25:anc")
+        ref = [x.strip() for x in ref_utils.splitp(spec, ",") if x.strip()]
+        ours = [x.strip() for x in split_wrapper_string(spec) if x.strip()]
+        assert ours == ref and len(ours) == 3
