@@ -287,3 +287,80 @@ def test_whitenapply_dimensions_vs_oracle():
         got = np.asarray(W.whitenapply(X, m, P, dimensions=dims))
         want = oracle_whitenapply(X, m, P, dimensions=dims)
         np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
+
+
+# --------------------------------------------------------------------------
+# the same fuzz against the reference's ACTUAL code (numpy-only files,
+# loaded standalone) — closes the transcription-fidelity gap of the oracles
+# --------------------------------------------------------------------------
+
+import importlib.util as _ilu
+import os as _os
+
+_REF_UTILS = "/root/reference/mdir/external/cirtorch/utils"
+
+
+def _load_ref(name):
+    path = _os.path.join(_REF_UTILS, name + ".py")
+    spec = _ilu.spec_from_file_location("cirtorch_ref_" + name, path)
+    mod = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+needs_reference = pytest.mark.skipif(not _os.path.isdir(_REF_UTILS),
+                                     reason="reference tree not mounted")
+
+
+@needs_reference
+def test_map_fuzz_vs_reference_actual():
+    ref = _load_ref("evaluate")
+    rng = np.random.RandomState(31337)
+    for _ in range(500):
+        db_size = rng.randint(1, 40)
+        nq = rng.randint(1, 6)
+        ranks = np.stack([rng.permutation(db_size) for _ in range(nq)], axis=1)
+        gnd = random_gnd(rng, db_size, nq)
+        kappas = [(), (1, 5, 10), (db_size,), (db_size + 7,)][rng.randint(4)]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            got = R.compute_map(ranks.copy(), [dict(g) for g in gnd],
+                                list(kappas))
+            want = ref.compute_map(ranks.copy(), [dict(g) for g in gnd],
+                                   list(kappas))
+        for g, w, name in zip(got, want, ("map", "aps", "pr", "prs")):
+            np.testing.assert_allclose(g, w, rtol=1e-12, atol=1e-12,
+                                       equal_nan=True, err_msg=name)
+
+
+@needs_reference
+def test_whitening_fuzz_vs_reference_actual():
+    import warnings
+    ref = _load_ref("whiten")
+    rng = np.random.RandomState(420)
+    warnings.simplefilter("ignore")  # the reference code itself warns on
+    # degenerate eigenvalues (sqrt of tiny negatives); behavior is compared,
+    # not warning hygiene
+    for trial in range(150):
+        D = rng.randint(2, 24)
+        N = rng.randint(D + 2, D + 50)
+        X = rng.randn(D, N)
+        npairs = rng.randint(2, N // 2 + 2)
+        qidxs = rng.choice(N, npairs, replace=False)
+        pidxs = rng.choice(N, npairs, replace=True)
+        m1, P1 = W.whitenlearn(X, qidxs, pidxs)
+        m2, P2 = ref.whitenlearn(X.astype(np.float64), qidxs, pidxs)
+        np.testing.assert_allclose(m1, m2, rtol=1e-10, atol=1e-12)
+        s1 = _sim(np.asarray(W.whitenapply(X, m1, P1)))
+        s2 = _sim(ref.whitenapply(X, m2, np.real(P2)))
+        scale = max(1.0, np.abs(s2).max())
+        np.testing.assert_allclose(s1 / scale, s2 / scale, atol=5e-6)
+
+        shrink = None if trial % 3 else int(rng.randint(1, D + 1))
+        m3, P3 = W.pcawhitenlearn(X, shrink=shrink)
+        m4, P4 = ref.pcawhitenlearn(X.astype(np.float64), s=shrink) \
+            if "s" in ref.pcawhitenlearn.__code__.co_varnames else \
+            ref.pcawhitenlearn(X.astype(np.float64), shrink)
+        np.testing.assert_allclose(m3, m4, rtol=1e-10, atol=1e-12)
+        s3 = _sim(np.asarray(W.whitenapply(X, m3, P3)))
+        s4 = _sim(ref.whitenapply(X, m4, np.real(P4)))
+        np.testing.assert_allclose(s3, s4, atol=5e-5)
