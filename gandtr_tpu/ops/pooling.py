@@ -7,6 +7,7 @@ into the reduction. `p` may be a scalar (GeM) or per-channel vector (GeMmp).
 """
 import math
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -51,16 +52,19 @@ def _rmac_regions(W, H, L=3):
     Region geometry depends only on the (static) spatial shape, so it is
     computed in Python at trace time — XLA sees a fixed set of slices.
     """
-    ovr = 0.4
-    steps = [2, 3, 4, 5, 6, 7]
+    # The reference does this arithmetic in torch FLOAT32 tensors
+    # (functional.py:28,37 — `steps` is a torch.Tensor); the region-count
+    # argmin has exact ties (e.g. H=18, W=10: |0.6-0.1b| at b=8 vs b=4) that
+    # f32 and f64 break differently, changing the region COUNT. Mirror the
+    # f32 arithmetic bit-for-bit (found by differential fuzz,
+    # tests/test_cirtorch_pooling_differential.py).
+    f32 = np.float32
+    ovr = f32(0.4)
+    steps = np.arange(2, 8, dtype=np.float32)
     w = min(W, H)
-    # choose number of regions for the long dimension
-    best, idx = None, 0
-    for i, s in enumerate(steps):
-        b = (max(H, W) - w) / (s - 1)
-        val = abs(((w * w - w * b) / (w * w)) - ovr)
-        if best is None or val < best:
-            best, idx = val, i
+    b = f32(max(H, W) - w) / (steps - f32(1))
+    val = np.abs((f32(w * w) - f32(w) * b) / f32(w * w) - ovr)
+    idx = int(np.argmin(val))  # first minimum, like torch.min
     Wd = idx + 1 if H < W else 0
     Hd = idx + 1 if H > W else 0
 
@@ -70,10 +74,14 @@ def _rmac_regions(W, H, L=3):
         wl2 = math.floor(wl / 2 - 1)
         if wl == 0:
             continue
-        bW = 0 if l + Wd == 1 else (W - wl) / (l + Wd - 1)
-        cenW = [math.floor(wl2 + i_ * bW) - wl2 for i_ in range(l - 1 + Wd + 1)]
-        bH = 0 if l + Hd == 1 else (H - wl) / (l + Hd - 1)
-        cenH = [math.floor(wl2 + i_ * bH) - wl2 for i_ in range(l - 1 + Hd + 1)]
+        # centers: torch multiplies an f32 iota by the python-float step
+        # (cast to f32), adds wl2 in f32, floors in f32 (functional.py:58,63)
+        bW = 0.0 if l + Wd == 1 else (W - wl) / (l + Wd - 1)
+        cenW = np.floor(f32(wl2) + np.arange(l - 1 + Wd + 1, dtype=np.float32)
+                        * f32(bW)).astype(np.int64) - wl2
+        bH = 0.0 if l + Hd == 1 else (H - wl) / (l + Hd - 1)
+        cenH = np.floor(f32(wl2) + np.arange(l - 1 + Hd + 1, dtype=np.float32)
+                        * f32(bH)).astype(np.int64) - wl2
         for i_ in cenH:
             for j_ in cenW:
                 regions.append((int(i_), int(j_), wl))
