@@ -448,27 +448,48 @@ class NpInvertChannel(GenericTransform):
 
 
 class NpChanSelector(GenericTransform):
-    def __init__(self, chans):
-        super().__init__({"chans": [int(x) for x in str(chans).split("_")]})
+    """Keep the channel SLICE [start, end) — not a channel list
+    (channel_transforms.py:36-47; divergence caught by differential fuzz)."""
+
+    def __init__(self, start, end="unset"):
+        end = int(end) if end and end != "unset" and end != "null" else None
+        super().__init__({"start": int(start), "end": end})
 
     def __call__(self, *pics):
-        return [x[:, :, self.params["chans"]] for x in pics]
+        return [x[:, :, self.params["start"]:self.params["end"]] for x in pics]
 
 
 class NpCloneChannels(GenericTransform):
-    def __init__(self, times):
-        super().__init__({"times": int(times)})
+    """APPEND a copy of channel slice [start, end) (or just channel `start`
+    when `end` is unset) — not a whole-image tile (channel_transforms.py:49-61;
+    divergence caught by differential fuzz)."""
+
+    def __init__(self, start, end="unset"):
+        if end != "unset":
+            end = int(end) if end and end != "null" else None
+        super().__init__({"start": int(start), "end": end})
 
     def __call__(self, *pics):
-        return [np.tile(x, (1, 1, self.params["times"])) for x in pics]
+        s, e = self.params["start"], self.params["end"]
+        if e == "unset":
+            return [np.concatenate((x, x[:, :, s:s + 1]), axis=2) for x in pics]
+        return [np.concatenate((x, x[:, :, s:e]), axis=2) for x in pics]
 
 
 class AddIntensityFromRgb(GenericTransform):
+    """Append the LIGHTNESS channel of `colorspace` (default: normalized lab
+    L), not cv2 gray (channel_transforms.py:67-80; divergence caught by
+    differential fuzz)."""
+
+    def __init__(self, colorspace="lab"):
+        super().__init__({"colorspace": colorspace})
+
     def __call__(self, *pics):
         acc = []
         for pic in pics:
-            gray = np.asarray(cs_ops.rgb_to_gray(jnp.asarray(pic[:, :, :3])))
-            acc.append(np.concatenate((pic, gray), axis=2))
+            spc = np.asarray(cs_ops.rgb2normspace(jnp.asarray(pic[:, :, :3]),
+                                                  self.params["colorspace"]))
+            acc.append(np.concatenate((pic, spc[:, :, :1]), axis=2))
         return acc
 
 

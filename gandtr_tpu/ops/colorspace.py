@@ -241,9 +241,11 @@ def normspace2rgb(img, colorspace):
         colorspace = colorspace[1:]
 
     if colorspace == "lab":
-        out = lab_to_rgb(img * jnp.array([100.0, 255.0, 255.0]) - jnp.array([0.0, 128.0, 128.0]))
+        # cv2 saturates LAB2RGB/LUV2RGB float output to [0, 1] (unlike its
+        # HLS/HSV/XYZ paths) — measured, see tests/test_transforms_differential
+        out = jnp.clip(lab_to_rgb(img * jnp.array([100.0, 255.0, 255.0]) - jnp.array([0.0, 128.0, 128.0])), 0.0, 1.0)
     elif colorspace == "luv":
-        out = luv_to_rgb(img * jnp.array([100.0, 354.0, 262.0]) - jnp.array([0.0, 134.0, 140.0]))
+        out = jnp.clip(luv_to_rgb(img * jnp.array([100.0, 354.0, 262.0]) - jnp.array([0.0, 134.0, 140.0])), 0.0, 1.0)
     elif colorspace == "lsh":
         hls = jnp.stack([img[..., 2], img[..., 0], img[..., 1]], axis=-1) * jnp.array([360.0, 1.0, 1.0])
         out = hls_to_rgb(hls)

@@ -88,8 +88,10 @@ class TestChannels:
 
     def test_chanselect(self):
         x = RNG.rand(8, 8, 3).astype(np.float32)
-        out = T.NpChanSelector("2_0")(x)[0]
-        np.testing.assert_array_equal(out[..., 0], x[..., 2])
+        out = T.NpChanSelector(1, 3)(x)[0]
+        np.testing.assert_array_equal(out, x[..., 1:3])
+        out = T.NpChanSelector("2")(x)[0]
+        np.testing.assert_array_equal(out, x[..., 2:])
 
     def test_gaussian_noise_first_only(self):
         T.seed_transforms(1)
