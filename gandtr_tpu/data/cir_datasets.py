@@ -51,12 +51,14 @@ class TupleEpochDataset:
         self.neg_num = neg_num
         self.extract_fn = None
         self.tuples = None
+        self.tuple_labels = None
 
     def prepare_epoch(self, network=None, device=None):
         assert self.extract_fn is not None, "set extract_fn before training"
         qidxs, pidxs, nidxs, labels, stats = self.miner.create_epoch_tuples(
             self.extract_fn)
         self.tuples = list(zip(qidxs, pidxs, nidxs))
+        self.tuple_labels = labels  # rows x tuples (may carry -easy/-hard)
         return stats
 
     def __len__(self):
@@ -76,10 +78,22 @@ class TupleEpochDataset:
 
     def __getitem__(self, i):
         q, p, negs = self.tuples[i]
-        idxs = [q, p] + list(negs)
-        labels = np.asarray([-1.0, 1.0] + [0.0] * len(negs), np.float32)
+        negs = list(negs)
+        tuple_labels = [row[i] for row in self.tuple_labels]
+        # first_neg override (traindataset.py:167,179): "pos" relabels the
+        # top-ranked negative's loss target to 1; "exc" drops it entirely
+        first = [0.0]
+        if negs:
+            if self.miner.first_neg == "pos":
+                first = [1.0]
+            elif self.miner.first_neg == "exc":
+                negs = negs[1:]
+                del tuple_labels[2]
+                first = [0.0] if negs else []
+        idxs = [q, p] + negs
+        labels = np.asarray([-1.0, 1.0] + (first + [0.0] * (len(negs) - 1)
+                                           if negs else []), np.float32)
         imgs, masks, pmask = [], [], []
-        tuple_labels = ["anc", "pos"] + ["neg"] * len(negs)
         for idx, lbl in zip(idxs, tuple_labels):
             im, m = self._load_padded(idx)
             imgs.append(im)
@@ -118,7 +132,8 @@ def cir_tuples_dataset(data, transform, **params):
     image_size = params.pop("image_size")
     miner = TuplesMiner(db, nnum=int(params.pop("neg_num", 5)),
                         qsize=int(float(params.pop("query_size", 2000))),
-                        poolsize=int(float(params.pop("pool_size", 22000))))
+                        poolsize=int(float(params.pop("pool_size", 22000))),
+                        first_neg=params.pop("first_neg", "neg"))
     params.pop("qpool_size", None)
     return TupleEpochDataset(db, images, transform, image_size, miner,
                              neg_num=miner.nnum)
@@ -137,8 +152,9 @@ def cir_diverse_anchors_dataset(data, transform, **params):
         poolsize=int(float(params.pop("pool_size", 22000))),
         qpool_size=int(float(params.pop("qpool_size", 10000))),
         similar_exclude=float(params.pop("similar_exclude", 0.2)),
-        similar_include=float(params.pop("similar_include", 0.8)))
-    params.pop("mark_easy", None)
+        similar_include=float(params.pop("similar_include", 0.8)),
+        mark_easy=params.pop("mark_easy", None),
+        first_neg=params.pop("first_neg", "neg"))
     return TupleEpochDataset(db, images, transform, image_size, miner,
                              neg_num=miner.nnum)
 

@@ -85,6 +85,15 @@ def select_diverse_queries(qvecs, qsize, similar_exclude, similar_include,
     return idxs, qscore_acc
 
 
+def mark_easy_difficulties(qvecs, pvecs, mark_easy, qsize):
+    """"-easy"/"-hard" label suffixes for the top `mark_easy*qsize` tuples by
+    anchor-positive similarity (cirtorch_datasets.py:106-111)."""
+    sim_ord = np.argsort(np.sum(np.asarray(qvecs) * np.asarray(pvecs), axis=0),
+                         kind="stable")
+    easy_set = set(sim_ord[-int(mark_easy * qsize):].tolist())
+    return ["-easy" if i in easy_set else "-hard" for i in range(qvecs.shape[1])]
+
+
 class TuplesMiner:
     """Epoch-boundary tuple mining (create_epoch_tuples equivalent).
 
@@ -95,7 +104,7 @@ class TuplesMiner:
 
     def __init__(self, db, nnum=5, qsize=2000, poolsize=22000, shuffle=True,
                  seed=0, qpool_size=None, similar_exclude=None,
-                 similar_include=None):
+                 similar_include=None, mark_easy=None, first_neg="neg"):
         self.db = db
         self.nnum = nnum
         self.num_images = len(db.get("cids", db.get("images", [])))
@@ -104,6 +113,10 @@ class TuplesMiner:
         self.shuffle = shuffle
         self.rng = np.random.RandomState(seed)
         self.diverse = qpool_size is not None
+        assert first_neg in ("neg", "pos", "exc"), first_neg
+        self.first_neg = first_neg
+        self.mark_easy = mark_easy if mark_easy is None else float(mark_easy)
+        assert mark_easy is None or (self.diverse and 0 <= self.mark_easy <= 1)
         if self.diverse:
             self.qpool_size = min(qpool_size, len(db["qidxs"]))
             self.similar_exclude = similar_exclude
@@ -139,6 +152,11 @@ class TuplesMiner:
             pidxs = [pidxs[i] for i in sel]
             qvecs = qvecs[:, sel]
             stats["average_new_query_max_score"] = qscore
+            if self.mark_easy is not None:
+                pvecs = np.asarray(self._extract(extract_fn, pidxs,
+                                                 "pos-pool-mine"))
+                self._difficulties = mark_easy_difficulties(
+                    qvecs, pvecs, self.mark_easy, self.qsize)
         else:
             idxs2qpool = self._randperm(len(self.db["qidxs"]), self.qsize)
             qidxs = [self.db["qidxs"][i] for i in idxs2qpool]
@@ -157,4 +175,10 @@ class TuplesMiner:
         return qidxs, pidxs, nidxs, self._labels(len(qidxs)), stats
 
     def _labels(self, n):
-        return [["anc"] * n, ["pos"] * n] + [["neg"] * n] * self.nnum
+        """Per-position label rows; "-easy"/"-hard" suffixes under mark_easy
+        and the first_neg override (cirtorch_datasets.py:112-114)."""
+        rows = ["anc", "pos"]
+        if self.nnum:
+            rows += [self.first_neg] + ["neg"] * (self.nnum - 1)
+        diffs = getattr(self, "_difficulties", None) or [""] * n
+        return [[x + y for y in diffs] for x in rows]

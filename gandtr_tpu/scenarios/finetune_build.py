@@ -152,7 +152,9 @@ def build_finetune_experiment(params, directory=None, db=None, images=None):
             qpool_size=(int(float(ds_cfg["qpool_size"]))
                         if "qpool_size" in ds_cfg else None),
             similar_exclude=ds_cfg.get("similar_exclude"),
-            similar_include=ds_cfg.get("similar_include"))
+            similar_include=ds_cfg.get("similar_include"),
+            mark_easy=ds_cfg.get("mark_easy"),
+            first_neg=ds_cfg.get("first_neg", "neg"))
         # dataset transform: generator-side normalization (augment data params)
         gen_data = augment.data_params if augment.data_params and \
             augment.data_params != "load_from_checkpoint" else {

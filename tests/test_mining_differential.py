@@ -137,3 +137,99 @@ def test_select_diverse_queries_fuzz(ref, capsys):
             qscore, want_stats["average_new_query_max_score"],
             rtol=1e-5, atol=1e-6)
         assert [l[0] for l in want_labels] == ["anc", "pos", "neg", "neg", "neg"]
+
+
+@needs_reference
+def test_mark_easy_difficulties_vs_reference(ref):
+    """mark_easy suffixes vs the reference's _select_positive_pairs_db with
+    mark_easy set (cirtorch_datasets.py:106-114)."""
+    rng = np.random.RandomState(2)
+    for _ in range(8):
+        d = rng.randint(4, 16)
+        qpool = rng.randint(8, 30)
+        qsize = rng.randint(2, qpool + 1)
+        se, si = 0.2, 0.8
+        mark_easy = float(rng.uniform(0.1, 0.9))
+        qvecs_pool = _unit_cols(rng, d, qpool)
+        pvecs_pool = _unit_cols(rng, d, qpool)
+        db = {"qidxs": list(range(qpool)),
+              "pidxs": list(range(500, 500 + qpool))}
+
+        def extract(idxs, label, net, device):
+            if label.startswith("anc"):
+                return torch.from_numpy(qvecs_pool)
+            # reference extracts pvecs for the SELECTED pidxs
+            cols = [i - 500 for i in idxs]
+            return torch.from_numpy(pvecs_pool[:, cols])
+
+        dummy = types.SimpleNamespace(
+            qpool_size=qpool, similar_exclude=se, similar_include=si,
+            shuffle=False, mark_easy=mark_easy, first_neg="neg", nnum=2,
+            _randperm=lambda size, samples: list(range(size))[:samples],
+            _extract_descriptors=extract,
+        )
+        want_q, _, want_labels, _ = \
+            ref.cirds.DiverseAnchorsDataset._select_positive_pairs_db(
+                dummy, None, "cpu", db, qsize)
+
+        sel, _ = M.select_diverse_queries(qvecs_pool, qsize, se, si,
+                                          shuffle=False)
+        assert [db["qidxs"][i] for i in sel] == want_q
+        got_diffs = M.mark_easy_difficulties(
+            qvecs_pool[:, sel], pvecs_pool[:, sel], mark_easy, qsize)
+        want_diffs = [l[len("anc"):] for l in want_labels[0]]
+        assert got_diffs == want_diffs, (qsize, mark_easy)
+
+
+# ---------------------------------------------------------------------------
+# first_neg / mark_easy plumbed through the tuple dataset (unit, no reference)
+# ---------------------------------------------------------------------------
+
+def _mini_dataset(first_neg="neg", mark_easy=None):
+    from gandtr_tpu.data.cir_datasets import TupleEpochDataset
+    rng = np.random.RandomState(0)
+    n = 12
+    db = {"qidxs": list(range(0, 6)), "pidxs": list(range(6, 12)),
+          "cluster": list(range(n)), "cids": ["c%d" % i for i in range(n)]}
+    desc = _unit_cols(rng, 8, n)
+    miner = M.TuplesMiner(db, nnum=3, qsize=4, poolsize=n, shuffle=False,
+                          qpool_size=6, similar_exclude=0.2,
+                          similar_include=0.8, mark_easy=mark_easy,
+                          first_neg=first_neg)
+    ds = TupleEpochDataset(db, ["img%d" % i for i in range(n)],
+                           lambda img: img, 16, miner, augment_ratio=0.0,
+                           neg_num=3)
+    ds.extract_fn = lambda idxs, label=None: desc[:, idxs]
+    ds._load_padded = lambda idx: (np.full((4, 4, 3), idx, np.float32),
+                                   np.ones((4, 4), np.float32))
+    ds.prepare_epoch()
+    return ds
+
+
+def test_first_neg_variants_tuple_assembly():
+    ds = _mini_dataset("neg")
+    imgs, masks, labels, pmask = ds[0]
+    assert imgs.shape[0] == 5 and list(labels) == [-1.0, 1.0, 0.0, 0.0, 0.0]
+
+    ds = _mini_dataset("pos")
+    imgs, _, labels, _ = ds[0]
+    assert imgs.shape[0] == 5 and list(labels) == [-1.0, 1.0, 1.0, 0.0, 0.0]
+
+    ds_exc = _mini_dataset("exc")
+    imgs, _, labels, _ = ds_exc[0]
+    # top-ranked negative mined but EXCLUDED from the tuple
+    assert imgs.shape[0] == 4 and list(labels) == [-1.0, 1.0, 0.0, 0.0]
+    ds_neg = _mini_dataset("neg")
+    q, p, negs = ds_exc.tuples[0]
+    assert list(negs)[1:] == [int(imgs[2, 0, 0, 0]), int(imgs[3, 0, 0, 0])]
+    assert ds_neg.tuples[0][2] == negs
+
+
+def test_mark_easy_labels_reach_dataset():
+    ds = _mini_dataset("neg", mark_easy=0.5)
+    labels0 = [row[0] for row in ds.tuple_labels]
+    assert all(l.endswith("-easy") or l.endswith("-hard") for l in labels0)
+    assert labels0[0].startswith("anc") and labels0[1].startswith("pos")
+    # exactly mark_easy*qsize tuples marked easy
+    n_easy = sum(1 for l in ds.tuple_labels[0] if l.endswith("-easy"))
+    assert n_easy == 2  # 0.5 * qsize 4
