@@ -17,6 +17,12 @@ Config::
         path: <index.npz>
         dimensions: 512            # descriptor dim (default 512)
         skip_if_exists: true       # idempotent re-runs (infer.py:23-27)
+        pq:                        # optional: product-quantized index
+          m: 16                    # bytes per vector (D % m == 0)
+          ksub: 256                # centroids per subspace (<= 256)
+          rerank: 0                # exact re-rank depth (keeps f32 on host)
+          train_size: 25600        # training subsample
+          iters: 25
 
 Image names arrive on stdin like the infer stage. Failed images (NaN
 descriptor rows, output.py:143-146) are dropped from the index.
@@ -31,6 +37,7 @@ from gandtr_tpu.utils.io import resolve_path
 def build_index(params, data):
     from gandtr_tpu.scenarios.infer_stage import infer
     from gandtr_tpu.serving.index import RetrievalIndex
+    from gandtr_tpu.serving import load_index
 
     params = dict(params)
     cfg = dict(params.pop("index"))
@@ -39,10 +46,11 @@ def build_index(params, data):
         path += ".npz"
     dims = int(cfg.pop("dimensions", 512))
     skip = bool(cfg.pop("skip_if_exists", True))
+    pq_cfg = cfg.pop("pq", None)
     assert not cfg, f"Unused index params: {sorted(cfg)}"
 
     if skip and os.path.exists(path):
-        idx = RetrievalIndex.load(path)
+        idx = load_index(path)
         return ({"path": path, "count": len(idx), "status": "skipped"},)
 
     names = list(data[0]) if data else []
@@ -59,7 +67,24 @@ def build_index(params, data):
     # produced, not the config
     if len(names) and rows.shape[1] != dims:
         dims = rows.shape[1]
-    index = RetrievalIndex(dims)
+    if pq_cfg is not None:
+        from gandtr_tpu.serving.pq import PQRetrievalIndex
+        pq_cfg = dict(pq_cfg)
+        train_size = int(pq_cfg.pop("train_size", 25600))
+        iters = int(pq_cfg.pop("iters", 25))
+        index = PQRetrievalIndex(dims, m=int(pq_cfg.pop("m", 16)),
+                                 ksub=int(pq_cfg.pop("ksub", 256)),
+                                 rerank=int(pq_cfg.pop("rerank", 0)))
+        assert not pq_cfg, f"Unused pq params: {sorted(pq_cfg)}"
+        if keep.any():
+            train = rows[keep]
+            if train.shape[0] > train_size:
+                sel = np.random.RandomState(0).permutation(
+                    train.shape[0])[:train_size]
+                train = train[sel]
+            index.fit(train, iters=iters)
+    else:
+        index = RetrievalIndex(dims)
     if keep.any():
         index.add([n for n, k in zip(names, keep) if k], rows[keep])
     index.save(path)

@@ -16,6 +16,29 @@ import jax
 import jax.numpy as jnp
 
 
+def exact_topk(s, k, chunk=128):
+    """Exact top-k over long score rows via RECURSIVE chunking: top-k per
+    `chunk` columns, then recurse over the k*chunks candidates. One lax.top_k
+    over a (16, 1M) score row measured 31.6 ms on the v5e chip; chunk=128
+    recursion runs 5.4 ms (scripts/perf_index_topk*.py, perf_index_recursive.py
+    sweeps) and is exact INCLUDING lax.top_k's prefer-lower-index
+    tie-breaking (per-chunk top_k keeps in-chunk order; the candidate merge
+    prefers earlier chunks)."""
+    n = s.shape[1]
+    if n <= 4 * chunk or k > chunk:
+        return jax.lax.top_k(s, k)
+    pad = (-n) % chunk
+    if pad:
+        s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+    sc = s.reshape(s.shape[0], -1, chunk)
+    v1, i1 = jax.lax.top_k(sc, k)
+    base = (jnp.arange(sc.shape[1]) * chunk)[None, :, None]
+    cand_v = v1.reshape(v1.shape[0], -1)
+    cand_i = (i1 + base).reshape(i1.shape[0], -1)
+    v2, sel = exact_topk(cand_v, k, chunk)
+    return v2, jnp.take_along_axis(cand_i, sel, axis=1)
+
+
 class RetrievalIndex:
     """Exact cosine/IP top-k over L2-normalized descriptor rows.
 
@@ -60,29 +83,12 @@ class RetrievalIndex:
                    else jnp.asarray(chunk))
             self._shards.append((int(bounds[di]), arr))
 
-    # Long score rows use an exact RECURSIVE chunked top-k: top-k per
-    # _CHUNK columns, then recurse over the K*chunks candidates. One
-    # lax.top_k over a (16, 1M) score row measured 31.6 ms on the v5e chip;
-    # chunk=128 recursion runs 5.4 ms (scripts/perf_index_topk*.py,
-    # perf_index_recursive.py sweeps) and is exact INCLUDING lax.top_k's
-    # prefer-lower-index tie-breaking (per-chunk top_k keeps in-chunk
-    # order; the candidate merge prefers earlier chunks).
+    # Long score rows use an exact RECURSIVE chunked top-k (module function
+    # below, shared with the PQ index).
     _CHUNK = 128
 
     def _exact_topk(self, s, k):
-        n = s.shape[1]
-        if n <= 4 * self._CHUNK or k > self._CHUNK:
-            return jax.lax.top_k(s, k)
-        pad = (-n) % self._CHUNK
-        if pad:
-            s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=-jnp.inf)
-        sc = s.reshape(s.shape[0], -1, self._CHUNK)
-        v1, i1 = jax.lax.top_k(sc, k)
-        base = (jnp.arange(sc.shape[1]) * self._CHUNK)[None, :, None]
-        cand_v = v1.reshape(v1.shape[0], -1)
-        cand_i = (i1 + base).reshape(i1.shape[0], -1)
-        v2, sel = self._exact_topk(cand_v, k)
-        return v2, jnp.take_along_axis(cand_i, sel, axis=1)
+        return exact_topk(s, k, self._CHUNK)
 
     def _topk_fn(self, k):
         if k not in self._topk_cache:

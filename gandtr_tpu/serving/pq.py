@@ -1,0 +1,230 @@
+"""Product-quantized descriptor index (beyond-parity serving feature).
+
+The exact index (serving/index.py) holds f32 descriptor rows on device:
+2 GB for 1M x 512 — measured to take minutes to upload through narrow links
+and to dominate device memory (docs/PERF.md "tunnel-upload pitfalls"). PQ
+stores one uint8 code per subspace instead (m bytes/vector: 16-64x smaller),
+and scans via per-query lookup tables — a TPU-friendly gather+add over int8
+codes, with the codebook contractions on the MXU.
+
+No reference counterpart (the reference ranks eval batches with host numpy,
+cirscore.py:71-72); the API mirrors RetrievalIndex so serving/service.py and
+the `build_index` stage accept either. Asymmetric distance (ADC): descriptors
+are L2-normalized and ranked by inner product, so score(q, x) ~= sum_m
+<q_m, C_m[code_m(x)]>. Optional exact re-rank of the PQ top-R from host-kept
+f32 rows recovers exact top-k quality with device memory still O(N*m).
+"""
+import json
+import os
+import threading
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gandtr_tpu.serving.index import exact_topk
+
+
+def train_product_quantizer(train_vecs, m, ksub=256, iters=25, seed=0):
+    """Lloyd k-means per subspace, all subspaces at once (one jitted graph;
+    assignment + update are einsums over the (m, n, dsub) view). Returns
+    (m, ksub, dsub) float32 codebooks. Empty clusters keep their centroid."""
+    X = np.ascontiguousarray(train_vecs, np.float32)
+    n, d = X.shape
+    assert d % m == 0, "dim %d not divisible by m=%d" % (d, m)
+    assert ksub <= 256, "codes are uint8: ksub must be <= 256"
+    ksub = min(ksub, n)
+    rng = np.random.RandomState(seed)
+    Xs = X.reshape(n, m, d // m).transpose(1, 0, 2)  # (m, n, dsub)
+    init = Xs[:, rng.permutation(n)[:ksub], :].copy()  # (m, ksub, dsub)
+
+    @jax.jit
+    def lloyd(Xs, C0):
+        def step(_, C):
+            xc = jnp.einsum("mnd,mkd->mnk", Xs, C,
+                            preferred_element_type=jnp.float32)
+            c2 = jnp.sum(C * C, -1)
+            assign = jnp.argmax(2.0 * xc - c2[:, None, :], -1)
+            oh = jax.nn.one_hot(assign, C.shape[1], dtype=Xs.dtype)
+            sums = jnp.einsum("mnk,mnd->mkd", oh, Xs,
+                              preferred_element_type=jnp.float32)
+            counts = jnp.sum(oh, 1)[..., None]
+            return jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0), C)
+        return jax.lax.fori_loop(0, iters, step, C0)
+
+    return np.asarray(lloyd(jnp.asarray(Xs), jnp.asarray(init)))
+
+
+class PQRetrievalIndex:
+    """RetrievalIndex-compatible PQ index.
+
+    fit(train_vecs) trains the codebooks (or pass `codebooks=`); add() encodes
+    rows to (N, m) uint8 codes; query() scans shard-parallel over devices.
+    With rerank=R > 0, f32 rows are kept on HOST and the merged PQ top-R is
+    exactly re-scored per query before cutting to k."""
+
+    def __init__(self, dim, m=16, ksub=256, devices=None, rerank=0,
+                 codebooks=None):
+        self.dim, self.m, self.ksub = int(dim), int(m), int(ksub)
+        assert self.dim % self.m == 0
+        self.rerank = int(rerank)
+        self.devices = list(devices) if devices else [None]
+        self.codebooks = None if codebooks is None else \
+            np.ascontiguousarray(codebooks, np.float32)
+        self.names = []
+        self._codes = []         # (N_i, m) uint8 blocks (host)
+        self._exact = []         # (N_i, D) f32 blocks (host), iff rerank
+        self._shards = None
+        self._scan_cache = {}
+        self._encode_fn = None
+        self._lock = threading.Lock()
+
+    def __len__(self):
+        return sum(c.shape[0] for c in self._codes)
+
+    # ------------------------------------------------------------------ fit
+    def fit(self, train_vecs, iters=25, seed=0):
+        self.codebooks = train_product_quantizer(
+            train_vecs, self.m, self.ksub, iters=iters, seed=seed)
+        return self
+
+    # ------------------------------------------------------------------ add
+    def _encode(self, X):
+        if self._encode_fn is None:
+            @jax.jit
+            def enc(C, Xs):  # Xs (n, m, dsub) -> (n, m) int32
+                xc = jnp.einsum("nmd,mkd->nmk", Xs, C,
+                                preferred_element_type=jnp.float32)
+                c2 = jnp.sum(C * C, -1)
+                return jnp.argmax(2.0 * xc - c2[None], -1)
+            self._encode_fn = enc
+        C = jnp.asarray(self.codebooks)
+        out = []
+        for i in range(0, X.shape[0], 8192):
+            chunk = X[i:i + 8192].reshape(-1, self.m, self.dim // self.m)
+            out.append(np.asarray(self._encode_fn(C, jnp.asarray(chunk))))
+        return np.concatenate(out, 0).astype(np.uint8)
+
+    def add(self, names, descriptors):
+        assert self.codebooks is not None, "fit() or pass codebooks= first"
+        X = np.ascontiguousarray(descriptors, np.float32)
+        if X.ndim == 1:
+            X = X[None]
+        assert X.shape == (len(names), self.dim), X.shape
+        codes = self._encode(X)
+        with self._lock:
+            self.names.extend(str(n) for n in names)
+            self._codes.append(codes)
+            if self.rerank:
+                self._exact.append(X)
+            self._shards = None
+
+    # ---------------------------------------------------------------- query
+    def _build_shards(self):
+        full = (np.concatenate(self._codes, 0) if self._codes
+                else np.zeros((0, self.m), np.uint8))
+        bounds = np.linspace(0, full.shape[0], len(self.devices) + 1).astype(int)
+        self._shards = []
+        for di, dev in enumerate(self.devices):
+            chunk = full[bounds[di]:bounds[di + 1]].astype(np.int32)
+            arr = (jax.device_put(chunk, dev) if dev is not None
+                   else jnp.asarray(chunk))
+            self._shards.append((int(bounds[di]), arr))
+
+    def _scan_fn(self, k):
+        """(codes (n, m) i32, C, q (Nq, D)) -> top-k (vals, idx): LUT on the
+        MXU, then an unrolled gather+add over the m code columns (each add
+        fuses into the accumulator), then the exact recursive chunked top-k."""
+        if k not in self._scan_cache:
+            m, dsub = self.m, self.dim // self.m
+
+            @jax.jit
+            def fn(codes, C, q):
+                lut = jnp.einsum("qmd,mkd->mqk", q.reshape(-1, m, dsub), C,
+                                 preferred_element_type=jnp.float32)
+                scores = jnp.take(lut[0], codes[:, 0], axis=1)  # (Nq, n)
+                for mi in range(1, m):
+                    scores = scores + jnp.take(lut[mi], codes[:, mi], axis=1)
+                return exact_topk(scores, k)
+            self._scan_cache[k] = fn
+        return self._scan_cache[k]
+
+    def query(self, qvecs, k=10):
+        """Same contract as RetrievalIndex.query (scores are PQ-approximate
+        unless rerank covers k)."""
+        q = np.asarray(qvecs, np.float32)
+        if q.ndim == 1:
+            q = q[None]
+        assert q.shape[1] == self.dim, q.shape
+        with self._lock:
+            if self._shards is None:
+                self._build_shards()
+            shards, names = self._shards, list(self.names)
+            exact = ([np.zeros((0, self.dim), np.float32)] + self._exact
+                     if self.rerank else None)
+        n = len(names)
+        if n == 0:
+            return [[] for _ in range(q.shape[0])]
+        k = min(int(k), n)
+        kfetch = min(max(k, self.rerank), n) if self.rerank else k
+        C = jnp.asarray(self.codebooks)
+        qj = jnp.asarray(q)
+        parts = []
+        for offset, codes in shards:
+            if codes.shape[0] == 0:
+                continue
+            kk = min(kfetch, codes.shape[0])
+            vals, idx = self._scan_fn(kk)(codes, C, qj)
+            parts.append((vals, idx, offset))
+        vals = np.concatenate([np.asarray(v) for v, _, _ in parts], 1)
+        idx = np.concatenate([np.asarray(i) + off for _, i, off in parts], 1)
+        if self.rerank:
+            X = np.concatenate(exact, 0)
+            out = []
+            for qi in range(q.shape[0]):
+                cand = idx[qi][np.argsort(-vals[qi], kind="stable")[:kfetch]]
+                ex = X[cand] @ q[qi]
+                order = np.argsort(-ex, kind="stable")[:k]
+                out.append([(names[cand[j]], float(ex[j])) for j in order])
+            return out
+        order = np.argsort(-vals, axis=1, kind="stable")[:, :k]
+        return [[(names[idx[qi, j]], float(vals[qi, j])) for j in order[qi]]
+                for qi in range(q.shape[0])]
+
+    # ------------------------------------------------------------- persist
+    def save(self, path):
+        """Pickle-free .npz like RetrievalIndex.save."""
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with self._lock:
+            codes = (np.concatenate(self._codes, 0) if self._codes
+                     else np.zeros((0, self.m), np.uint8))
+            exact = (np.concatenate(self._exact, 0) if self._exact
+                     else np.zeros((0, self.dim), np.float32))
+            names = np.asarray(self.names, dtype=str)
+        codebooks = (self.codebooks if self.codebooks is not None
+                     else np.zeros((0, 0, 0), np.float32))
+        np.savez_compressed(
+            path, codes=codes, names=names, codebooks=codebooks,
+            exact=exact,
+            meta=json.dumps({"dim": self.dim, "m": self.m, "ksub": self.ksub,
+                             "rerank": self.rerank}))
+
+    @classmethod
+    def load(cls, path, devices=None, rerank=None):
+        with np.load(path if str(path).endswith(".npz")
+                     else path + ".npz") as z:
+            meta = json.loads(str(z["meta"]))
+            if rerank is None:
+                rerank = meta["rerank"]
+            cb = z["codebooks"] if z["codebooks"].size else None
+            idx = cls(meta["dim"], m=meta["m"], ksub=meta["ksub"],
+                      devices=devices, rerank=rerank, codebooks=cb)
+            codes = z["codes"].astype(np.uint8)
+            if codes.shape[0]:
+                idx.names = [str(n) for n in z["names"]]
+                idx._codes = [codes]
+                if rerank:
+                    assert z["exact"].shape[0] == codes.shape[0], \
+                        "index was saved without exact rows; rerank impossible"
+                    idx._exact = [z["exact"]]
+        return idx

@@ -124,6 +124,38 @@ def test_build_index_stage(imgdir, tmp_path):
     assert meta2["status"] == "skipped" and meta2["count"] == 3
 
 
+def test_build_index_stage_pq(imgdir, tmp_path):
+    """PQ variant: `index.pq` config builds a PQRetrievalIndex; load_index
+    dispatches on the file; rank-1 self-retrieval holds with rerank."""
+    from gandtr_tpu.scenarios.index_stage import build_index
+    from gandtr_tpu.serving import load_index
+    from gandtr_tpu.serving.pq import PQRetrievalIndex
+    names = [f"im{i}.jpg" for i in range(3)]
+    params = {
+        "network": dict(EMB_NET),
+        "data": {"image_dir": str(imgdir) + "/*",
+                 "transforms": "pil2np | totensor | normalize",
+                 "mean_std": [[0.485, 0.456, 0.406], [0.229, 0.224, 0.225]]},
+        "index": {"path": str(tmp_path / "pq.npz"), "dimensions": 512,
+                  "pq": {"m": 8, "ksub": 3, "rerank": 3, "iters": 5}},
+    }
+    (meta,) = build_index(dict(params), (names,))
+    assert meta["count"] == 3 and meta["failed"] == 0
+
+    idx = load_index(meta["path"])
+    assert isinstance(idx, PQRetrievalIndex) and len(idx) == 3
+    (emb_meta,) = infer({"network": dict(EMB_NET),
+                         "data": dict(params["data"]),
+                         "output": {"type": "embedding", "dimensions": 512}},
+                        (names,))
+    (res,) = idx.query(emb_meta["vecs"][:, 1], k=2)
+    assert res[0][0] == "im1.jpg"
+    assert res[0][1] == pytest.approx(1.0, abs=1e-4)  # rerank: exact score
+
+    (meta2,) = build_index(dict(params), (names,))
+    assert meta2["status"] == "skipped" and meta2["count"] == 3
+
+
 def test_multistep_whitening(imgdir, tmp_path):
     # cid-style names: path derived as cid[-2:]/cid[-4:-2]/cid[-6:-4]/cid
     rng = np.random.RandomState(1)

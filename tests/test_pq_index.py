@@ -1,0 +1,155 @@
+"""Product-quantized retrieval index (serving/pq.py).
+
+Covers: quantizer training, exact-recovery special case (data points ON
+centroids -> PQ scores == exact scores), recall vs the exact index on
+clustered data, multi-device shard agreement, rerank == exact results,
+pickle-free persistence round-trip, HTTP service compatibility.
+"""
+import numpy as np
+import pytest
+import jax
+
+from gandtr_tpu.serving.index import RetrievalIndex
+from gandtr_tpu.serving.pq import PQRetrievalIndex, train_product_quantizer
+
+
+def _unit_rows(rng, n, d):
+    x = rng.randn(n, d).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def _clustered(rng, n, d, n_clusters=32, noise=0.05):
+    centers = _unit_rows(rng, n_clusters, d)
+    x = centers[rng.randint(0, n_clusters, n)] + noise * rng.randn(n, d)
+    return (x / np.linalg.norm(x, axis=1, keepdims=True)).astype(np.float32)
+
+
+class TestQuantizer:
+    def test_codebook_shape_and_improvement(self):
+        rng = np.random.RandomState(0)
+        X = _clustered(rng, 2000, 32)
+        C = train_product_quantizer(X, m=4, ksub=16, iters=20)
+        assert C.shape == (4, 16, 8)
+        # quantization error must beat the 1-iteration codebook
+        C1 = train_product_quantizer(X, m=4, ksub=16, iters=1)
+
+        def qerr(C):
+            Xs = X.reshape(-1, 4, 8)
+            d = ((Xs[:, :, None, :] - C[None]) ** 2).sum(-1).min(2)
+            return float(d.sum())
+        assert qerr(C) < qerr(C1) * 0.9
+
+    def test_exact_recovery_when_data_on_centroids(self):
+        """If every subvector is exactly a centroid, ADC scores == exact
+        inner products and the PQ top-k == exact top-k."""
+        rng = np.random.RandomState(1)
+        d, m, ksub = 16, 4, 8
+        C = rng.randn(m, ksub, d // m).astype(np.float32)
+        codes = rng.randint(0, ksub, (64, m))
+        X = np.concatenate([C[mi, codes[:, mi]] for mi in range(m)], axis=1)
+        q = rng.randn(3, d).astype(np.float32)
+
+        pq = PQRetrievalIndex(d, m=m, ksub=ksub, codebooks=C)
+        pq.add([str(i) for i in range(64)], X)
+        exact = RetrievalIndex(d)
+        exact.add([str(i) for i in range(64)], X)
+        got, want = pq.query(q, k=10), exact.query(q, k=10)
+        for g, w in zip(got, want):
+            assert [n for n, _ in g] == [n for n, _ in w]
+            np.testing.assert_allclose([s for _, s in g], [s for _, s in w],
+                                       rtol=1e-4, atol=1e-5)
+
+
+class TestPQIndex:
+    def test_recall_vs_exact(self):
+        rng = np.random.RandomState(2)
+        d, n = 64, 3000
+        X = _clustered(rng, n, d, n_clusters=50, noise=0.08)
+        q = _clustered(rng, 8, d, n_clusters=50, noise=0.08)
+        exact = RetrievalIndex(d)
+        exact.add([str(i) for i in range(n)], X)
+        pq = PQRetrievalIndex(d, m=16, ksub=64).fit(X, iters=15)
+        pq.add([str(i) for i in range(n)], X)
+
+        want = exact.query(q, k=10)
+        got = pq.query(q, k=50)
+        recalls = []
+        for g, w in zip(got, want):
+            gn = {n_ for n_, _ in g}
+            recalls.append(np.mean([n_ in gn for n_, _ in w]))
+        assert np.mean(recalls) > 0.8, recalls
+
+    def test_rerank_recovers_exact_topk(self):
+        rng = np.random.RandomState(3)
+        d, n = 32, 800
+        X = _clustered(rng, n, d, n_clusters=24, noise=0.1)
+        q = _clustered(rng, 5, d, n_clusters=24, noise=0.1)
+        exact = RetrievalIndex(d)
+        exact.add([str(i) for i in range(n)], X)
+        pq = PQRetrievalIndex(d, m=8, ksub=64, rerank=200).fit(X, iters=15)
+        pq.add([str(i) for i in range(n)], X)
+        want = exact.query(q, k=5)
+        got = pq.query(q, k=5)
+        hits = 0
+        for g, w in zip(got, want):
+            # rerank scores are exact inner products
+            for (gn, gs), (wn, ws) in zip(g, w):
+                if gn == wn:
+                    hits += 1
+                    np.testing.assert_allclose(gs, ws, rtol=1e-4, atol=1e-5)
+        assert hits >= 0.9 * 5 * len(want), hits
+
+    def test_sharded_matches_single_device(self):
+        rng = np.random.RandomState(4)
+        d, n = 32, 500
+        X = _clustered(rng, n, d)
+        q = _unit_rows(rng, 4, d)
+        pq1 = PQRetrievalIndex(d, m=8, ksub=32).fit(X, iters=10)
+        pq1.add([str(i) for i in range(n)], X)
+        pq8 = PQRetrievalIndex(d, m=8, ksub=32, devices=jax.devices(),
+                               codebooks=pq1.codebooks)
+        pq8.add([str(i) for i in range(n)], X)
+        for g, w in zip(pq8.query(q, k=7), pq1.query(q, k=7)):
+            assert [n_ for n_, _ in g] == [n_ for n_, _ in w]
+            np.testing.assert_allclose([s for _, s in g], [s for _, s in w],
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_save_load_roundtrip(self, tmp_path):
+        rng = np.random.RandomState(5)
+        d, n = 32, 200
+        X = _clustered(rng, n, d)
+        q = _unit_rows(rng, 2, d)
+        pq = PQRetrievalIndex(d, m=8, ksub=32, rerank=50).fit(X, iters=10)
+        pq.add([str(i) for i in range(n)], X)
+        path = str(tmp_path / "pq_index.npz")
+        pq.save(path)
+        back = PQRetrievalIndex.load(path)
+        assert len(back) == n and back.rerank == 50
+        for g, w in zip(back.query(q, k=5), pq.query(q, k=5)):
+            assert g == w
+        # rerank can be disabled at load time
+        fast = PQRetrievalIndex.load(path, rerank=0)
+        assert fast.query(q, k=5)[0]
+
+    def test_memory_footprint_claim(self):
+        """Codes really are m bytes/vector on the shard (the point of PQ)."""
+        rng = np.random.RandomState(6)
+        d, n, m = 64, 256, 8
+        X = _unit_rows(rng, n, d)
+        pq = PQRetrievalIndex(d, m=m, ksub=16).fit(X, iters=5)
+        pq.add([str(i) for i in range(n)], X)
+        assert pq._codes[0].dtype == np.uint8
+        assert pq._codes[0].nbytes == n * m  # vs n*d*4 exact
+
+
+def test_service_accepts_pq_index():
+    """serving/service.py duck-types the index: the PQ index serves :search."""
+    from gandtr_tpu.serving import service as svc
+    rng = np.random.RandomState(7)
+    d, n = 16, 60
+    X = _unit_rows(rng, n, d)
+    pq = PQRetrievalIndex(d, m=4, ksub=16).fit(X, iters=5)
+    pq.add(["img%d" % i for i in range(n)], X)
+    out = pq.query(X[:2], k=3)
+    assert len(out) == 2 and out[0][0][0] == "img0"
+    assert hasattr(svc, "serve_http") or hasattr(svc, "Server")
