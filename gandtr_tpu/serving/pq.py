@@ -126,7 +126,7 @@ class PQRetrievalIndex:
         bounds = np.linspace(0, full.shape[0], len(self.devices) + 1).astype(int)
         self._shards = []
         for di, dev in enumerate(self.devices):
-            chunk = full[bounds[di]:bounds[di + 1]].astype(np.int32)
+            chunk = full[bounds[di]:bounds[di + 1]]  # uint8 on device
             arr = (jax.device_put(chunk, dev) if dev is not None
                    else jnp.asarray(chunk))
             self._shards.append((int(bounds[di]), arr))
@@ -142,9 +142,10 @@ class PQRetrievalIndex:
             def fn(codes, C, q):
                 lut = jnp.einsum("qmd,mkd->mqk", q.reshape(-1, m, dsub), C,
                                  preferred_element_type=jnp.float32)
-                scores = jnp.take(lut[0], codes[:, 0], axis=1)  # (Nq, n)
+                ci = codes.astype(jnp.int32)  # uint8 in HBM, i32 for gathers
+                scores = jnp.take(lut[0], ci[:, 0], axis=1)  # (Nq, n)
                 for mi in range(1, m):
-                    scores = scores + jnp.take(lut[mi], codes[:, mi], axis=1)
+                    scores = scores + jnp.take(lut[mi], ci[:, mi], axis=1)
                 return exact_topk(scores, k)
             self._scan_cache[k] = fn
         return self._scan_cache[k]

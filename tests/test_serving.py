@@ -532,6 +532,46 @@ class TestHttpServer:
             for e in srv.models.values():
                 e.batcher.close()
 
+    def test_search_endpoint_with_pq_index(self, emb_artifact):
+        """The PQ index duck-types RetrievalIndex behind :search (rerank
+        gives exact self-match scores)."""
+        from gandtr_tpu.serving.pq import PQRetrievalIndex
+        _, emb_path, _ = emb_artifact
+        rng = np.random.RandomState(9)
+        train = rng.randn(300, 512).astype(np.float32)
+        train /= np.linalg.norm(train, axis=1, keepdims=True)
+        index = PQRetrievalIndex(512, m=8, ksub=32, rerank=10).fit(
+            train, iters=5)
+        srv = serve_http({"embed": load_artifact(emb_path)}, port=0,
+                         max_wait_ms=1.0, block=False,
+                         indices={"embed": index})
+        try:
+            host, port = srv.server_address
+            imgs = [rng.randint(0, 256, (HW * 2, HW * 2, 3), np.uint8)
+                    for _ in range(3)]
+
+            def post(action, img):
+                buf = io.BytesIO()
+                np.save(buf, img)
+                req = urllib.request.Request(
+                    "http://%s:%d/v1/models/embed%s" % (host, port, action),
+                    data=buf.getvalue(),
+                    headers={"Content-Type": "application/octet-stream"},
+                    method="POST")
+                with urllib.request.urlopen(req) as r:
+                    return json.load(r)
+
+            for i, img in enumerate(imgs):
+                desc = np.asarray(post(":predict", img)["descriptor"])
+                index.add(["img%d" % i], desc[None])
+            got = post(":search?k=2", imgs[1])["results"]
+            assert got[0]["name"] == "img1"
+            assert got[0]["score"] == pytest.approx(1.0, abs=1e-4)
+        finally:
+            srv.shutdown()
+            for e in srv.models.values():
+                e.batcher.close()
+
     def test_search_bad_k_is_400(self, emb_artifact):
         """Malformed ?k= must be a 400 JSON error, not a dropped socket."""
         from gandtr_tpu.serving import RetrievalIndex
