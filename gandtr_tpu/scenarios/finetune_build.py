@@ -119,9 +119,18 @@ def build_finetune_experiment(params, directory=None, db=None, images=None):
     # restricts the generator to position 0 (1/S of its FLOPs, same result)
     import re as _re
     _, gate_label = _parse_ratio(augment_cfg.get("runtime", {}).get("wrappers", ""))
-    neg_num = int(data_cfg.get("train", {}).get("dataset", {})
-                  .get("neg_num", 5))
-    layout = ["anc", "pos"] + ["neg"] * neg_num
+    ds_train_cfg = data_cfg.get("train", {}).get("dataset", {})
+    neg_num = int(ds_train_cfg.get("neg_num", 5))
+    # layout must track the first_neg override (cir_datasets.__getitem__):
+    # "pos" relabels the top-ranked negative, "exc" drops it from the tuple
+    first_neg = ds_train_cfg.get("first_neg", "neg")
+    if first_neg == "exc":
+        layout = ["anc", "pos"] + ["neg"] * max(neg_num - 1, 0)
+    else:
+        layout = ["anc", "pos"] + ([first_neg] + ["neg"] * (neg_num - 1)
+                                   if neg_num else [])
+    # mark_easy suffixes labels with -easy/-hard: the static restriction must
+    # then be permissive (both variants still match prefix gates like "anc")
     positions = tuple(i for i, l in enumerate(layout)
                       if _re.match(gate_label, l))
     augment_positions = positions if 0 < len(positions) < len(layout) else None

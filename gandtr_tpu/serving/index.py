@@ -16,6 +16,30 @@ import jax
 import jax.numpy as jnp
 
 
+def shard_rows(full, devices):
+    """Split rows into contiguous equal-size blocks over `devices`; returns
+    [(offset, device_array)] (None device = default backend placement)."""
+    bounds = np.linspace(0, full.shape[0], len(devices) + 1).astype(int)
+    shards = []
+    for di, dev in enumerate(devices):
+        chunk = full[bounds[di]:bounds[di + 1]]
+        arr = (jax.device_put(chunk, dev) if dev is not None
+               else jnp.asarray(chunk))
+        shards.append((int(bounds[di]), arr))
+    return shards
+
+
+def merge_topk_parts(parts, k):
+    """Merge per-shard (vals, local_idx, offset) top-k parts on host into
+    global (vals (Nq, k), idx (Nq, k)), stable best-first (earlier shards
+    win ties, matching lax.top_k's prefer-lower-index contract)."""
+    vals = np.concatenate([np.asarray(v) for v, _, _ in parts], 1)
+    idx = np.concatenate([np.asarray(i) + off for _, i, off in parts], 1)
+    order = np.argsort(-vals, axis=1, kind="stable")[:, :k]
+    return (np.take_along_axis(vals, order, 1),
+            np.take_along_axis(idx, order, 1))
+
+
 def exact_topk(s, k, chunk=128):
     """Exact top-k over long score rows via RECURSIVE chunking: top-k per
     `chunk` columns, then recurse over the k*chunks candidates. One lax.top_k
@@ -24,8 +48,12 @@ def exact_topk(s, k, chunk=128):
     sweeps) and is exact INCLUDING lax.top_k's prefer-lower-index
     tie-breaking (per-chunk top_k keeps in-chunk order; the candidate merge
     prefers earlier chunks)."""
+    # chunk >= 2k guarantees every level at least halves the candidate set
+    # (at chunk == k the candidate width is (n/chunk)*k == n: no reduction,
+    # unbounded recursion — found by review)
+    chunk = max(chunk, 2 * k)
     n = s.shape[1]
-    if n <= 4 * chunk or k > chunk:
+    if n <= 4 * chunk:
         return jax.lax.top_k(s, k)
     pad = (-n) % chunk
     if pad:
@@ -74,14 +102,7 @@ class RetrievalIndex:
     def _build_shards(self):
         full = (np.concatenate(self._vecs, 0) if self._vecs
                 else np.zeros((0, self.dim), np.float32))
-        n_dev = len(self.devices)
-        bounds = np.linspace(0, full.shape[0], n_dev + 1).astype(int)
-        self._shards = []
-        for di, dev in enumerate(self.devices):
-            chunk = full[bounds[di]:bounds[di + 1]]
-            arr = (jax.device_put(chunk, dev) if dev is not None
-                   else jnp.asarray(chunk))
-            self._shards.append((int(bounds[di]), arr))
+        self._shards = shard_rows(full, self.devices)
 
     # Long score rows use an exact RECURSIVE chunked top-k (module function
     # below, shared with the PQ index).
@@ -124,14 +145,9 @@ class RetrievalIndex:
             kk = min(k, db.shape[0])
             vals, idx = self._topk_fn(kk)(db, qj)
             parts.append((vals, idx, offset))
-        vals = np.concatenate([np.asarray(v) for v, _, _ in parts], 1)
-        idx = np.concatenate([np.asarray(i) + off for _, i, off in parts], 1)
-        order = np.argsort(-vals, axis=1, kind="stable")[:, :k]
-        out = []
-        for qi in range(q.shape[0]):
-            out.append([(names[idx[qi, j]], float(vals[qi, j]))
-                        for j in (order[qi])])
-        return out
+        vals, idx = merge_topk_parts(parts, k)
+        return [[(names[idx[qi, j]], float(vals[qi, j]))
+                 for j in range(vals.shape[1])] for qi in range(q.shape[0])]
 
     def save(self, path):
         """One .npz + sidecar meta; load with RetrievalIndex.load().

@@ -22,7 +22,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from gandtr_tpu.serving.index import exact_topk
+from gandtr_tpu.serving.index import exact_topk, merge_topk_parts, shard_rows
 
 
 def train_product_quantizer(train_vecs, m, ksub=256, iters=25, seed=0):
@@ -77,6 +77,7 @@ class PQRetrievalIndex:
         self._shards = None
         self._scan_cache = {}
         self._encode_fn = None
+        self._C_enc = None  # default-device codebooks for encoding
         self._lock = threading.Lock()
 
     def __len__(self):
@@ -86,6 +87,8 @@ class PQRetrievalIndex:
     def fit(self, train_vecs, iters=25, seed=0):
         self.codebooks = train_product_quantizer(
             train_vecs, self.m, self.ksub, iters=iters, seed=seed)
+        self._C_enc = None
+        self._shards = None
         return self
 
     # ------------------------------------------------------------------ add
@@ -98,7 +101,9 @@ class PQRetrievalIndex:
                 c2 = jnp.sum(C * C, -1)
                 return jnp.argmax(2.0 * xc - c2[None], -1)
             self._encode_fn = enc
-        C = jnp.asarray(self.codebooks)
+        if self._C_enc is None:
+            self._C_enc = jnp.asarray(self.codebooks)
+        C = self._C_enc
         out = []
         for i in range(0, X.shape[0], 8192):
             chunk = X[i:i + 8192].reshape(-1, self.m, self.dim // self.m)
@@ -123,13 +128,14 @@ class PQRetrievalIndex:
     def _build_shards(self):
         full = (np.concatenate(self._codes, 0) if self._codes
                 else np.zeros((0, self.m), np.uint8))
-        bounds = np.linspace(0, full.shape[0], len(self.devices) + 1).astype(int)
-        self._shards = []
-        for di, dev in enumerate(self.devices):
-            chunk = full[bounds[di]:bounds[di + 1]]  # uint8 on device
-            arr = (jax.device_put(chunk, dev) if dev is not None
-                   else jnp.asarray(chunk))
-            self._shards.append((int(bounds[di]), arr))
+        # codes stay uint8 in HBM (the point of PQ); codebooks ride along
+        # device-resident per shard so queries upload only the query batch
+        self._shards = [
+            (off, codes,
+             jax.device_put(self.codebooks, dev) if dev is not None
+             else jnp.asarray(self.codebooks))
+            for (off, codes), dev in zip(shard_rows(full, self.devices),
+                                         self.devices)]
 
     def _scan_fn(self, k):
         """(codes (n, m) i32, C, q (Nq, D)) -> top-k (vals, idx): LUT on the
@@ -168,28 +174,26 @@ class PQRetrievalIndex:
             return [[] for _ in range(q.shape[0])]
         k = min(int(k), n)
         kfetch = min(max(k, self.rerank), n) if self.rerank else k
-        C = jnp.asarray(self.codebooks)
         qj = jnp.asarray(q)
         parts = []
-        for offset, codes in shards:
+        for offset, codes, C in shards:
             if codes.shape[0] == 0:
                 continue
             kk = min(kfetch, codes.shape[0])
             vals, idx = self._scan_fn(kk)(codes, C, qj)
             parts.append((vals, idx, offset))
-        vals = np.concatenate([np.asarray(v) for v, _, _ in parts], 1)
-        idx = np.concatenate([np.asarray(i) + off for _, i, off in parts], 1)
+        vals, idx = merge_topk_parts(parts, kfetch)
         if self.rerank:
             X = np.concatenate(exact, 0)
             out = []
             for qi in range(q.shape[0]):
-                cand = idx[qi][np.argsort(-vals[qi], kind="stable")[:kfetch]]
+                cand = idx[qi]
                 ex = X[cand] @ q[qi]
                 order = np.argsort(-ex, kind="stable")[:k]
                 out.append([(names[cand[j]], float(ex[j])) for j in order])
             return out
-        order = np.argsort(-vals, axis=1, kind="stable")[:, :k]
-        return [[(names[idx[qi, j]], float(vals[qi, j])) for j in order[qi]]
+        return [[(names[idx[qi, j]], float(vals[qi, j]))
+                 for j in range(min(k, vals.shape[1]))]
                 for qi in range(q.shape[0])]
 
     # ------------------------------------------------------------- persist

@@ -23,7 +23,7 @@ D, Q, K, KSUB, ITERS = 512, 16, 10, 256, 50
 DSUB = D // M
 
 rng = np.random.RandomState(0)
-codes = rng.randint(0, KSUB, (N, M)).astype(np.int32)
+codes = rng.randint(0, KSUB, (N, M)).astype(np.uint8)  # production dtype
 C = rng.randn(M, KSUB, DSUB).astype(np.float32)
 q = rng.randn(Q, D).astype(np.float32)
 q /= np.linalg.norm(q, axis=1, keepdims=True)
@@ -39,9 +39,10 @@ def bench(codes, C, q0):
         acc, q = carry
         lut = jnp.einsum("qmd,mkd->mqk", q.reshape(Q, M, DSUB), C,
                          preferred_element_type=jnp.float32)
-        scores = jnp.take(lut[0], codes[:, 0], axis=1)
+        ci = codes.astype(jnp.int32)  # in-graph cast, like the shipped index
+        scores = jnp.take(lut[0], ci[:, 0], axis=1)
         for mi in range(1, M):
-            scores = scores + jnp.take(lut[mi], codes[:, mi], axis=1)
+            scores = scores + jnp.take(lut[mi], ci[:, mi], axis=1)
         vals, idx = exact_topk(scores, K)
         acc = acc + vals.sum() + idx.sum()
         q = q + vals[:, :1] * 1e-9

@@ -153,3 +153,17 @@ def test_service_accepts_pq_index():
     out = pq.query(X[:2], k=3)
     assert len(out) == 2 and out[0][0][0] == "img0"
     assert hasattr(svc, "serve_http") or hasattr(svc, "Server")
+
+
+def test_exact_topk_terminates_for_large_k():
+    """k == chunk used to make the candidate width (n/chunk)*k == n: no
+    reduction, unbounded recursion. The adaptive chunk (>= 2k) fixes it."""
+    from gandtr_tpu.serving.index import exact_topk
+    import jax.numpy as jnp
+    rng = np.random.RandomState(8)
+    s = jnp.asarray(rng.randn(2, 4096).astype(np.float32))
+    for k in (128, 200, 300):
+        vals, idx = exact_topk(s, k)
+        want_v, want_i = jax.lax.top_k(s, k)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(want_i), err_msg=str(k))
+        np.testing.assert_allclose(np.asarray(vals), np.asarray(want_v), rtol=1e-6)
