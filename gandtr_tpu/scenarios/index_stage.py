@@ -23,6 +23,7 @@ Config::
           rerank: 0                # exact re-rank depth (keeps f32 on host)
           train_size: 25600        # training subsample
           iters: 25
+          opq_iters: 0             # > 0: learn the OPQ rotation (recall+)
 
 Image names arrive on stdin like the infer stage. Failed images (NaN
 descriptor rows, output.py:143-146) are dropped from the index.
@@ -72,6 +73,7 @@ def build_index(params, data):
         pq_cfg = dict(pq_cfg)
         train_size = int(pq_cfg.pop("train_size", 25600))
         iters = int(pq_cfg.pop("iters", 25))
+        opq_iters = int(pq_cfg.pop("opq_iters", 0))
         index = PQRetrievalIndex(dims, m=int(pq_cfg.pop("m", 16)),
                                  ksub=int(pq_cfg.pop("ksub", 256)),
                                  rerank=int(pq_cfg.pop("rerank", 0)))
@@ -82,7 +84,7 @@ def build_index(params, data):
                 sel = np.random.RandomState(0).permutation(
                     train.shape[0])[:train_size]
                 train = train[sel]
-            index.fit(train, iters=iters)
+            index.fit(train, iters=iters, opq_iters=opq_iters)
     else:
         index = RetrievalIndex(dims)
     if keep.any():

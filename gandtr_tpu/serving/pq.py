@@ -55,22 +55,59 @@ def train_product_quantizer(train_vecs, m, ksub=256, iters=25, seed=0):
     return np.asarray(lloyd(jnp.asarray(Xs), jnp.asarray(init)))
 
 
+def _decode(codebooks, codes):
+    """(N, m) codes -> (N, D) reconstruction (host numpy)."""
+    return np.concatenate([codebooks[mi, codes[:, mi]]
+                           for mi in range(codebooks.shape[0])], axis=1)
+
+
+def train_opq_rotation(train_vecs, m, ksub=256, opq_iters=10, kmeans_iters=8,
+                       seed=0):
+    """OPQ-NP (Ge et al., CVPR'13): alternate codebook fit / encode / SVD
+    Procrustes update of an orthogonal rotation R minimizing ||XR - q(XR)||².
+    The k-means + encode run as the same jitted device einsums; the D×D SVD
+    is host numpy. Returns (R (D, D), codebooks)."""
+    X = np.ascontiguousarray(train_vecs, np.float32)
+    d = X.shape[1]
+    R = np.eye(d, dtype=np.float32)
+    C = None
+    for _ in range(opq_iters):
+        Xr = X @ R
+        C = train_product_quantizer(Xr, m, ksub, iters=kmeans_iters, seed=seed)
+        # encode under current (R, C) with the same assignment rule
+        Xs = Xr.reshape(-1, m, d // m)
+        xc = np.einsum("nmd,mkd->nmk", Xs, C)
+        c2 = np.sum(C * C, -1)
+        codes = np.argmax(2.0 * xc - c2[None], -1)
+        Xq = _decode(C, codes)
+        U, _, Vt = np.linalg.svd(X.T @ Xq, full_matrices=False)
+        R = (U @ Vt).astype(np.float32)
+    # final codebooks for the final rotation
+    C = train_product_quantizer(X @ R, m, ksub, iters=kmeans_iters, seed=seed)
+    return R, C
+
+
 class PQRetrievalIndex:
     """RetrievalIndex-compatible PQ index.
 
     fit(train_vecs) trains the codebooks (or pass `codebooks=`); add() encodes
     rows to (N, m) uint8 codes; query() scans shard-parallel over devices.
     With rerank=R > 0, f32 rows are kept on HOST and the merged PQ top-R is
-    exactly re-scored per query before cutting to k."""
+    exactly re-scored per query before cutting to k. With rotation=R (or
+    fit(opq_iters=K)), rows and queries rotate by the learned OPQ orthogonal
+    matrix before quantization — inner products are preserved exactly, so
+    rerank semantics are unchanged."""
 
     def __init__(self, dim, m=16, ksub=256, devices=None, rerank=0,
-                 codebooks=None):
+                 codebooks=None, rotation=None):
         self.dim, self.m, self.ksub = int(dim), int(m), int(ksub)
         assert self.dim % self.m == 0
         self.rerank = int(rerank)
         self.devices = list(devices) if devices else [None]
         self.codebooks = None if codebooks is None else \
             np.ascontiguousarray(codebooks, np.float32)
+        self.rotation = None if rotation is None else \
+            np.ascontiguousarray(rotation, np.float32)
         self.names = []
         self._codes = []         # (N_i, m) uint8 blocks (host)
         self._exact = []         # (N_i, D) f32 blocks (host), iff rerank
@@ -84,12 +121,21 @@ class PQRetrievalIndex:
         return sum(c.shape[0] for c in self._codes)
 
     # ------------------------------------------------------------------ fit
-    def fit(self, train_vecs, iters=25, seed=0):
-        self.codebooks = train_product_quantizer(
-            train_vecs, self.m, self.ksub, iters=iters, seed=seed)
+    def fit(self, train_vecs, iters=25, seed=0, opq_iters=0):
+        """opq_iters > 0 additionally learns the OPQ rotation."""
+        if opq_iters:
+            self.rotation, self.codebooks = train_opq_rotation(
+                train_vecs, self.m, self.ksub, opq_iters=opq_iters,
+                kmeans_iters=max(iters // 3, 5), seed=seed)
+        else:
+            self.codebooks = train_product_quantizer(
+                train_vecs, self.m, self.ksub, iters=iters, seed=seed)
         self._C_enc = None
         self._shards = None
         return self
+
+    def _rotate(self, X):
+        return X if self.rotation is None else X @ self.rotation
 
     # ------------------------------------------------------------------ add
     def _encode(self, X):
@@ -116,7 +162,7 @@ class PQRetrievalIndex:
         if X.ndim == 1:
             X = X[None]
         assert X.shape == (len(names), self.dim), X.shape
-        codes = self._encode(X)
+        codes = self._encode(self._rotate(X))  # exact rows stay UNROTATED
         with self._lock:
             self.names.extend(str(n) for n in names)
             self._codes.append(codes)
@@ -174,7 +220,9 @@ class PQRetrievalIndex:
             return [[] for _ in range(q.shape[0])]
         k = min(int(k), n)
         kfetch = min(max(k, self.rerank), n) if self.rerank else k
-        qj = jnp.asarray(q)
+        # rotation is orthogonal: <qR, xR> == <q, x>, so ADC scores under
+        # rotation estimate the same inner products
+        qj = jnp.asarray(self._rotate(q))
         parts = []
         for offset, codes, C in shards:
             if codes.shape[0] == 0:
@@ -208,9 +256,11 @@ class PQRetrievalIndex:
             names = np.asarray(self.names, dtype=str)
         codebooks = (self.codebooks if self.codebooks is not None
                      else np.zeros((0, 0, 0), np.float32))
+        rotation = (self.rotation if self.rotation is not None
+                    else np.zeros((0, 0), np.float32))
         np.savez_compressed(
             path, codes=codes, names=names, codebooks=codebooks,
-            exact=exact,
+            rotation=rotation, exact=exact,
             meta=json.dumps({"dim": self.dim, "m": self.m, "ksub": self.ksub,
                              "rerank": self.rerank}))
 
@@ -222,8 +272,11 @@ class PQRetrievalIndex:
             if rerank is None:
                 rerank = meta["rerank"]
             cb = z["codebooks"] if z["codebooks"].size else None
+            rot = (z["rotation"] if "rotation" in z.files and
+                   z["rotation"].size else None)
             idx = cls(meta["dim"], m=meta["m"], ksub=meta["ksub"],
-                      devices=devices, rerank=rerank, codebooks=cb)
+                      devices=devices, rerank=rerank, codebooks=cb,
+                      rotation=rot)
             codes = z["codes"].astype(np.uint8)
             if codes.shape[0]:
                 idx.names = [str(n) for n in z["names"]]

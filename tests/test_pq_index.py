@@ -167,3 +167,70 @@ def test_exact_topk_terminates_for_large_k():
         want_v, want_i = jax.lax.top_k(s, k)
         np.testing.assert_array_equal(np.asarray(idx), np.asarray(want_i), err_msg=str(k))
         np.testing.assert_allclose(np.asarray(vals), np.asarray(want_v), rtol=1e-6)
+
+
+class TestOPQ:
+    def _anisotropic(self, rng, n, d):
+        """Strongly anisotropic covariance hidden behind a random rotation —
+        the regime where plain PQ's axis-aligned subspace split loses and OPQ
+        wins (tight-cluster data is the WRONG test: there the exact top-k
+        differ by sub-noise margins no quantizer can resolve)."""
+        scales = np.exp(-np.arange(d) / 4.0)
+        Q, _ = np.linalg.qr(rng.randn(d, d))
+        x = (rng.randn(n, d) * scales) @ Q.astype(np.float32)
+        return (x / np.linalg.norm(x, axis=1, keepdims=True)).astype(np.float32)
+
+    def test_rotation_is_orthogonal(self):
+        rng = np.random.RandomState(10)
+        X = self._anisotropic(rng, 600, 32)
+        pq = PQRetrievalIndex(32, m=8, ksub=16).fit(X, opq_iters=4)
+        R = pq.rotation
+        np.testing.assert_allclose(R @ R.T, np.eye(32), atol=1e-4)
+
+    def test_opq_beats_plain_pq_quantization_error(self):
+        rng = np.random.RandomState(11)
+        X = self._anisotropic(rng, 1200, 32)
+        from gandtr_tpu.serving.pq import (train_product_quantizer,
+                                           train_opq_rotation, _decode)
+
+        def qerr(Xr, C):
+            Xs = Xr.reshape(-1, C.shape[0], Xr.shape[1] // C.shape[0])
+            xc = np.einsum("nmd,mkd->nmk", Xs, C)
+            c2 = np.sum(C * C, -1)
+            codes = np.argmax(2.0 * xc - c2[None], -1)
+            return float(((Xr - _decode(C, codes)) ** 2).sum())
+
+        C0 = train_product_quantizer(X, 8, 16, iters=15)
+        R, C1 = train_opq_rotation(X, 8, 16, opq_iters=6, kmeans_iters=8)
+        assert qerr(X @ R, C1) < qerr(X, C0) * 0.95
+
+    def test_opq_recall_and_roundtrip(self, tmp_path):
+        rng = np.random.RandomState(12)
+        d, n = 32, 1500
+        X = self._anisotropic(rng, n, d)
+        q = self._anisotropic(rng, 8, d)
+        exact = RetrievalIndex(d)
+        exact.add([str(i) for i in range(n)], X)
+        want = exact.query(q, k=5)
+
+        def recall(idx):
+            got = idx.query(q, k=20)
+            r = []
+            for g, w in zip(got, want):
+                gn = {n_ for n_, _ in g}
+                r.append(np.mean([n_ in gn for n_, _ in w]))
+            return float(np.mean(r))
+
+        pq = PQRetrievalIndex(d, m=8, ksub=16).fit(X, iters=15)
+        pq.add([str(i) for i in range(n)], X)
+        opq = PQRetrievalIndex(d, m=8, ksub=16).fit(X, opq_iters=6)
+        opq.add([str(i) for i in range(n)], X)
+        assert recall(opq) >= recall(pq), (recall(opq), recall(pq))
+        assert recall(opq) > 0.85
+
+        path = str(tmp_path / "opq.npz")
+        opq.save(path)
+        back = PQRetrievalIndex.load(path)
+        assert back.rotation is not None
+        for g, w in zip(back.query(q, k=5), opq.query(q, k=5)):
+            assert g == w
