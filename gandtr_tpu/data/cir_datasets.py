@@ -13,7 +13,7 @@ import numpy as np
 
 from gandtr_tpu.data.datasets import imread, path_join
 from gandtr_tpu.data.mining import TuplesMiner, cid2filename
-from gandtr_tpu.learning.wrappers import cir_hash_passthrough
+from gandtr_tpu.learning.wrappers import cir_hash_passthrough, metadata_name
 from gandtr_tpu.utils.io import resolve_path
 
 
@@ -99,7 +99,7 @@ class TupleEpochDataset:
             imgs.append(im)
             masks.append(m)
             pmask.append(lbl.startswith(self.augment_label) and
-                         cir_hash_passthrough(os.path.basename(self.images[idx]),
+                         cir_hash_passthrough(metadata_name(self.images[idx]),
                                               self.augment_ratio))
         return (np.stack(imgs), np.stack(masks), labels,
                 np.asarray(pmask, bool))

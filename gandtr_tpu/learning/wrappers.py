@@ -69,9 +69,19 @@ class ReflectPadMakeDivisible(Wrapper):
         return y[:, t:y.shape[1] - b or None, l:y.shape[2] - r or None, :]
 
 
+def metadata_name(path):
+    """The name the reference hashes: basename WITHOUT the (last) extension
+    (datahelpers.py:44 sets metadata['name'] = basename.rsplit('.', 1)[0]).
+    Identical for extension-less retrieval-SfM cids; diverges on .jpg lists
+    if the extension is left on — found by reading the metadata chain."""
+    import os
+    return os.path.basename(path).rsplit(".", 1)[0]
+
+
 def cir_hash_passthrough(name, probability):
     """Deterministic md5-based gating (wrapper.py:137-143): last 4 hex digits
-    of md5(name) as a uniform sample. Host-side; feeds a mask into jit."""
+    of md5(name) as a uniform sample. Host-side; feeds a mask into jit.
+    `name` must be the metadata name (see metadata_name), not a file path."""
     digits = 4
     rand = int(hashlib.md5(name.encode("utf8")).hexdigest()[-digits:], 16) / (16 ** digits)
     return rand < probability

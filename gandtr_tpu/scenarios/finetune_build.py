@@ -29,7 +29,7 @@ from gandtr_tpu.learning.events import initialize_processor
 from gandtr_tpu.learning.checkpoints import Checkpoints
 from gandtr_tpu.learning.training import Training
 from gandtr_tpu.learning import supervised
-from gandtr_tpu.learning.wrappers import cir_hash_passthrough
+from gandtr_tpu.learning.wrappers import cir_hash_passthrough, metadata_name
 from gandtr_tpu.utils.io import resolve_path
 
 
@@ -308,7 +308,7 @@ def _make_extract_fn(models, state_ref, images, transform, image_size):
                 imgs.append(out)
                 masks.append(m)
                 pmask.append(gate and cir_hash_passthrough(
-                    os.path.basename(images[idx]), 0.25))
+                    metadata_name(images[idx]), 0.25))
             n = len(imgs)
             while len(imgs) < batch:  # pad last chunk to the static batch
                 imgs.append(imgs[-1]); masks.append(masks[-1]); pmask.append(False)

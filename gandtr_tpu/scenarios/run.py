@@ -150,12 +150,62 @@ def run_target(scenario, target, scenario_name, stdin_data=None):
     return results
 
 
+def doctor():
+    """Environment self-check: platform, devices, compile cache, native
+    loader — the usual TPU-container gotchas (CLAUDE.md) in one command."""
+    print("gandtr_tpu doctor")
+    print("  JAX_PLATFORMS env: %r (note: some containers pin this via "
+          "sitecustomize; use jax.config to force)"
+          % os.environ.get("JAX_PLATFORMS"))
+    import jax
+    try:
+        devs = jax.devices()
+        print("  backend: %s, %d device(s): %s"
+              % (jax.default_backend(), len(devs),
+                 ", ".join(str(d) for d in devs[:8])))
+    except Exception as exc:
+        print("  backend init FAILED: %s" % exc)
+        return 1
+    import jax.numpy as jnp
+    try:
+        val = float(jax.jit(lambda a: (a @ a.T).sum())(jnp.ones((8, 128))))
+        print("  jit probe: OK (%.0f)" % val)
+    except Exception as exc:
+        print("  jit probe FAILED (wedged backend?): %s" % exc)
+        return 1
+    from gandtr_tpu.utils.compile_cache import enable_from_env
+    print("  compile cache: %s"
+          % ("disabled (GANDTR_TPU_COMPILE_CACHE=0)"
+             if os.environ.get("GANDTR_TPU_COMPILE_CACHE") == "0"
+             else (enable_from_env(default_on=True) or "enabled")))
+    try:
+        from gandtr_tpu import native
+        if native.available():
+            print("  native image loader: available")
+        else:
+            print("  native image loader: unavailable (%s); PIL fallback"
+                  % native.build_error())
+    except Exception as exc:
+        print("  native image loader: unavailable (%s); PIL fallback" % exc)
+    n = len(devs)
+    print("  multi-chip: %d visible device(s); dp auto-shards train batches "
+          "that divide %d" % (n, n))
+    print("OK")
+    return 0
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("action", help="target name, 'list' or 'validate'")
-    parser.add_argument("scenario", nargs="+",
+    parser.add_argument("action",
+                        help="target name, 'list', 'validate' or 'doctor'")
+    parser.add_argument("scenario", nargs="*",
                         help="yaml files / key=value overrides (later wins)")
     args = parser.parse_args(argv)
+
+    if args.action == "doctor":
+        return doctor()
+    if not args.scenario:
+        parser.error("scenario yaml required for action %r" % args.action)
 
     from gandtr_tpu.utils.compile_cache import enable_from_env
     enable_from_env(default_on=True)

@@ -184,3 +184,10 @@ class TestEndToEndScenario:
         meta = results["1_train"]
         assert "metrics" in meta and "train/learning/total" in meta["metrics"]
         assert os.path.isdir(tmp_path / "exp" / "epochs")
+
+
+def test_doctor_command(capsys):
+    from gandtr_tpu.scenarios.run import main
+    assert main(["doctor"]) == 0
+    out = capsys.readouterr().out
+    assert "jit probe: OK" in out and out.strip().endswith("OK")

@@ -115,3 +115,12 @@ class TestNamedWrappers:
         back = np.asarray(out) * std + mean
         orig = np.asarray(x) * 0.5 + 0.5
         np.testing.assert_allclose(back, orig, rtol=1e-4, atol=1e-5)
+
+
+def test_metadata_name_matches_reference_convention():
+    """The md5 gate hashes basename WITHOUT extension (the reference's
+    metadata['name'], datahelpers.py:44) — .jpg lists would diverge with
+    the extension left on."""
+    assert W.metadata_name("/a/b/photo01.jpg") == "photo01"
+    assert W.metadata_name("dir/0a1b2c3d") == "0a1b2c3d"  # cid: unchanged
+    assert W.metadata_name("x.tar.gz") == "x.tar"  # rsplit('.', 1), like ref
