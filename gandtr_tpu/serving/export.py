@@ -65,6 +65,39 @@ def export_hub_model(model, path, image_hw, batch_buckets=(1, 4, 8),
     buckets = sorted(set(int(b) for b in batch_buckets))
     assert buckets and buckets[0] >= 1
 
+    if with_mask:
+        if kind != "embedding":
+            raise ValueError("with_mask only applies to embedding models")
+        if model.net.wrappers_eval:
+            raise ValueError(
+                "with_mask requires an eval-wrapper-free net (wrappers "
+                "don't thread masks); got %r" % model.net.wrappers_eval)
+
+    tf_str, mean_std, forward = _export_forward(model, from_uint8, kind,
+                                                with_mask=with_mask)
+
+    in_dtype = jnp.uint8 if from_uint8 else jnp.float32
+    os.makedirs(path, exist_ok=True)
+    out_spec = None
+    for b in buckets:
+        args = [jax.ShapeDtypeStruct((b, h, w, 3), in_dtype)]
+        if with_mask:
+            args.append(jax.ShapeDtypeStruct((b, h, w), jnp.float32))
+        exp = jexport.export(jax.jit(forward), platforms=platforms)(*args)
+        out_spec = _out_spec(exp)
+        with open(os.path.join(path, "b%d.jaxexp" % b), "wb") as f:
+            f.write(exp.serialize())
+
+    meta = _base_meta(model, kind, (h, w), buckets, from_uint8, with_mask,
+                      out_spec, tf_str, mean_std)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+    return meta
+
+
+def _export_forward(model, from_uint8, kind, with_mask=False):
+    """The ONE definition of artifact provenance + forward body shared by
+    both exporters (they had drifted copies — found by review)."""
     data_params = dict(getattr(model.net, "data_params", None) or {})
     mean_std = data_params.get("mean_std", [[0.5] * 3, [0.5] * 3])
     tf_str = data_params.get("transforms", "pil2np | totensor | normalize")
@@ -77,13 +110,6 @@ def export_hub_model(model, path, image_hw, batch_buckets=(1, 4, 8),
             raise ValueError(
                 "from_uint8=True needs a device-splittable transform "
                 "pipeline; got %r" % tf_str)
-    if with_mask:
-        if kind != "embedding":
-            raise ValueError("with_mask only applies to embedding models")
-        if model.net.wrappers_eval:
-            raise ValueError(
-                "with_mask requires an eval-wrapper-free net (wrappers "
-                "don't thread masks); got %r" % model.net.wrappers_eval)
 
     variables = model.variables
     ctx = {"msp": model.meta.get("msp", 1.0)}
@@ -98,24 +124,21 @@ def export_hub_model(model, path, image_hw, batch_buckets=(1, 4, 8),
             y = device_quantize_rgb(y, mean_std)
         return y
 
-    in_dtype = jnp.uint8 if from_uint8 else jnp.float32
-    os.makedirs(path, exist_ok=True)
-    out_spec = None
-    for b in buckets:
-        args = [jax.ShapeDtypeStruct((b, h, w, 3), in_dtype)]
-        if with_mask:
-            args.append(jax.ShapeDtypeStruct((b, h, w), jnp.float32))
-        exp = jexport.export(jax.jit(forward), platforms=platforms)(*args)
-        out_spec = [list(a.shape[1:]) for a in jax.tree_util.tree_leaves(
-            exp.out_avals)][0]
-        with open(os.path.join(path, "b%d.jaxexp" % b), "wb") as f:
-            f.write(exp.serialize())
+    return tf_str, mean_std, forward
 
-    meta = {
+
+def _out_spec(exp):
+    return [list(a.shape[1:]) for a in jax.tree_util.tree_leaves(
+        exp.out_avals)][0]
+
+
+def _base_meta(model, kind, hw, buckets, from_uint8, with_mask, out_spec,
+               tf_str, mean_std):
+    return {
         "format_version": FORMAT_VERSION,
         "kind": kind,
-        "image_hw": [h, w],
-        "batch_buckets": buckets,
+        "image_hw": [int(hw[0]), int(hw[1])],
+        "batch_buckets": list(buckets),
         "input_dtype": "uint8" if from_uint8 else "float32",
         "with_mask": bool(with_mask),
         "output_shape_per_item": out_spec,
@@ -126,9 +149,6 @@ def export_hub_model(model, path, image_hw, batch_buckets=(1, 4, 8),
                        if isinstance(v, (int, float, str, bool))},
         "jax_version": jax.__version__,
     }
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(meta, f, indent=1, sort_keys=True)
-    return meta
 
 
 def export_sharded_model(model, path, image_hw, n_devices,
@@ -157,59 +177,21 @@ def export_sharded_model(model, path, image_hw, n_devices,
     mesh = Mesh(np.asarray(devs[:n_devices]), (axis,))
     batch = int(n_devices) * int(batch_per_device)
 
-    data_params = dict(getattr(model.net, "data_params", None) or {})
-    mean_std = data_params.get("mean_std", [[0.5] * 3, [0.5] * 3])
-    tf_str = data_params.get("transforms", "pil2np | totensor | normalize")
-
-    device_pre = None
-    if from_uint8:
-        from gandtr_tpu.data.transforms import split_device_transform
-        _, device_pre = split_device_transform(tf_str, mean_std)
-        if device_pre is None:
-            raise ValueError(
-                "from_uint8=True needs a device-splittable transform "
-                "pipeline; got %r" % tf_str)
-
-    variables = model.variables
-    ctx = {"msp": model.meta.get("msp", 1.0)}
-
-    def forward(x):
-        if from_uint8:
-            x = device_pre(x.astype(jnp.float32) / 255.0)
-        y = model.net.apply(variables, x, train=False, ctx=ctx)
-        if from_uint8 and kind == "generator":
-            from gandtr_tpu.data.transforms import device_quantize_rgb
-            y = device_quantize_rgb(y, mean_std)
-        return y
+    tf_str, mean_std, forward = _export_forward(model, from_uint8, kind)
 
     in_dtype = jnp.uint8 if from_uint8 else jnp.float32
     sh = NamedSharding(mesh, P(axis))
     jitted = jax.jit(forward, in_shardings=sh, out_shardings=sh)
     exp = jexport.export(jitted, platforms=platforms)(
         jax.ShapeDtypeStruct((batch, h, w, 3), in_dtype))
-    out_spec = [list(a.shape[1:]) for a in jax.tree_util.tree_leaves(
-        exp.out_avals)][0]
 
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "b%d.jaxexp" % batch), "wb") as f:
         f.write(exp.serialize())
-    meta = {
-        "format_version": FORMAT_VERSION,
-        "kind": kind,
-        "image_hw": [h, w],
-        "batch_buckets": [batch],
-        "input_dtype": "uint8" if from_uint8 else "float32",
-        "with_mask": False,
-        "sharded": {"n_devices": int(n_devices), "axis": axis,
-                    "batch_per_device": int(batch_per_device)},
-        "output_shape_per_item": out_spec,
-        "transforms": tf_str,
-        "mean_std": [list(map(float, mean_std[0])),
-                     list(map(float, mean_std[1]))],
-        "model_meta": {k: v for k, v in model.meta.items()
-                       if isinstance(v, (int, float, str, bool))},
-        "jax_version": jax.__version__,
-    }
+    meta = _base_meta(model, kind, (h, w), [batch], from_uint8, False,
+                      _out_spec(exp), tf_str, mean_std)
+    meta["sharded"] = {"n_devices": int(n_devices), "axis": axis,
+                       "batch_per_device": int(batch_per_device)}
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1, sort_keys=True)
     return meta

@@ -81,6 +81,7 @@ class RetrievalIndex:
         self._vecs = []          # list of (N_i, D) float32 blocks
         self.devices = list(devices) if devices else [None]
         self._shards = None      # per-device jnp arrays, built lazily
+        self._names_snap = ()    # immutable snapshot, rebuilt with shards
         self._topk_cache = {}
         # serve_http handles requests in threads; add/build/query must not
         # observe a half-built shard list
@@ -103,6 +104,7 @@ class RetrievalIndex:
         full = (np.concatenate(self._vecs, 0) if self._vecs
                 else np.zeros((0, self.dim), np.float32))
         self._shards = shard_rows(full, self.devices)
+        self._names_snap = tuple(self.names)  # no per-query O(N) list copy
 
     # Long score rows use an exact RECURSIVE chunked top-k (module function
     # below, shared with the PQ index).
@@ -132,7 +134,7 @@ class RetrievalIndex:
         with self._lock:  # snapshot a consistent (names, shards) view
             if self._shards is None:
                 self._build_shards()
-            shards, names = self._shards, list(self.names)
+            shards, names = self._shards, self._names_snap
         n = len(names)
         if n == 0:
             return [[] for _ in range(q.shape[0])]

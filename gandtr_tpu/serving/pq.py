@@ -61,6 +61,26 @@ def _decode(codebooks, codes):
                            for mi in range(codebooks.shape[0])], axis=1)
 
 
+@jax.jit
+def _assign(C, Xs):
+    """Nearest-centroid assignment per subspace: argmin ||x-c||^2 via
+    argmax(2<x,c> - ||c||^2). Xs (n, m, dsub) -> (n, m) i32. The ONE
+    definition shared by k-means, encoding, and OPQ training."""
+    xc = jnp.einsum("nmd,mkd->nmk", Xs, C, preferred_element_type=jnp.float32)
+    c2 = jnp.sum(C * C, -1)
+    return jnp.argmax(2.0 * xc - c2[None], -1)
+
+
+def encode_chunked(C_dev, X, m, chunk=8192):
+    """(N, D) rows -> (N, m) codes, device-assigned in bounded chunks."""
+    out = []
+    for i in range(0, X.shape[0], chunk):
+        xs = X[i:i + chunk].reshape(-1, m, X.shape[1] // m)
+        out.append(np.asarray(_assign(C_dev, jnp.asarray(xs))))
+    return (np.concatenate(out, 0) if out
+            else np.zeros((0, m), np.int32))
+
+
 def train_opq_rotation(train_vecs, m, ksub=256, opq_iters=10, kmeans_iters=8,
                        seed=0):
     """OPQ-NP (Ge et al., CVPR'13): alternate codebook fit / encode / SVD
@@ -74,11 +94,7 @@ def train_opq_rotation(train_vecs, m, ksub=256, opq_iters=10, kmeans_iters=8,
     for _ in range(opq_iters):
         Xr = X @ R
         C = train_product_quantizer(Xr, m, ksub, iters=kmeans_iters, seed=seed)
-        # encode under current (R, C) with the same assignment rule
-        Xs = Xr.reshape(-1, m, d // m)
-        xc = np.einsum("nmd,mkd->nmk", Xs, C)
-        c2 = np.sum(C * C, -1)
-        codes = np.argmax(2.0 * xc - c2[None], -1)
+        codes = encode_chunked(jnp.asarray(C), Xr, m)
         Xq = _decode(C, codes)
         U, _, Vt = np.linalg.svd(X.T @ Xq, full_matrices=False)
         R = (U @ Vt).astype(np.float32)
@@ -112,9 +128,10 @@ class PQRetrievalIndex:
         self._codes = []         # (N_i, m) uint8 blocks (host)
         self._exact = []         # (N_i, D) f32 blocks (host), iff rerank
         self._shards = None
-        self._scan_cache = {}
-        self._encode_fn = None
-        self._C_enc = None  # default-device codebooks for encoding
+        self._names_snap = ()     # immutable snapshot, rebuilt with shards
+        self._exact_full = None   # cached concat of _exact, ditto
+        self._scan_cache = {}     # jitted scan per k
+        self._C_enc = None        # default-device codebooks for encoding
         self._lock = threading.Lock()
 
     def __len__(self):
@@ -122,7 +139,11 @@ class PQRetrievalIndex:
 
     # ------------------------------------------------------------------ fit
     def fit(self, train_vecs, iters=25, seed=0, opq_iters=0):
-        """opq_iters > 0 additionally learns the OPQ rotation."""
+        """opq_iters > 0 additionally learns the OPQ rotation.
+
+        Refitting after add() would silently pair old-codebook codes with the
+        new codebooks: with rerank (exact rows kept) the rows re-encode here;
+        without, refuse."""
         if opq_iters:
             self.rotation, self.codebooks = train_opq_rotation(
                 train_vecs, self.m, self.ksub, opq_iters=opq_iters,
@@ -131,7 +152,17 @@ class PQRetrievalIndex:
             self.codebooks = train_product_quantizer(
                 train_vecs, self.m, self.ksub, iters=iters, seed=seed)
         self._C_enc = None
-        self._shards = None
+        with self._lock:
+            self._shards = None
+            if self._codes:
+                if not self.rerank:
+                    raise RuntimeError(
+                        "fit() after add() without rerank: existing codes "
+                        "cannot be re-encoded (exact rows not kept) — fit "
+                        "before add, or use rerank>0")
+                rows = np.concatenate(self._exact, 0)
+                self._codes = [self._encode(self._rotate(rows))]
+                self._exact = [rows]
         return self
 
     def _rotate(self, X):
@@ -139,22 +170,9 @@ class PQRetrievalIndex:
 
     # ------------------------------------------------------------------ add
     def _encode(self, X):
-        if self._encode_fn is None:
-            @jax.jit
-            def enc(C, Xs):  # Xs (n, m, dsub) -> (n, m) int32
-                xc = jnp.einsum("nmd,mkd->nmk", Xs, C,
-                                preferred_element_type=jnp.float32)
-                c2 = jnp.sum(C * C, -1)
-                return jnp.argmax(2.0 * xc - c2[None], -1)
-            self._encode_fn = enc
         if self._C_enc is None:
             self._C_enc = jnp.asarray(self.codebooks)
-        C = self._C_enc
-        out = []
-        for i in range(0, X.shape[0], 8192):
-            chunk = X[i:i + 8192].reshape(-1, self.m, self.dim // self.m)
-            out.append(np.asarray(self._encode_fn(C, jnp.asarray(chunk))))
-        return np.concatenate(out, 0).astype(np.uint8)
+        return encode_chunked(self._C_enc, X, self.m).astype(np.uint8)
 
     def add(self, names, descriptors):
         assert self.codebooks is not None, "fit() or pass codebooks= first"
@@ -182,6 +200,10 @@ class PQRetrievalIndex:
              else jnp.asarray(self.codebooks))
             for (off, codes), dev in zip(shard_rows(full, self.devices),
                                          self.devices)]
+        # per-query O(N) copies/concats move here (invalidated on add)
+        self._names_snap = tuple(self.names)
+        self._exact_full = (np.concatenate(self._exact, 0) if self._exact
+                            else np.zeros((0, self.dim), np.float32))
 
     def _scan_fn(self, k):
         """(codes (n, m) i32, C, q (Nq, D)) -> top-k (vals, idx): LUT on the
@@ -212,9 +234,7 @@ class PQRetrievalIndex:
         with self._lock:
             if self._shards is None:
                 self._build_shards()
-            shards, names = self._shards, list(self.names)
-            exact = ([np.zeros((0, self.dim), np.float32)] + self._exact
-                     if self.rerank else None)
+            shards, names, X = self._shards, self._names_snap, self._exact_full
         n = len(names)
         if n == 0:
             return [[] for _ in range(q.shape[0])]
@@ -232,7 +252,6 @@ class PQRetrievalIndex:
             parts.append((vals, idx, offset))
         vals, idx = merge_topk_parts(parts, kfetch)
         if self.rerank:
-            X = np.concatenate(exact, 0)
             out = []
             for qi in range(q.shape[0]):
                 cand = idx[qi]

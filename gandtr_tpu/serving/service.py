@@ -111,14 +111,22 @@ class BatchingService:
             self._closed = True
             self._q.put(_STOP)
         self._thread.join(timeout=10)
-        # the worker exits at the sentinel; fail any stragglers it skipped
+        # the worker exits at the sentinel; fail any stragglers it skipped.
+        # If join timed out (e.g. a first-compile still running, 10-130 s on
+        # the TPU tunnel) the drain below may consume the sentinel — re-put
+        # it so the worker still terminates when it finishes the batch.
+        drained_stop = False
         while True:
             try:
                 item = self._q.get_nowait()
             except queue.Empty:
                 break
-            if item is not _STOP:
+            if item is _STOP:
+                drained_stop = True
+            else:
                 self._resolve(item[1], error=RuntimeError("service closed"))
+        if drained_stop and self._thread.is_alive():
+            self._q.put(_STOP)
 
 
 def _decode_image_bytes(body, content_type):
@@ -126,7 +134,10 @@ def _decode_image_bytes(body, content_type):
     the native decoder (tempfile — loader.cc reads paths) with PIL fallback."""
     if content_type == "application/octet-stream" or body[:6] == b"\x93NUMPY":
         arr = np.load(io.BytesIO(body), allow_pickle=False)
-        assert arr.dtype == np.uint8 and arr.ndim == 3 and arr.shape[2] == 3
+        # request validation must survive python -O: no bare asserts
+        if not (arr.dtype == np.uint8 and arr.ndim == 3 and arr.shape[2] == 3):
+            raise ValueError("npy body must be uint8 (H, W, 3) RGB, got %s %s"
+                             % (arr.dtype, arr.shape))
         return arr
     from gandtr_tpu import native
     if native.available():
@@ -235,8 +246,16 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(200, {"descriptor": [float(v) for v in out]})
         else:
             from PIL import Image
+            out = np.asarray(out)
+            if out.dtype != np.uint8:
+                # f32 artifact (from_uint8=False): output is still normalized
+                # — apply the host equivalent of device_quantize_rgb
+                mean = np.asarray(entry.meta["mean_std"][0], np.float32)
+                std = np.asarray(entry.meta["mean_std"][1], np.float32)
+                rgb = np.clip(out * std + mean, 0, 1)
+                out = np.floor(rgb * 255.0).astype(np.uint8)
             buf = io.BytesIO()
-            Image.fromarray(np.asarray(out, np.uint8)).save(buf, format="PNG")
+            Image.fromarray(out).save(buf, format="PNG")
             self._send(200, buf.getvalue(), ctype="image/png")
 
 

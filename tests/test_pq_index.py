@@ -234,3 +234,22 @@ class TestOPQ:
         assert back.rotation is not None
         for g, w in zip(back.query(q, k=5), opq.query(q, k=5)):
             assert g == w
+
+
+def test_fit_after_add():
+    """fit() after add() must not silently pair old codes with new codebooks:
+    with rerank it re-encodes from the kept rows, without it refuses."""
+    rng = np.random.RandomState(20)
+    X = _unit_rows(rng, 300, 32)
+    X2 = _unit_rows(rng, 300, 32)
+
+    pq = PQRetrievalIndex(32, m=8, ksub=16, rerank=50).fit(X, iters=5)
+    pq.add([str(i) for i in range(300)], X)
+    pq.fit(X2, iters=5)  # re-encodes the 300 rows under the new codebooks
+    (res,) = pq.query(X[7], k=3)
+    assert res[0][0] == "7" and abs(res[0][1] - 1.0) < 1e-4
+
+    bare = PQRetrievalIndex(32, m=8, ksub=16).fit(X, iters=5)
+    bare.add([str(i) for i in range(300)], X)
+    with pytest.raises(RuntimeError, match="fit"):
+        bare.fit(X2, iters=5)

@@ -657,3 +657,45 @@ class TestShardedExport:
         _, path, _ = sharded_artifact
         with pytest.raises(ValueError, match="exactly"):
             load_artifact(path, devices=jax.devices()[:1])
+
+
+class TestF32GeneratorArtifact:
+    def test_f32_generator_http_predict_quantizes(self, tmp_path):
+        """from_uint8=False generator over HTTP must return the SAME PNG as
+        the uint8-exported artifact (host denorm+quantize path — a raw uint8
+        cast of the normalized output was returning noise; found by review)."""
+        model = tiny_generator_hub()
+        p32 = str(tmp_path / "gen32")
+        pu8 = str(tmp_path / "gen8")
+        export_hub_model(model, p32, (HW, HW), batch_buckets=(1,),
+                         from_uint8=False)
+        export_hub_model(model, pu8, (HW, HW), batch_buckets=(1,),
+                         from_uint8=True)
+        srv = serve_http({"g32": load_artifact(p32), "g8": load_artifact(pu8)},
+                         port=0, max_wait_ms=1.0, block=False)
+        try:
+            host, port = srv.server_address
+            img = np.random.RandomState(0).randint(
+                0, 256, (HW, HW, 3), np.uint8)
+
+            def post(name):
+                buf = io.BytesIO()
+                np.save(buf, img)
+                req = urllib.request.Request(
+                    "http://%s:%d/v1/models/%s:predict" % (host, port, name),
+                    data=buf.getvalue(),
+                    headers={"Content-Type": "application/octet-stream"},
+                    method="POST")
+                with urllib.request.urlopen(req) as r:
+                    from PIL import Image
+                    return np.asarray(Image.open(io.BytesIO(r.read())))
+
+            out32, out8 = post("g32"), post("g8")
+            assert out32.dtype == np.uint8 and out32.shape == (HW, HW, 3)
+            # device vs host quantize may differ by 1 on exact bin edges
+            assert np.abs(out32.astype(int) - out8.astype(int)).max() <= 1
+            assert out32.std() > 5  # not a constant/garbage image
+        finally:
+            srv.shutdown()
+            for e in srv.models.values():
+                e.batcher.close()
