@@ -33,6 +33,35 @@ C_d = jax.device_put(C)
 q_d = jax.device_put(q)
 
 
+VARIANT = sys.argv[3] if len(sys.argv) > 3 else "gather"
+
+
+def scan_gather(lut, ci):
+    """The shipped index's unrolled gather+add."""
+    scores = jnp.take(lut[0], ci[:, 0], axis=1)
+    for mi in range(1, M):
+        scores = scores + jnp.take(lut[mi], ci[:, mi], axis=1)
+    return scores
+
+
+def scan_onehot(lut, ci):
+    """ADC via the MXU: one-hot codes per n-chunk contracted against the LUT
+    (comparison iota==code fuses per tile; candidate if gathers are slow)."""
+    chunk = 65536
+    n = ci.shape[0]
+    parts = []
+    iota = jnp.arange(KSUB, dtype=jnp.int32)
+    for s in range(0, n, chunk):
+        cc = ci[s:s + chunk]  # (c, M)
+        oh = (cc[:, :, None] == iota).astype(jnp.bfloat16)  # (c, M, K)
+        parts.append(jnp.einsum("cmk,mqk->qc", oh, lut.astype(jnp.bfloat16),
+                                preferred_element_type=jnp.float32))
+    return jnp.concatenate(parts, axis=1)
+
+
+SCAN = {"gather": scan_gather, "onehot": scan_onehot}[VARIANT]
+
+
 @jax.jit
 def bench(codes, C, q0):
     def body(i, carry):
@@ -40,9 +69,7 @@ def bench(codes, C, q0):
         lut = jnp.einsum("qmd,mkd->mqk", q.reshape(Q, M, DSUB), C,
                          preferred_element_type=jnp.float32)
         ci = codes.astype(jnp.int32)  # in-graph cast, like the shipped index
-        scores = jnp.take(lut[0], ci[:, 0], axis=1)
-        for mi in range(1, M):
-            scores = scores + jnp.take(lut[mi], ci[:, mi], axis=1)
+        scores = SCAN(lut, ci)
         vals, idx = exact_topk(scores, K)
         acc = acc + vals.sum() + idx.sum()
         q = q + vals[:, :1] * 1e-9
