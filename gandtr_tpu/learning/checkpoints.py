@@ -60,8 +60,16 @@ class Checkpoints:
 
     def save_epoch(self, epoch, net_states, train_state=None, frozen=(),
                    is_best=False, is_last=False):
-        """net_states: {name: variables pytree}. Frozen nets are stored once at
-        epoch 0 and symlinked per epoch (checkpoints.py:78-107)."""
+        """net_states: {name: variables pytree}. Frozen nets are stored once
+        and symlinked per epoch; epoch files + the resumable training file
+        are written only on checkpoint_every/store_every boundaries (or the
+        final epoch) like the reference (checkpoints.py:60-113) — best/last
+        states of intermediate epochs are written directly at the shortcut
+        path instead (was: full serialization every epoch; found by review)."""
+        is_checkpointed = (self.checkpoint_every > 0
+                           and epoch % self.checkpoint_every == 0) or is_last
+        is_stored = self.store_every > 0 and epoch % self.store_every == 0
+        write_epoch = is_checkpointed or is_stored
         for name, variables in net_states.items():
             path = self._net_path(name, epoch)
             if name in frozen:
@@ -69,16 +77,32 @@ class Checkpoints:
                 if not os.path.exists(frozen_path):
                     self._atomic_write(frozen_path, flax.serialization.to_bytes(
                         _to_numpy(variables)))
-                self._symlink(frozen_path, path)
-            else:
-                self._atomic_write(path, flax.serialization.to_bytes(
-                    _to_numpy(variables)))
-            if is_best:
-                self._symlink(path, self._link_path(name, BEST_SUFFIX))
-            if is_last:
-                self._symlink(path, self._link_path(name, LAST_SUFFIX))
+                if write_epoch:
+                    self._symlink(frozen_path, path)
+                for cond, suffix in ((is_best, BEST_SUFFIX),
+                                     (is_last, LAST_SUFFIX)):
+                    if cond:
+                        self._symlink(frozen_path,
+                                      self._link_path(name, suffix))
+                continue
+            data = None
+            if write_epoch or is_best or is_last:
+                data = flax.serialization.to_bytes(_to_numpy(variables))
+            if write_epoch:
+                self._atomic_write(path, data)
+            for cond, suffix in ((is_best, BEST_SUFFIX),
+                                 (is_last, LAST_SUFFIX)):
+                if not cond:
+                    continue
+                link = self._link_path(name, suffix)
+                if write_epoch:
+                    self._symlink(path, link)
+                else:
+                    if os.path.islink(link):
+                        os.remove(link)
+                    self._atomic_write(link, data)
 
-        if train_state is not None:
+        if train_state is not None and write_epoch:
             self._atomic_write(self._train_path(epoch), pickle.dumps(train_state))
 
         self._gc(epoch, net_states, frozen)
@@ -104,11 +128,9 @@ class Checkpoints:
                 p = self._net_path(name, e)
                 if os.path.lexists(p) and os.path.realpath(p) not in protected \
                         and p not in protected:
-                    if os.path.realpath(p) != os.path.realpath(
-                            self._link_path(name, FROZEN_SUFFIX)):
-                        os.remove(p)
-                    else:
-                        os.remove(p)  # symlink to frozen: remove the link only
+                    # os.remove on a symlink removes the link, never the
+                    # frozen target it points to
+                    os.remove(p)
             tp = self._train_path(e)
             if os.path.exists(tp):
                 os.remove(tp)

@@ -160,13 +160,25 @@ class TotalWithIntermediate:
 # base losses (base_losses.py)
 
 
+def _reduce(d, reduction):
+    """torch reduction semantics: mean / sum / none (the reference forwards
+    the kwarg to the torch losses; ignoring it silently rescaled configured
+    losses — found by review)."""
+    if reduction == "mean":
+        return jnp.mean(d)
+    if reduction == "sum":
+        return jnp.sum(d)
+    if reduction == "none":
+        return d
+    raise ValueError("unknown reduction %r" % (reduction,))
+
+
 @dataclasses.dataclass
 class L1Loss:
     reduction: str = "mean"
 
     def __call__(self, x, target):
-        d = jnp.abs(x - target)
-        return jnp.mean(d) if self.reduction == "mean" else jnp.sum(d)
+        return _reduce(jnp.abs(x - target), self.reduction)
 
 
 @dataclasses.dataclass
@@ -174,8 +186,7 @@ class MSELoss:
     reduction: str = "mean"
 
     def __call__(self, x, target):
-        d = (x - target) ** 2
-        return jnp.mean(d) if self.reduction == "mean" else jnp.sum(d)
+        return _reduce((x - target) ** 2, self.reduction)
 
 
 @dataclasses.dataclass
@@ -184,7 +195,11 @@ class BCELoss:
     reduction: str = "mean"
 
     def __call__(self, p, target):
-        return L.bce_loss(p, jax.lax.stop_gradient(target))
+        target = jax.lax.stop_gradient(target)
+        eps = 1e-12
+        p = jnp.clip(p, eps, 1.0 - eps)
+        d = -(target * jnp.log(p) + (1.0 - target) * jnp.log(1.0 - p))
+        return _reduce(d, self.reduction)
 
 
 @dataclasses.dataclass
@@ -193,7 +208,14 @@ class BCEWithLogitsLoss:
     reduction: str = "mean"
 
     def __call__(self, logits, target):
-        return L.bce_with_logits_loss(logits, target, pos_weight=self.pos_weight)
+        log_p = jax.nn.log_sigmoid(logits)
+        log_not_p = jax.nn.log_sigmoid(-logits)
+        if self.pos_weight is None:
+            d = -(target * log_p + (1.0 - target) * log_not_p)
+        else:
+            d = -(self.pos_weight * target * log_p
+                  + (1.0 - target) * log_not_p)
+        return _reduce(d, self.reduction)
 
 
 # ---------------------------------------------------------------------------

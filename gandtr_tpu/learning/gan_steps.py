@@ -259,8 +259,22 @@ def build_cut_step(models, optimizers, weights, nce_layers=(4, 8, 12, 16),
 
     def nce_loss(g_var, f_params, src, dst, rng, models_, variables):
         G, F = models_["generator_X"], models_["featdown"]
-        feat_q = G.apply(g_var, dst, train=True, layers=nce_layers, encode_only=True)
-        feat_k = G.apply(g_var, src, train=True, layers=nce_layers, encode_only=True)
+
+        def encode(x):
+            # batch-norm generators need mutable batch_stats under train=True
+            # (flax refuses otherwise); the encoder-pass stat updates are
+            # DISCARDED — the torch reference lets these extra forwards drift
+            # the running stats, a bookkeeping-only divergence (eval-time
+            # normalization), and no published CUT config uses BN
+            if "batch_stats" in g_var:
+                out, _ = G.apply(g_var, x, train=True, layers=nce_layers,
+                                 encode_only=True, mutable=["batch_stats"])
+                return out
+            return G.apply(g_var, x, train=True, layers=nce_layers,
+                           encode_only=True)
+
+        feat_q = encode(dst)
+        feat_k = encode(src)
         fvar = {**variables["featdown"], "params": f_params}
         if fixed_patch_ids is not None:
             fixed = [jnp.asarray(p) for p in fixed_patch_ids]
@@ -270,8 +284,13 @@ def build_cut_step(models, optimizers, weights, nce_layers=(4, 8, 12, 16),
             feat_k_pool, ids = F.apply(fvar, feat_k, num_patches=num_patches,
                                        rng=rng)
         feat_q_pool, _ = F.apply(fvar, feat_q, num_patches=num_patches, patch_ids=ids)
+        # reference quirk (cut_epochs.py:60-66): the criterion's own weight
+        # multiplies each layer INSIDE MultilayerPatchNCELoss.forward AND is
+        # used again as the OUTER w_nce factor — the nce term scales by
+        # weight^2 and the identity term by w_idt*weight. Identical at the
+        # published weight 1.0; divergent otherwise (found by review).
         total, _ = L.multilayer_patch_nce_loss(
-            feat_q_pool, feat_k_pool, batch_dim_for_bmm, temperature, 1.0)
+            feat_q_pool, feat_k_pool, batch_dim_for_bmm, temperature, w_nce)
         return total
 
     def step(state, real_X, real_Y):

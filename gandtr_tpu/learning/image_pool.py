@@ -32,6 +32,11 @@ def pool_query(state, images, rng):
     buffered image and return the old one, else return the input.
     """
     pool_size = state.images.shape[0]
+    if pool_size == 0:
+        # reference supports pool_size <= 0 as "no buffer" (query returns the
+        # input unchanged, gan_image_pool.py:24-26); the scan below would
+        # gather from a size-0 axis
+        return state, images
     keys = jax.random.split(rng, images.shape[0])
 
     def body(carry, inp):

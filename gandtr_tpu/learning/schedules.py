@@ -29,10 +29,15 @@ def lambda_p2p_schedule(nepochs, n_epochs_decay):
 
 
 def gamma_schedule(nepochs, gamma):
-    """Exponential decay; accepts "exp(x)" strings (base_schedulers.py:21-26)."""
+    """Exponential decay; accepts "exp(x)" strings (base_schedulers.py:21-26).
+
+    factor(e) for 0-indexed epoch e is gamma**e — torch ExponentialLR holds
+    base_lr * gamma^0 during the FIRST epoch (decays after it). The previous
+    gamma**(e+1) decayed one step early (found by review; the multistep
+    golden had papered over it with an epoch==0 special case)."""
     if isinstance(gamma, str) and gamma.startswith("exp(") and gamma.endswith(")"):
         gamma = math.exp(float(gamma[4:-1]))
-    return lambda epoch: float(gamma) ** (epoch + 1)
+    return lambda epoch: float(gamma) ** epoch
 
 
 SCHEDULES = {

@@ -14,6 +14,21 @@ import jax.numpy as jnp
 from gandtr_tpu.data import transforms as T
 
 
+_AUX_FIELDS = ("opt_states", "opt_state", "pools", "rng", "step")
+
+
+def _aux_fields(state):
+    """The non-variable training-state fields that must survive resume."""
+    return {k: getattr(state, k) for k in _AUX_FIELDS if hasattr(state, k)}
+
+
+def _aux_state_dict(state):
+    import flax
+    host = jax.tree_util.tree_map(lambda x: np.asarray(x),
+                                  _aux_fields(state))
+    return flax.serialization.to_state_dict(host)
+
+
 def set_epoch_lr(opt_state, base_lr, factor):
     """Inject this epoch's learning rate into an inject_hyperparams state."""
     return opt_state._replace(hyperparams={
@@ -48,6 +63,9 @@ class EpochLoop:
                 state, metrics, last_debug = out
             else:
                 state, metrics = out
+            # one host transfer for the whole dict — per-key float() costs a
+            # device round-trip each on the tunnel (CLAUDE.md IO rules)
+            metrics = jax.device_get(metrics)
             for key, value in metrics.items():
                 logger(key, float(value), "scalar/loss", iteration=it)
         return state, last_debug
@@ -78,19 +96,30 @@ class Training:
         self.profile_dir = profile_dir
 
     def _apply_schedules(self, state, epoch):
-        opt_states = dict(state.opt_states)
-        for name, sched in self.schedules.items():
-            if name in opt_states:
-                opt_states[name] = set_epoch_lr(
-                    opt_states[name], self.base_lr.get(name, 1.0), sched(epoch - 1))
-        return state.replace(opt_states=opt_states)
+        """Inject this epoch's LR factor. Handles both state flavors: GAN
+        states carry per-net `opt_states`; the finetune state carries a
+        single `opt_state` (previously handled by a monkeypatched hook that
+        run() never invoked — found by review)."""
+        if hasattr(state, "opt_states"):
+            opt_states = dict(state.opt_states)
+            for name, sched in self.schedules.items():
+                if name in opt_states:
+                    opt_states[name] = set_epoch_lr(
+                        opt_states[name], self.base_lr.get(name, 1.0),
+                        sched(epoch - 1))
+            return state.replace(opt_states=opt_states)
+        if hasattr(state, "opt_state") and self.schedules:
+            ((name, sched),) = list(self.schedules.items())[:1]
+            return state.replace(opt_state=set_epoch_lr(
+                state.opt_state, self.base_lr.get(name, 1.0),
+                sched(epoch - 1)))
+        return state
 
     def run(self, state, start_epoch=1):
         for epoch in range(start_epoch, self.epochs + 1):
             T.seed_transforms(self.seed + epoch)
             np.random.seed(self.seed + epoch)
-            if hasattr(state, "opt_states"):
-                state = self._apply_schedules(state, epoch)
+            state = self._apply_schedules(state, epoch)
 
             profile_this = self.profile_dir and epoch == min(2, self.epochs)
             if profile_this:
@@ -118,8 +147,14 @@ class Training:
                 self.checkpoints.save_epoch(
                     epoch, dict(state.variables),
                     train_state={"epoch": epoch,
-                                 "events": self.events.state_dict() if self.events else None},
-                    frozen=self.frozen, is_best=is_best, is_last=True)
+                                 "events": self.events.state_dict() if self.events else None,
+                                 # optimizer moments / replay pools / rng /
+                                 # step — the reference restores optimizer
+                                 # state on resume (training.py:68-69);
+                                 # variables alone are not a faithful resume
+                                 "aux": _aux_state_dict(state)},
+                    frozen=self.frozen, is_best=is_best,
+                    is_last=(epoch == self.epochs))
             if self.state_hook:
                 self.state_hook(state, epoch, debug)
         return state
@@ -147,7 +182,8 @@ class Training:
 
     def resume_or_start(self, state, templates=None):
         """Epoch-granular resume (learning.py:40-59): reload latest epoch's
-        variables + events, return (state, start_epoch)."""
+        variables + optimizer/pool/rng/step aux state + events, return
+        (state, start_epoch)."""
         if not self.checkpoints:
             return state, 1
         epoch, train_meta = self.checkpoints.load_latest_epoch()
@@ -157,6 +193,12 @@ class Training:
             name: self.checkpoints.load_net(name, epoch, state.variables[name])
             for name in state.variables}
         state = state.replace(variables=variables)
+        if train_meta and train_meta.get("aux"):
+            import flax
+            template = _aux_fields(state)
+            restored = flax.serialization.from_state_dict(
+                template, train_meta["aux"])
+            state = state.replace(**restored)
         if self.events and train_meta and train_meta.get("events"):
             self.events.load_state_dict(train_meta["events"])
         return state, epoch + 1

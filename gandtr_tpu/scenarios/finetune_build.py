@@ -238,9 +238,6 @@ def build_finetune_experiment(params, directory=None, db=None, images=None):
             validations=validations,
             batch_to_args=lambda b: tuple(jnp.asarray(x) for x in b),
             profile_dir=out_cfg.get("profile"))
-        # FinetuneState has a single opt_state: adapt the schedule application
-        training._apply_schedules = _finetune_schedule_hook(
-            training, base_lr, schedule)
         # mining must see the latest weights each epoch (reference re-mines
         # with the current network, traindataset.py:295-303)
         training.state_hook = lambda s, epoch, dbg: \
@@ -258,15 +255,6 @@ def _parse_ratio(wrappers_str):
         bits = part.split(",")[0].split(":")
         return float(bits[0]), bits[1] if len(bits) > 1 else "anc"
     return 0.0, "anc"
-
-
-def _finetune_schedule_hook(training, base_lr, schedule):
-    from gandtr_tpu.learning.training import set_epoch_lr
-
-    def apply(state, epoch):
-        return state.replace(opt_state=set_epoch_lr(
-            state.opt_state, base_lr, schedule(epoch - 1)))
-    return apply
 
 
 def _make_extract_fn(models, state_ref, images, transform, image_size):

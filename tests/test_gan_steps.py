@@ -152,6 +152,49 @@ class TestCutStep:
         assert param_delta(state.variables["featdown"]["params"],
                            new_state.variables["featdown"]["params"]) > 0
 
+    def test_nce_weight_scales_squared(self):
+        """Reference quirk (cut_epochs.py:60-66): the nce criterion weight is
+        applied per-layer inside MultilayerPatchNCELoss AND again as the
+        outer w_nce factor — G_nce must scale by weight^2 (w_idt by weight).
+        Regression for the review finding (was weight^1)."""
+        cfg = {"type": "NetworkSet",
+               "generator_X": tiny_gen("instance"),
+               "discriminator_Y": tiny_disc("instance"),
+               "featdown": {"type": "SingleNetwork",
+                            "model": {"architecture": "official_p2p_mlp", "nc": 16},
+                            "runtime": {"wrappers": "", "data": {}}}}
+        ms, _ = build_model_set(cfg)
+        rng = jax.random.PRNGKey(0)
+        x = jnp.zeros((2, 32, 32, 3))
+        nce_layers = (0, 4)
+        gvar = ms["generator_X"].init(rng, x)
+        feats = ms["generator_X"].apply(gvar, x, train=False,
+                                        layers=nce_layers, encode_only=True)
+        variables = {
+            "generator_X": dict(gvar),
+            "discriminator_Y": dict(ms["discriminator_Y"].init(rng, x)),
+            "featdown": dict(ms["featdown"].module.init(
+                rng, feats, num_patches=16, rng=rng)),
+        }
+        optimizers = {n: initialize_optimizer(dict(ADAM))[0]
+                      for n in ("generator_X", "discriminator_Y", "featdown")}
+        ids = [np.arange(16), np.arange(16)]
+        real_X = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3)) * 2 - 1
+        real_Y = jax.random.uniform(jax.random.PRNGKey(2), (2, 32, 32, 3)) * 2 - 1
+
+        def g_nce_at(w):
+            # identity weight 0 isolates the pure nce term
+            state = gan_steps.make_gan_state(variables, optimizers)
+            step = jax.jit(gan_steps.build_cut_step(
+                ms.nets, optimizers, {"adversarial": 1, "identity": 0},
+                nce_layers=nce_layers, num_patches=16, nce_weight=w,
+                fixed_patch_ids=ids))
+            _, metrics, _ = step(state, real_X, real_Y)
+            return float(metrics["G_nce"])
+
+        base, double = g_nce_at(1.0), g_nce_at(2.0)
+        np.testing.assert_allclose(double, 4.0 * base, rtol=1e-4)
+
 
 class TestCycleGanStep:
     def test_step_runs(self):

@@ -406,7 +406,9 @@ class TestCutTrajectory:
         data = _batches(31, 6, batch=1)
         it = 0
         for epoch in range(3):
-            fac = 1.0 if epoch == 0 else factor(epoch - 1)
+            # During 0-indexed epoch e, ExponentialLR holds LR * gamma^e;
+            # factor(e) must agree directly (no special case)
+            fac = factor(epoch)
             np.testing.assert_allclose(optG.param_groups[0]["lr"], LR * fac,
                                        rtol=1e-9)
             opt_states = dict(state.opt_states)

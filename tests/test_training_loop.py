@@ -117,6 +117,19 @@ def test_tiny_gan_training_with_resume(image_dir, tmp_path):
     d = max(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
         lambda a, b: float(jnp.abs(a - b).max()), gx, gx2)))
     assert d == 0.0
+    # aux training state (Adam moments, replay pools, rng, step) restored —
+    # NOT re-initialized (the reference reloads optimizer state on resume)
+    assert int(state2.step) == int(final.step)
+    np.testing.assert_array_equal(np.asarray(state2.rng),
+                                  np.asarray(final.rng))
+    for tree_a, tree_b, what in ((final.opt_states, state2.opt_states, "opt"),
+                                 (final.pools, state2.pools, "pools")):
+        la = jax.tree_util.tree_leaves(tree_a)
+        lb = jax.tree_util.tree_leaves(tree_b)
+        assert len(la) == len(lb), what
+        for a, b in zip(la, lb):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=what)
     # continue to epoch 4
     final2 = training2.run(state2, start_epoch=start)
     assert len(events2.history) == 4  # 2 replayed + epochs 3, 4
@@ -171,3 +184,42 @@ def test_profile_dir_captures_trace(tmp_path):
         glob.glob(str(prof / "**" / "*.pb"), recursive=True) + \
         glob.glob(str(prof / "**" / "*.xplane.pb"), recursive=True)
     assert traces, list(map(str, prof.rglob("*")))
+
+
+def test_schedule_applies_to_single_opt_state_finetune():
+    """Training._apply_schedules must handle FinetuneState's single
+    `opt_state` (the schedule used to be silently skipped: run() gated on
+    `opt_states` and the adapter hook was never invoked — found by review)."""
+    import jax
+    import jax.numpy as jnp
+    from gandtr_tpu.learning import supervised
+    from gandtr_tpu.learning.optimizers import initialize_optimizer
+    from gandtr_tpu.learning.training import Training
+    from gandtr_tpu.learning.schedules import gamma_schedule
+
+    tx, base_lr = initialize_optimizer({"algorithm": "adam", "lr": 1e-3,
+                                        "beta1": 0.9, "beta2": 0.999})
+    variables = {"embed": {"params": {"w": jnp.ones((2, 2))}}}
+    state = supervised.make_finetune_state(variables, tx)
+    tr = Training(step_fn=None, loader=None, epochs=3, seed=0,
+                  optimizers_base_lr={"embed": base_lr},
+                  schedules={"embed": gamma_schedule(3, 0.5)})
+    s1 = tr._apply_schedules(state, epoch=1)
+    s2 = tr._apply_schedules(state, epoch=2)
+    lr1 = float(s1.opt_state.hyperparams["learning_rate"])
+    lr2 = float(s2.opt_state.hyperparams["learning_rate"])
+    assert lr1 == pytest.approx(1e-3)        # gamma^0: first epoch undecayed
+    assert lr2 == pytest.approx(1e-3 * 0.5)  # gamma^1
+
+
+def test_gamma_schedule_matches_torch_exponential_lr():
+    """factor(e) == ExponentialLR's lr multiplier during 0-indexed epoch e."""
+    torch = pytest.importorskip("torch")
+    from gandtr_tpu.learning.schedules import gamma_schedule
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=1.0)
+    sched = torch.optim.lr_scheduler.ExponentialLR(opt, gamma=0.9)
+    factor = gamma_schedule(5, 0.9)
+    for e in range(5):
+        assert opt.param_groups[0]["lr"] == pytest.approx(factor(e))
+        sched.step()
