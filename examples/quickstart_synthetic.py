@@ -216,7 +216,7 @@ def write_scenario(root, hw=40):
             "data": {"train": {
                 "dataset": {"name": "CirDiverseAnchors",
                             "dataset_pkl": os.path.join(root, "train_db.pkl"),
-                            "image_dir": os.path.join(root, "cids"),
+                            "image_dir": os.path.join(root, "cids") + "/*",
                             "image_size": 32, "neg_num": 2, "pool_size": 10,
                             "query_size": 2, "qpool_size": 3,
                             "similar_exclude": 0.2, "similar_include": 0.8,
@@ -237,7 +237,7 @@ def write_scenario(root, hw=40):
                 "model": dict(cir),
                 "runtime": {"wrappers": "", "data": {}},
             },
-            "data": {"image_dir": os.path.join(root, "cids"),
+            "data": {"image_dir": os.path.join(root, "cids") + "/*",
                      "transforms": "pil2np | totensor | normalize",
                      "mean_std": imnet},
             "output": {"dimensions": 512},

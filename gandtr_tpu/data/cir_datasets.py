@@ -64,10 +64,24 @@ class TupleEpochDataset:
     def __len__(self):
         return len(self.tuples) if self.tuples else self.miner.qsize
 
-    def _load_padded(self, idx):
-        img = imread(self.images[idx])
-        img = imresize(img, self.image_size)
-        arr = self.transform(img)
+    def _load_tuple(self, idxs):
+        """Load + resize the whole tuple, then apply the transform
+        VARIADICALLY across it like the reference (traindataset.py:175
+        `self.transform(*output)`): random transforms share one draw over the
+        tuple and multi-image transforms see all members (per-image
+        application silently changed the training distribution — found by
+        review)."""
+        raws = [imresize(imread(self.images[i]), self.image_size)
+                for i in idxs]
+        if self.transform:
+            arrs = self.transform(*raws)
+            if not isinstance(arrs, (list, tuple)):
+                arrs = [arrs]
+        else:
+            arrs = [np.asarray(r, np.float32) / 255.0 for r in raws]
+        return [self._pad(np.asarray(a)) for a in arrs]
+
+    def _pad(self, arr):
         H, W = arr.shape[:2]
         hw = self.pad_size
         out = np.zeros((hw, hw, arr.shape[2]), np.float32)
@@ -94,8 +108,8 @@ class TupleEpochDataset:
         labels = np.asarray([-1.0, 1.0] + (first + [0.0] * (len(negs) - 1)
                                            if negs else []), np.float32)
         imgs, masks, pmask = [], [], []
-        for idx, lbl in zip(idxs, tuple_labels):
-            im, m = self._load_padded(idx)
+        for (im, m), idx, lbl in zip(self._load_tuple(idxs), idxs,
+                                     tuple_labels):
             imgs.append(im)
             masks.append(m)
             pmask.append(lbl.startswith(self.augment_label) and
@@ -122,6 +136,21 @@ def _load_db(dataset_pkl, split, ims_root, dataset_name=None):
     return db, images
 
 
+def _count(value, default):
+    """Reference configs use `.inf` for query/pool sizes (min() caps them in
+    TuplesDataset); int(float('inf')) raised OverflowError — found by
+    review."""
+    v = float(value if value is not None else default)
+    return (1 << 62) if v == float("inf") else int(v)
+
+
+def _swap_qp(db, params):
+    if params.pop("swap_qp", False):
+        db = dict(db)
+        db["qidxs"], db["pidxs"] = db["pidxs"], db["qidxs"]
+    return db
+
+
 def cir_tuples_dataset(data, transform, **params):
     """`CirTuples` (cirtorch_datasets.py:7-8): random-query hard-negative
     mining."""
@@ -129,12 +158,15 @@ def cir_tuples_dataset(data, transform, **params):
     db, images = _load_db(params.pop("dataset_pkl", None), params.pop("split"),
                           params.pop("image_dir", ""),
                           params.pop("dataset", None))
+    db = _swap_qp(db, params)
     image_size = params.pop("image_size")
     miner = TuplesMiner(db, nnum=int(params.pop("neg_num", 5)),
-                        qsize=int(float(params.pop("query_size", 2000))),
-                        poolsize=int(float(params.pop("pool_size", 22000))),
+                        qsize=_count(params.pop("query_size", None), 2000),
+                        poolsize=_count(params.pop("pool_size", None), 22000),
+                        shuffle=bool(params.pop("shuffle", True)),
                         first_neg=params.pop("first_neg", "neg"))
     params.pop("qpool_size", None)
+    assert not params, f"Unused CirTuples params: {sorted(params)}"
     return TupleEpochDataset(db, images, transform, image_size, miner,
                              neg_num=miner.nnum)
 
@@ -145,16 +177,19 @@ def cir_diverse_anchors_dataset(data, transform, **params):
     db, images = _load_db(params.pop("dataset_pkl", None), params.pop("split"),
                           params.pop("image_dir", ""),
                           params.pop("dataset", None))
+    db = _swap_qp(db, params)
     image_size = params.pop("image_size")
     miner = TuplesMiner(
         db, nnum=int(params.pop("neg_num", 5)),
-        qsize=int(float(params.pop("query_size", 2000))),
-        poolsize=int(float(params.pop("pool_size", 22000))),
-        qpool_size=int(float(params.pop("qpool_size", 10000))),
+        qsize=_count(params.pop("query_size", None), 2000),
+        poolsize=_count(params.pop("pool_size", None), 22000),
+        qpool_size=_count(params.pop("qpool_size", None), 10000),
         similar_exclude=float(params.pop("similar_exclude", 0.2)),
         similar_include=float(params.pop("similar_include", 0.8)),
+        shuffle=bool(params.pop("shuffle", True)),
         mark_easy=params.pop("mark_easy", None),
         first_neg=params.pop("first_neg", "neg"))
+    assert not params, f"Unused CirDiverseAnchors params: {sorted(params)}"
     return TupleEpochDataset(db, images, transform, image_size, miner,
                              neg_num=miner.nnum)
 

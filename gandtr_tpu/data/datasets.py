@@ -42,18 +42,29 @@ def imread(path, mode="RGB"):
         return Image.open(f).convert(mode)
 
 
-def path_join(directory, name):
-    """daan path_join with `*` extension DSL (ml/tools.py:26-48): a trailing
-    `/*` directory joins name as-is; `*.ext` replaces the extension."""
+def path_join(directory, name, default_extension=".jpg"):
+    """Faithful port of daan path_join (ml/tools.py:26-48): absolute names
+    pass through; '*' in the path splits off an extension candidate; 'ext!'
+    force-replaces the name's extension (plain 'ext' only applies when the
+    name has none); extension-less names under a '*'-free path get
+    `default_extension`. The previous approximation dropped the absolute
+    short-circuit, the default extension, and the '!' rule (found by review)."""
     if not directory:
         return name
-    if directory.endswith("/*"):
-        return directory[:-1] + name
-    if "*" in directory:
-        base, pattern = directory.rsplit("/", 1)
-        stem = name.rsplit(".", 1)[0]
-        return base + "/" + pattern.replace("*", stem)
-    return directory.rstrip("/") + "/" + name
+    if name and name[0] == "/":
+        return name
+    ext = default_extension
+    path = directory
+    if "*" in path:
+        path, ext = path.rsplit("*", 1)
+    if "/" not in ext:
+        if ext and ext[-1] == "!":
+            ext = ext[:-1]
+            if ext:
+                name = name.rsplit(".", 1)[0]
+        elif "." in name.rsplit("/", 1)[-1] and name.rsplit(".", 1)[-1]:
+            ext = ""
+    return _os.path.join(path, name + ext)
 
 
 class ImageListDataset:
@@ -305,14 +316,17 @@ def initialize_dataset_loader(data, split, params, loader_defaults=None):
 
     params = dict(params)
     dparams = dict(params.pop("dataset"))
-    lparams = {"num_workers": 6, **(loader_defaults or {}),
-               **params.pop("loader", {})}
+    user_loader = dict(params.pop("loader", {}))
     transforms = None
     if "transforms" in params:
         transforms = initialize_transforms(params.pop("transforms"),
                                            params.pop("mean_std"))
     name = dparams.pop("name")
     dataset = DATASET_LABELS[name](data, transforms, **dparams)
-    lparams = {**lparams, **getattr(dataset, "loader_params", {})}
+    # precedence like the reference (dataset/__init__.py:39): defaults <
+    # dataset.loader_params < the user's loader config (config wins; the
+    # previous order let dataset defaults silently override configs)
+    lparams = {"num_workers": 6, **(loader_defaults or {}),
+               **getattr(dataset, "loader_params", {}), **user_loader}
     lparams.pop("pin_memory", None)
     return Loader(dataset, **lparams)

@@ -12,10 +12,15 @@ import numpy as np
 
 
 def cid2filename(cid, prefix=""):
-    """retrieval-SfM cid -> nested path (datahelpers.py:18-37 layout, also used
-    by multistep.py:26). An absolute prefix stays absolute."""
-    path = "/".join([prefix, cid[-2:], cid[-4:-2], cid[-6:-4], cid])
-    return path if prefix else path.lstrip("/")
+    """retrieval-SfM cid -> nested path (datahelpers.py:18-37): absolute cids
+    pass through; a '*' in the prefix substitutes the hash path (the shipped
+    configs use image_dir: .../ims/* — found by review)."""
+    if cid and cid[0] == "/":
+        return cid
+    path = "/".join([cid[-2:], cid[-4:-2], cid[-6:-4], cid])
+    if "*" in prefix:
+        return prefix.replace("*", path)
+    return "/".join([prefix, path]) if prefix else path
 
 
 def search_hard_negatives(qvecs, poolvecs, qidxs, idxs2images, clusters, nnum,

@@ -21,14 +21,38 @@ import jax.numpy as jnp
 from gandtr_tpu.ops import clahe as clahe_ops
 from gandtr_tpu.ops import colorspace as cs_ops
 
-_RNG = np.random.RandomState()
+class _LockedRNG:
+    """np.random.RandomState is NOT thread-safe and the Loader's prefetch
+    pool runs dataset transforms concurrently (num_workers > 1) — serialize
+    the draws (found by review). Draw ORDER under threads still depends on
+    scheduling; per-epoch bit-reproducibility holds for num_workers <= 1."""
+
+    def __init__(self, seed=None):
+        import threading
+        self._rng = np.random.RandomState(seed)
+        self._lock = threading.Lock()
+
+    def rand(self, *a):
+        with self._lock:
+            return self._rng.rand(*a)
+
+    def randint(self, *a, **k):
+        with self._lock:
+            return self._rng.randint(*a, **k)
+
+    def normal(self, *a, **k):
+        with self._lock:
+            return self._rng.normal(*a, **k)
+
+
+_RNG = _LockedRNG()
 
 
 def seed_transforms(seed):
     """Reseed host-side augmentation randomness (per-epoch reseeding mirrors
     training.py:40-42)."""
     global _RNG
-    _RNG = np.random.RandomState(seed)
+    _RNG = _LockedRNG(seed)
 
 
 def parse_tuple(tpl, dtype=int, fixed_size=0):
@@ -121,8 +145,13 @@ class Normalize(GenericTransform):
 
 
 class StackBatch(GenericTransform):
+    """Concatenate the tuple's images along CHANNELS: the reference cats CHW
+    tensors on axis 0 (core_transforms.py:103-107); in this repo's HWC layout
+    that is the trailing axis (axis 0 would stack heights — found by
+    review)."""
+
     def __call__(self, *pics):
-        return [np.concatenate(pics, axis=0)]
+        return [np.concatenate(pics, axis=-1)]
 
 
 class NanCheck(GenericTransform):
@@ -250,6 +279,7 @@ class RandomScaleCrop(GenericTransform):
         lowest = max(float(np.max(self.params["size"] / mn)), self.params["scale"][0])
         scale = self._scale(lowest)
         cropped_size = np.ceil(self.params["size"][::-1] / scale).astype(int)
+        assert (mn >= cropped_size).all(), (mn, cropped_size)
         offset = self._offset(mn - cropped_size)
         return self._crop_downscale(pics, offset, cropped_size)
 
@@ -270,6 +300,9 @@ class CenterScaleCrop(RandomScaleCrop):
             return list(pics)
         scale = float(self.params["scale"][0])
         cropped_size = np.ceil(self.params["size"][::-1] / scale).astype(int)
+        # negative offsets would silently slice a wrapped sliver
+        # (augmentation_transforms.py:161 asserts the same)
+        assert (mn >= cropped_size).all(), (mn, cropped_size)
         offset = [x // 2 for x in (mn - cropped_size)]
         return self._crop_downscale(pics, offset, cropped_size)
 
@@ -498,7 +531,9 @@ class ToColorspace(GenericTransform):
         super().__init__({"colorspace": colorspace})
 
     def __call__(self, *pics):
-        return [np.asarray(cs_ops.rgb2normspace(jnp.asarray(x), self.params["colorspace"]))
+        # first 3 channels only, like the reference (channel_transforms.py:89)
+        return [np.asarray(cs_ops.rgb2normspace(jnp.asarray(x[:, :, :3]),
+                                                self.params["colorspace"]))
                 for x in pics]
 
 

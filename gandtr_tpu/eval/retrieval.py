@@ -238,11 +238,14 @@ def evaluate_dataset(extractor, cfg, image_size, transform, batch_size=1):
     query descriptors, rank on device, compute protocol mAPs."""
     db_paths = [im_fname(cfg, i) for i in range(cfg["n"])]
     q_paths = [qim_fname(cfg, i) for i in range(cfg["nq"])]
+    # per-entry like the reference (cirscore.py:46): one None bbx must not
+    # disable cropping for the other queries (found by review)
     bbxs = None
-    try:
-        bbxs = [tuple(cfg["gnd"][i]["bbx"]) for i in range(cfg["nq"])]
-    except (KeyError, TypeError):
-        bbxs = None
+    if "gnd" in cfg:
+        bbxs = [tuple(g["bbx"]) if g.get("bbx") else None
+                for g in (cfg["gnd"][i] for i in range(cfg["nq"]))]
+        if all(b is None for b in bbxs):
+            bbxs = None
 
     vecs = extract_vectors(extractor, db_paths, image_size, transform,
                            batch_size=batch_size)

@@ -196,7 +196,7 @@ def test_all_target_micro_chain(synth, tmp_path):
             "data": {"train": {
                 "dataset": {"name": "CirDiverseAnchors",
                             "dataset_pkl": str(d / "train_db.pkl"),
-                            "image_dir": str(d / "cids"),
+                            "image_dir": str(d / "cids") + "/*",
                             "image_size": 32, "neg_num": 2, "pool_size": 10,
                             "query_size": 2, "qpool_size": 3,
                             "similar_exclude": 0.2, "similar_include": 0.8,
@@ -219,7 +219,7 @@ def test_all_target_micro_chain(synth, tmp_path):
                           "whitening": False},
                 "runtime": {"wrappers": "", "data": {}},
             },
-            "data": {"image_dir": str(d / "cids"),
+            "data": {"image_dir": str(d / "cids") + "/*",
                      "transforms": "pil2np | totensor | normalize",
                      "mean_std": [[0.485, 0.456, 0.406],
                                   [0.229, 0.224, 0.225]]},

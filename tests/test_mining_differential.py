@@ -200,8 +200,9 @@ def _mini_dataset(first_neg="neg", mark_easy=None):
                            lambda img: img, 16, miner, augment_ratio=0.0,
                            neg_num=3)
     ds.extract_fn = lambda idxs, label=None: desc[:, idxs]
-    ds._load_padded = lambda idx: (np.full((4, 4, 3), idx, np.float32),
-                                   np.ones((4, 4), np.float32))
+    ds._load_tuple = lambda idxs: [(np.full((4, 4, 3), idx, np.float32),
+                                    np.ones((4, 4), np.float32))
+                                   for idx in idxs]
     ds.prepare_epoch()
     return ds
 
