@@ -20,22 +20,44 @@ from gandtr_tpu.data.datasets import imread, path_join
 
 class RgbImageSaver:
     """Denormalize + save (output.py:29-87), flat or input-dir structure, with
-    a write-behind thread pool (AsyncOutput, output.py:90-115)."""
+    a write-behind thread pool (AsyncOutput, output.py:90-115).
 
-    def __init__(self, directory, mean_std, structure="flat", append=False,
-                 workers=6):
+    `structure="flat"` encodes names like the reference (output.py:56-60):
+    multi-piece names have all-but-last extension-stripped and are joined with
+    "::"; "/" becomes "%". `structure="input"` (the reference's default for
+    single-column data, output.py:44-46) keeps the relative path.
+
+    `stretch_by` mirrors imgtools._tensor_to_image (imgtools.py:20-29):
+    "meanstd" denormalizes with mean/std; "auto" min-max stretches; "none"
+    saves raw; a number n denormalizes then maps to [1/2n-ish] contrast.
+    """
+
+    def __init__(self, directory, mean_std, structure="input", append=False,
+                 workers=6, stretch_by="meanstd"):
         self.directory = resolve_path(directory)
-        self.mean = np.asarray(mean_std[0], np.float32)
-        self.std = np.asarray(mean_std[1], np.float32)
+        # float64 like the reference's python-list mean/std, which promotes
+        # the f32 image on multiply (imgtools.py:24) — keeps truncation ties
+        # byte-identical to the reference artifacts
+        self.mean = np.asarray(mean_std[0], np.float64)
+        self.std = np.asarray(mean_std[1], np.float64)
         self.structure = structure
         self.append = append
+        self.stretch_by = stretch_by
         os.makedirs(self.directory, exist_ok=True)
         self.pool = ThreadPoolExecutor(workers)
         self.futures = []
 
+    @staticmethod
+    def flat_name(name):
+        """Reference flat-name encoding (output.py:56-60)."""
+        if isinstance(name, (list, tuple)):
+            pieces = [x.rsplit(".", 1)[0] for x in name[:-1]] + [name[-1]]
+            name = "::".join(pieces)
+        return name.replace("/", "%")
+
     def target_path(self, name):
         if self.structure == "flat":
-            name = name.replace("/", "_")
+            name = self.flat_name(name)
         path = os.path.join(self.directory, name)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         return path
@@ -45,11 +67,27 @@ class RgbImageSaver:
             return names
         return [n for n in names if not os.path.exists(self.target_path(n))]
 
+    def _to_uint8(self, arr):
+        """imgtools._tensor_to_image stretch semantics (imgtools.py:20-29),
+        NHWC instead of the reference's CHW; "auto" stays f32 (the reference's
+        in-place ops), the mean/std paths promote to f64 (list multiply)."""
+        img = np.asarray(arr, np.float32)
+        s = self.stretch_by
+        if s == "auto":
+            img = img - np.min(img)
+            img = img / np.max(img)
+        elif s == "meanstd":
+            img = img * self.std + self.mean
+        elif s != "none":
+            img = img * self.std + self.mean
+            img = img / float(s)
+            img = img + 1.0 / 2.0 / float(s)
+        return np.clip(img * 255, 0, 255).astype(np.uint8)
+
     def add(self, name, image_nhwc):
         def write(n, arr):
             if arr.dtype != np.uint8:  # device-side post already denormalized
-                rgb = np.clip(arr * self.std + self.mean, 0, 1)
-                arr = (rgb * 255).astype(np.uint8)
+                arr = self._to_uint8(arr)
             Image.fromarray(arr).save(self.target_path(n))
         self.futures.append(self.pool.submit(write, name, np.asarray(image_nhwc)))
 
@@ -134,8 +172,9 @@ def infer(params, data):
 
     if out_type == "image":
         sink = RgbImageSaver(out_cfg.pop("directory"), mean_std,
-                             structure=out_cfg.pop("structure", "flat"),
-                             append=bool(out_cfg.pop("append", False)))
+                             structure=out_cfg.pop("structure", "input"),
+                             append=bool(out_cfg.pop("append", False)),
+                             stretch_by=out_cfg.pop("stretch_by", "meanstd"))
     else:
         sink = EmbeddingOutput(out_cfg.pop("dimensions", 512))
 
@@ -143,7 +182,10 @@ def infer(params, data):
     batch_size = int(data_cfg.get("loader", {}).get("batch_size", 8))
     jit_cache = {}
 
+    # device_quantize_rgb implements exactly the "meanstd" stretch; other
+    # stretch modes (auto/none/number) must run on host (imgtools.py:20-29)
     device_post = bool(out_type == "image" and
+                       sink.stretch_by == "meanstd" and
                        data_cfg.get("device_postprocess", True))
 
     def full_forward(v, x):
