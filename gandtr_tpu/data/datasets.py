@@ -122,13 +122,12 @@ class RandomImageTupleDataset:
     def _read_dataset(dataset, data_key):
         if isinstance(dataset, dict):
             return dataset[data_key]
-        import pickle
-        if dataset.endswith(".pkl"):
-            with open(dataset, "rb") as f:
-                return pickle.load(f)[data_key]
-        import json
-        with open(dataset) as f:
-            return json.load(f)[data_key]
+        # the reference reads tuple lists through the file-reader facade
+        # (tuple_datasets.py:68-69): tsv/csv/pkl/h5/lst (+.gz/.xz), with
+        # JSON-bracketed tsv cells decoded to lists
+        from gandtr_tpu.utils.file_readers import initialize_file_reader
+        with initialize_file_reader(dataset, keys=[data_key]) as reader:
+            return reader.get()[data_key]
 
     @staticmethod
     def get_idx(idx, length, previous_idxs, rand):

@@ -45,11 +45,44 @@ def configdataset(dataset, dir_main):
     return cfg
 
 
+def configdataset_tsv(dataset):
+    """Build an eval cfg from the reference's tsv dataset dict form
+    {name, queries, db, imgdir} (cirscore.py:26-40): db rows give the
+    identifier order, query rows carry bbx/ok/junk columns with
+    JSON-bracketed lists."""
+    from gandtr_tpu.utils.file_readers import initialize_file_reader
+    from gandtr_tpu.data.datasets import path_join
+    from gandtr_tpu.utils.io import resolve_path
+
+    assert dataset.keys() == {"name", "queries", "db", "imgdir"}
+    imgdir = dataset["imgdir"]
+    with initialize_file_reader(resolve_path(dataset["db"]),
+                                keys=["identifier"]) as reader:
+        identifiers = reader.get()["identifier"]
+    images = [path_join(imgdir, x) for x in identifiers]
+    mapping = {x: i for i, x in enumerate(identifiers)}
+    with initialize_file_reader(resolve_path(dataset["queries"]),
+                                keys=["query", "bbx", "ok", "junk"]) as reader:
+        data = reader.get()
+    qimages = [path_join(imgdir, x) for x in data["query"]]
+    bbxs = [tuple(x) if x else None for x in data["bbx"]]
+    gnd = [{"ok": [mapping[x] for x in ok],
+            "junk": [mapping[x] for x in junk]}
+           for ok, junk in zip(data["ok"], data["junk"])]
+    return {"dataset": dataset["name"], "im_paths": images,
+            "qim_paths": qimages, "bbxs": bbxs, "gnd": gnd,
+            "n": len(images), "nq": len(qimages)}
+
+
 def im_fname(cfg, i):
+    if "im_paths" in cfg:
+        return cfg["im_paths"][i]
     return os.path.join(cfg["dir_images"], cfg["imlist"][i] + cfg["ext"])
 
 
 def qim_fname(cfg, i):
+    if "qim_paths" in cfg:
+        return cfg["qim_paths"][i]
     return os.path.join(cfg["dir_images"], cfg["qimlist"][i] + cfg["qext"])
 
 
@@ -240,17 +273,21 @@ def evaluate_dataset(extractor, cfg, image_size, transform, batch_size=1):
     q_paths = [qim_fname(cfg, i) for i in range(cfg["nq"])]
     # per-entry like the reference (cirscore.py:46): one None bbx must not
     # disable cropping for the other queries (found by review)
-    bbxs = None
-    if "gnd" in cfg:
+    bbxs = cfg.get("bbxs")  # tsv dict form carries bbxs outside gnd
+    if bbxs is None and "gnd" in cfg:
         bbxs = [tuple(g["bbx"]) if g.get("bbx") else None
                 for g in (cfg["gnd"][i] for i in range(cfg["nq"]))]
-        if all(b is None for b in bbxs):
-            bbxs = None
+    if bbxs is not None and all(b is None for b in bbxs):
+        bbxs = None
 
     vecs = extract_vectors(extractor, db_paths, image_size, transform,
                            batch_size=batch_size)
-    qvecs = extract_vectors(extractor, q_paths, image_size, transform,
-                            bbxs=bbxs, batch_size=batch_size)
+    if q_paths == db_paths and bbxs is None:
+        # queries are the db images: reuse descriptors (cirscore.py:58-59)
+        qvecs = vecs.copy()
+    else:
+        qvecs = extract_vectors(extractor, q_paths, image_size, transform,
+                                bbxs=bbxs, batch_size=batch_size)
 
     ranks = np.asarray(rank_descriptors(vecs.astype(np.float32),
                                         qvecs.astype(np.float32)))

@@ -290,6 +290,7 @@ class ScoreValidation:
         if self.frequency and epoch % self.frequency != 0:
             return
         from gandtr_tpu.eval.retrieval import (configdataset,
+                                               configdataset_tsv,
                                                ShapeCachedExtractor,
                                                evaluate_dataset)
         variables = state.variables[self.net_name] \
@@ -297,11 +298,16 @@ class ScoreValidation:
             else state.variables
         extractor = ShapeCachedExtractor(
             lambda v, x: self.embed_net.apply(v, x, train=False), variables)
-        cfg = configdataset(self.dataset, self.dir_main)
+        if isinstance(self.dataset, dict):
+            # reference tsv dataset form {name, queries, db, imgdir}
+            # (cirscore.py:26-40)
+            cfg = configdataset_tsv(self.dataset)
+        else:
+            cfg = configdataset(self.dataset, self.dir_main)
         metrics, _, _, _ = evaluate_dataset(extractor, cfg, self.image_size,
                                             self.transform)
         if events:
             logger = events.logger("", epoch)
             for mk, mv in metrics.items():
-                logger(f"{self.key_prefix}/{self.dataset}/score_avg:{mk}",
+                logger(f"{self.key_prefix}/{cfg['dataset']}/score_avg:{mk}",
                        float(mv), "scalar/score")
