@@ -137,6 +137,14 @@ class RandomImageTupleDataset:
             idxs = [x for x in range(length) if x not in previous_idxs]
             return idxs[rand(len(idxs))]
         if isinstance(idx, (list, tuple)):
+            # bounds-check each end (normalized negatives), then feed the RAW
+            # values to rand, exactly like the reference (tuple_datasets.py
+            # :87-95: a negative start reaches randint un-normalized)
+            for idxi in idx:
+                if idxi is not None:
+                    if idxi < 0:
+                        idxi = length + idxi
+                    assert 0 <= idxi < length
             return rand(idx[0] or 0, idx[1] or length)
         if idx < 0:
             idx = length + idx

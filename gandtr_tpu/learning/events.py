@@ -20,44 +20,79 @@ import numpy as np
 
 
 class MetadataKeeper:
-    """Per-key epoch series with avg/sum aggregation and decisive-criterion
-    best-epoch logic (eventprocessor.py:117-153)."""
+    """Per-key epoch series with decisive-criterion best-epoch logic,
+    reference-faithful (eventprocessor.py:117-153):
 
-    def __init__(self, decisive_criterion=None, decisive_should_decrease=False):
+    - direction comes from the metric's DTYPE: "scalar/score" means higher is
+      better (argmax), anything else (loss/time) lower is better (argmin);
+    - the special criterion "epoch" marks every epoch best (the reference's
+      GAN configs, _gan_eval.yml:2 — the best checkpoint tracks the last);
+    - a criterion that was NOT updated at the latest closed epoch is never
+      "last best" (validation frequency > 1 skips epochs);
+    - on a tie with an earlier epoch, the LAST epoch still counts as best
+      (`max(data) == data[-1]`, eventprocessor.py:131-134) while
+      `best_epoch()` reports the FIRST best index (argmax/argmin).
+
+    A `None` criterion (no validation configured at all) keeps our permissive
+    default: every epoch is best, so `_best` tracks `_last`."""
+
+    def __init__(self, decisive_criterion=None):
         self.decisive_criterion = decisive_criterion
-        self.decisive_should_decrease = decisive_should_decrease
         self.metrics = defaultdict(dict)  # key -> {epoch: value}
+        self.dtypes = {}                  # key -> dtype
+        self.epochs = []                  # closed epochs, in order
 
-    def add(self, epoch, key, value):
+    def add(self, epoch, key, value, dtype="scalar/loss"):
         self.metrics[key][epoch] = value
+        self.dtypes[key] = dtype
+
+    def note_epoch(self, epoch):
+        if not self.epochs or self.epochs[-1] != epoch:
+            self.epochs.append(epoch)
 
     def series(self, key):
         d = self.metrics.get(key, {})
         return [d[e] for e in sorted(d)]
 
+    def _higher_is_better(self, key):
+        return self.dtypes.get(key) == "scalar/score"
+
     def best_epoch(self):
         key = self.decisive_criterion
+        if key == "epoch":
+            return self.epochs[-1] if self.epochs else None
         if not key or key not in self.metrics:
             return None
         d = self.metrics[key]
-        cmp = min if self.decisive_should_decrease else max
-        return cmp(d, key=lambda e: d[e])
+        es = sorted(d)
+        vals = [d[e] for e in es]
+        idx = int(np.argmax(vals)) if self._higher_is_better(key) \
+            else int(np.argmin(vals))
+        return es[idx]
 
     def is_last_best(self):
         key = self.decisive_criterion
-        if not key or key not in self.metrics:
+        if key is None or key == "epoch":
             return True
-        last = max(self.metrics[key])
-        return self.best_epoch() == last
+        if key not in self.metrics:
+            return False
+        d = self.metrics[key]
+        if self.epochs and max(d) != self.epochs[-1]:
+            return False  # criterion skipped the latest epoch (frequency > 1)
+        vals = [d[e] for e in sorted(d)]
+        best = max(vals) if self._higher_is_better(key) else min(vals)
+        return vals[-1] == best
 
     def state_dict(self):
         return {"metrics": {k: dict(v) for k, v in self.metrics.items()},
-                "decisive_criterion": self.decisive_criterion,
-                "decisive_should_decrease": self.decisive_should_decrease}
+                "dtypes": dict(self.dtypes),
+                "epochs": list(self.epochs),
+                "decisive_criterion": self.decisive_criterion}
 
     def load_state_dict(self, state):
         self.decisive_criterion = state["decisive_criterion"]
-        self.decisive_should_decrease = state["decisive_should_decrease"]
+        self.dtypes = dict(state.get("dtypes") or {})
+        self.epochs = [int(e) for e in state.get("epochs") or []]
         self.metrics = defaultdict(dict)
         for k, v in state["metrics"].items():
             self.metrics[k] = {int(e): val for e, val in v.items()}
@@ -221,8 +256,13 @@ class EventBroker:
         aggregated = {}
         for (key, dtype), values in self._epoch_acc.items():
             agg = self.AGGREGATIONS.get(dtype, "avg")
-            aggregated[key] = float(np.sum(values) if agg == "sum" else np.mean(values))
-            self.metadata.add(epoch, key, aggregated[key])
+            # NaN iterations are dropped before aggregating, like the
+            # reference (eventprocessor.py:106-108)
+            vals = np.asarray(values, dtype=float)
+            vals = vals[~np.isnan(vals)]
+            aggregated[key] = float(np.sum(vals)) if agg == "sum" else (
+                float(np.mean(vals)) if len(vals) else float("nan"))
+            self.metadata.add(epoch, key, aggregated[key], dtype)
             # per-iteration scalar/time distributions render as histograms in
             # the reference report (eventprocessor.py:640-654)
             if dtype == "scalar/time" and len(values) > 1:
@@ -238,6 +278,7 @@ class EventBroker:
                 with open(path, "w") as f:
                     f.write(_svg_histogram(hists))
         self._epoch_hists = {}
+        self.metadata.note_epoch(epoch)
         for s in self.streamers:
             s.close_epoch(epoch)
         self.history.append({"epoch": epoch, "metrics": aggregated})
@@ -268,8 +309,7 @@ class EventBroker:
                     sk: (np.asarray(c), np.asarray(n)) for sk, (c, n) in hs.items()}
 
 
-def initialize_processor(params, directory=None, decisive_criterion=None,
-                         decisive_should_decrease=False):
+def initialize_processor(params, directory=None, decisive_criterion=None):
     """Build an EventBroker from reference-style output config
     ({progress: {print_each: ...}, htmlreport: {}})."""
     params = dict(params or {})
@@ -286,6 +326,6 @@ def initialize_processor(params, directory=None, decisive_criterion=None,
         streamers.append(TensorboardWriter(directory))
     params.pop("htmlreport", None)
     params.pop("tensorboard", None)
-    keeper = MetadataKeeper(decisive_criterion, decisive_should_decrease)
+    keeper = MetadataKeeper(decisive_criterion)
     return EventBroker(directory=directory, streamers=streamers, metadata=keeper,
                        sinks=sinks)

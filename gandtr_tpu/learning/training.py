@@ -234,8 +234,8 @@ class LossValidation:
     """SingleValidation equivalent (validation.py:60-118): criterion loss over
     a val loader every `frequency` epochs."""
 
-    def __init__(self, loss_fn, loader, frequency=1, key="val/learning/total",
-                 batch_to_args=None):
+    def __init__(self, loss_fn, loader, frequency=1,
+                 key="val/learning/loss:total", batch_to_args=None):
         self.loss_fn = loss_fn
         self.loader = loader
         self.frequency = frequency

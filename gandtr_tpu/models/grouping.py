@@ -257,15 +257,66 @@ class Codebook(Grouping):
     def _forward(self, images):
         codebook = self.codebook
         if self.top_centroids:
-            pospair = images[:2]
-            feats = jnp.concatenate([jax.lax.stop_gradient(f) for f, _ in pospair])
+            pospair = images[:2]  # weights only from query + positive
             atts = jnp.concatenate([jax.lax.stop_gradient(a) for _, a in pospair])
-            ass = self.assignment_function(
-                cdist(feats, jax.lax.stop_gradient(codebook)))
-            w = self.weight_function(None, None, atts, ass)
-            _, top_idx = jax.lax.top_k(w, self.top_centroids)
-            codebook = codebook[top_idx]
+            if self.nearest is None:
+                # soft path (grouping.py:217-221): soft-assign the pospair
+                # features, keep the top-weighted centroids
+                feats = jnp.concatenate([jax.lax.stop_gradient(f)
+                                         for f, _ in pospair])
+                ass = self.assignment_function(
+                    cdist(feats, jax.lax.stop_gradient(codebook)))
+                w = self.weight_function(None, None, atts, ass)
+                _, top_idx = jax.lax.top_k(w, self.top_centroids)
+                codebook = codebook[top_idx]
+            else:
+                # hard path (grouping.py:222-229 + _chunk_weights_topk +
+                # _reduce_codebook): hard-assign ALL image features, weight
+                # centroids by the pospair one-hot assignments, drop features
+                # assigned to excluded centroids
+                assert self.nearest == 1, "ma with reduction not implemented"
+                feats = jnp.concatenate([jax.lax.stop_gradient(f)
+                                         for f, _ in images])
+                idx = jnp.argmin(cdist(feats, jax.lax.stop_gradient(codebook)),
+                                 axis=1)
+                n_pp = atts.shape[0]
+                one_hot = jax.nn.one_hot(idx[:n_pp], codebook.shape[0])
+                w = self.weight_function(None, None, atts, one_hot)
+                codebook, feature_mask = self._reduce_codebook(
+                    np.asarray(w), np.asarray(idx), codebook,
+                    self.top_centroids)
+                if feature_mask is not None:
+                    images = self._filter_features(images, feature_mask)
         return self.assign_images(images, codebook)
+
+    @staticmethod
+    def _reduce_codebook(weights, assignment, codebook, top_centroids):
+        """Reduce the codebook to the top-weighted centroids; return a mask of
+        the flattened features assigned to the kept ones (grouping.py:278-293).
+        Host-side numpy — the result shapes are data-dependent."""
+        nonzero = weights > 0
+        if nonzero.sum() < top_centroids:
+            return codebook[np.nonzero(nonzero)[0]], None
+        order = np.argsort(-weights[nonzero], kind="stable")
+        idx = np.arange(nonzero.shape[0])[nonzero][order]
+        reduced = codebook[idx[:top_centroids]]
+        exclude = idx[top_centroids:]
+        feature_mask = ~np.isin(assignment, exclude)
+        return reduced, feature_mask
+
+    @staticmethod
+    def _filter_features(images, feature_mask):
+        """Apply a flattened-feature boolean mask back onto the per-image
+        feature/attention arrays (grouping.py:153-167)."""
+        pointer = 0
+        result = []
+        for feat, att in images:
+            mask = feature_mask[pointer:pointer + feat.shape[0]]
+            result.append((feat[np.nonzero(mask)[0]],
+                           att[np.nonzero(mask)[0]]))
+            pointer += feat.shape[0]
+        assert pointer == feature_mask.shape[0]
+        return result
 
 
 class LoadedCodebook(Codebook):

@@ -196,9 +196,16 @@ def build_gan_experiment(scenario, sample_hw=256, batch_size=None,
             dp.setdefault("loader", {})["batch_size"] = batch_size
         loader = initialize_dataset_loader([], "train", dp, {"shuffle": True})
 
-    # events / checkpoints
+    # events / checkpoints. The GAN configs' MultiCriterialValidation names
+    # "epoch" as the decisive criterion (_gan_eval.yml:2): every epoch is
+    # best, so _best tracks _last. A config naming a metric key instead gets
+    # the reference's dtype-directed argmin/argmax (events.MetadataKeeper).
     out_cfg = (scenario.get("output") or {}).get("learning", {})
-    events = initialize_processor(out_cfg, directory=directory)
+    _vcfg = learn_cfg.get("validation") or {}
+    events = initialize_processor(
+        out_cfg, directory=directory,
+        decisive_criterion=_vcfg.get("decisive_criterion")
+        if isinstance(_vcfg, dict) else None)
     ckpt_cfg = dict(learn_cfg.get("checkpoints", {}))
     checkpoints = None
     if directory:

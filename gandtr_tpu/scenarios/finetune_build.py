@@ -184,7 +184,6 @@ def build_finetune_experiment(params, directory=None, db=None, images=None):
                         num_workers=int(loader_cfg.get("num_workers", 6)))
 
     out_cfg = (params.get("output") or {}).get("learning", {})
-    events = initialize_processor(out_cfg, directory=directory)
     checkpoints = Checkpoints(directory) if directory else None
 
     # val-tuple loss validation (finetune.yml validation: SingleValidation,
@@ -226,6 +225,14 @@ def build_finetune_experiment(params, directory=None, db=None, images=None):
                 batch_to_args=lambda b: tuple(jnp.asarray(x) for x in b)))
         except Exception as exc:
             warnings.warn("finetune validation disabled: %s" % exc)
+
+    # a loader-based SingleValidation makes "val/learning/loss:total" the
+    # decisive criterion: the MIN val contrastive loss picks the _best
+    # checkpoint (reference validation.py:58 + eventprocessor.py:122-134);
+    # without (working) validation the permissive None keeps best == last
+    events = initialize_processor(
+        out_cfg, directory=directory,
+        decisive_criterion="val/learning/loss:total" if validations else None)
 
     training = None
     if loader is not None:

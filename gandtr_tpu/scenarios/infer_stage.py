@@ -138,6 +138,11 @@ class EmbeddingOutput:
 def infer(params, data):
     """params: {network: {path|model...}, data: {...}, output: {...}};
     data[0] = list of image names (stdin)."""
+    # fixed stage seed like the reference (stages/infer.py:20-21) — any
+    # stochastic transform in the pipeline becomes run-to-run deterministic
+    np.random.seed(0)
+    from gandtr_tpu.data import transforms as _T
+    _T.seed_transforms(0)
     params = dict(params)
     names = list(data[0]) if data else []
 

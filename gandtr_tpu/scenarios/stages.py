@@ -25,6 +25,10 @@ def whiten_stage(params, data):
     lw = params.pop("whitening")
     dimensions = params.pop("dimensions", None)
     assert not params, params
+    if not lw:
+        # no whitening learned (e.g. empty query set): pass through like the
+        # reference (stages/whiten.py:18-19)
+        return {"status": "No whitening applied"}, *data
     if isinstance(lw, str):
         with open(resolve_path(lw), "rb") as f:
             lw = pickle.load(f)
@@ -68,16 +72,46 @@ def learn_pca_whitening(params, data):
     return {"whitening": output or result}, vecs
 
 
+def paste_pca_normalize(params, data):
+    """Concatenate descriptor matrices feature-wise with optional PCA rank
+    reduction + L2 norm (stages/whiten.py:100-127). Our stage data layout is
+    (D, N) columns, the transpose of the reference's (N, D) rows; the math
+    below is the exact transpose of the reference's: scalar global mean
+    subtraction, top-`dimensions` eigenvectors of the same (D, D) covariance,
+    rank-reducing projection V V^T that KEEPS the original dimensionality,
+    then per-descriptor L2 normalization."""
+    params = dict(params)
+    dimensions = params.pop("dimensions") or None
+    assert not params, params
+    arrays = [np.asarray(d) for d in data]
+    if arrays[0].shape in ((0,), (0, 0)):
+        return {}, arrays[0]
+    assert len({a.shape[1] for a in arrays}) == 1  # same N everywhere
+
+    value = np.concatenate(arrays, axis=0)  # (ΣD, N)
+    metadata = {}
+    if dimensions:
+        value = value - np.mean(value)  # scalar mean, like the reference
+        eigval, eigvec = np.linalg.eig(value.dot(value.T))
+        vecs = eigvec[:, np.argsort(eigval)[-dimensions:]]
+        value = vecs.dot(vecs.T).dot(value)
+    value = value / np.linalg.norm(value, axis=0, keepdims=True)
+    return metadata, value
+
+
 def l2_normalize(params, data):
-    """L2-normalize descriptor columns (stages/whiten.py:130-135)."""
+    """L2-normalize descriptor columns (stages/whiten.py:130-135). No eps —
+    all-zero/NaN descriptors normalize to NaN like the reference (NaN rows
+    mark missing images, output.py:143-146)."""
     assert not params
     vecs = np.asarray(data[0])
-    return {}, vecs / (np.linalg.norm(vecs, axis=0, keepdims=True) + 1e-6)
+    return {}, vecs / np.linalg.norm(vecs, axis=0, keepdims=True)
 
 
 FUNCTIONS = {
     "gandtr_tpu.stages.whiten.whiten": whiten_stage,
     "gandtr_tpu.stages.whiten.learn_lw_whitening": learn_lw_whitening,
     "gandtr_tpu.stages.whiten.learn_pca_whitening": learn_pca_whitening,
+    "gandtr_tpu.stages.whiten.paste_pca_normalize": paste_pca_normalize,
     "gandtr_tpu.stages.whiten.l2_normalize": l2_normalize,
 }

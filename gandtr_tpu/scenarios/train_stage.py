@@ -40,10 +40,7 @@ def _train_gan(params):
     state = training.run(state, start_epoch=start_epoch)
 
     events = exp["events"]
-    metadata = {"metrics": events.history[-1]["metrics"] if events.history else {},
-                "best_epoch": events.metadata.best_epoch(),
-                "directory": directory}
-    return (metadata,)
+    return (_stage_metadata(events, directory),)
 
 
 def _train_finetune(params):
@@ -55,8 +52,15 @@ def _train_finetune(params):
     training = exp["training"]
     state, start_epoch = training.resume_or_start(exp["state"])
     state = training.run(state, start_epoch=start_epoch)
-    events = exp["events"]
-    metadata = {"metrics": events.history[-1]["metrics"] if events.history else {},
-                "best_epoch": events.metadata.best_epoch(),
-                "directory": directory}
-    return (metadata,)
+    return (_stage_metadata(exp["events"], directory),)
+
+
+def _stage_metadata(events, directory):
+    """Stage metadata like the reference's learning metadata property
+    (learning.py:76-81): metrics + best_epoch + resources + code version."""
+    from gandtr_tpu.utils.stats import CodeVersion, ResourceUsage
+    return {"metrics": events.history[-1]["metrics"] if events.history else {},
+            "best_epoch": events.metadata.best_epoch(),
+            "resource_usage": ResourceUsage().snapshot(),
+            "code_version": CodeVersion().snapshot(),
+            "directory": directory}

@@ -18,6 +18,10 @@ from gandtr_tpu.eval.retrieval import (configdataset, ShapeCachedExtractor,
 
 
 def validate(params, data):
+    # fixed stage seed like the reference (stages/validate.py:18-19)
+    np.random.seed(0)
+    from gandtr_tpu.data import transforms as _T
+    _T.seed_transforms(0)
     params = dict(params)
     net_cfg = dict(params.pop("network"))
     val_cfg = dict(params.pop("validation"))
