@@ -296,18 +296,35 @@ class ScoreValidation:
         variables = state.variables[self.net_name] \
             if isinstance(state.variables, dict) and self.net_name in state.variables \
             else state.variables
-        extractor = ShapeCachedExtractor(
-            lambda v, x: self.embed_net.apply(v, x, train=False), variables)
+        import inspect
+        accepts_train = "train" in inspect.signature(
+            type(self.embed_net).__call__).parameters
+        if accepts_train:
+            fwd = lambda v, x: self.embed_net.apply(v, x, train=False)  # noqa: E731
+        else:
+            fwd = lambda v, x: self.embed_net.apply(v, x)  # noqa: E731
+        extractor = ShapeCachedExtractor(fwd, variables)
         if isinstance(self.dataset, dict):
             # reference tsv dataset form {name, queries, db, imgdir}
             # (cirscore.py:26-40)
             cfg = configdataset_tsv(self.dataset)
         else:
             cfg = configdataset(self.dataset, self.dir_main)
-        metrics, _, _, _ = evaluate_dataset(extractor, cfg, self.image_size,
-                                            self.transform)
+        import time as _time
+        t0 = _time.time()
+        metrics, aps, _, _ = evaluate_dataset(extractor, cfg, self.image_size,
+                                              self.transform)
         if events:
-            logger = events.logger("", epoch)
+            nq = len(next(iter(aps.values()))) if aps else 0
+            logger = events.logger("", epoch, epoch_size=nq)
+            logger(f"{self.key_prefix}/{cfg['dataset']}/dataset:eval",
+                   _time.time() - t0, "scalar/time")
             for mk, mv in metrics.items():
                 logger(f"{self.key_prefix}/{cfg['dataset']}/score_avg:{mk}",
                        float(mv), "scalar/score")
+            # per-query APs, one event per query like the reference
+            # (cirscore.py:80-83) — they feed the report distributions
+            for mk, mv in aps.items():
+                for i, v in enumerate(np.asarray(mv).tolist()):
+                    logger(f"{self.key_prefix}/{cfg['dataset']}/score:{mk}",
+                           float(v), "scalar/score", iteration=i)

@@ -216,3 +216,38 @@ def test_parallel_extract_across_devices(synth_dataset):
     np.testing.assert_allclose(v1, v8, atol=1e-6)
     assert multi._rr == len(paths)
     assert len(multi._dev_variables) >= 2  # actually spread across devices
+
+
+def test_score_validation_events(synth_dataset):
+    """ScoreValidation logs score_avg + per-query AP events + eval time like
+    the reference CirDatasetAp (cirscore.py:75-83), and the score drives
+    best-epoch selection through the dtype-directed MetadataKeeper."""
+    import jax, jax.numpy as jnp
+    from gandtr_tpu.models import initialize_model
+    from gandtr_tpu.data.transforms import initialize_transforms
+    from gandtr_tpu.learning.events import EventBroker, MetadataKeeper
+    from gandtr_tpu.learning.training import ScoreValidation
+
+    model = initialize_model({"architecture": "cirnet",
+                              "cir_architecture": "vgg16", "pooling": "gem",
+                              "local_whitening": False, "whitening": False})
+    var = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    tf = initialize_transforms("pil2np | totensor | normalize",
+                               [[0.485, 0.456, 0.406], [0.229, 0.224, 0.225]])
+
+    class _State:
+        variables = {"embed": var}
+
+    val = ScoreValidation(model, "roxford5k", synth_dataset, image_size=32,
+                          transform=tf, net_name="embed")
+    events = EventBroker(metadata=MetadataKeeper(
+        "val/validation/roxford5k/score_avg:map_medium"))
+    val(_State(), 1, events)
+    agg = events.close_epoch(1)
+
+    assert "val/validation/roxford5k/score_avg:map_medium" in agg
+    # per-query events averaged per epoch (2 queries in the fixture)
+    assert "val/validation/roxford5k/score:ap_medium" in agg
+    assert "val/validation/roxford5k/dataset:eval" in agg
+    assert events.metadata.is_last_best() is True
+    assert events.metadata.best_epoch() == 1
