@@ -639,10 +639,13 @@ def split_device_transform(transforms_str, mean_std):
 
 
 def device_quantize_rgb(y, mean_std):
-    """In-graph denormalize + truncate a model output to uint8 RGB —
-    byte-identical to the host image sink's `(rgb * 255).astype(uint8)`
-    (scenarios/infer_stage.py RgbImageSaver). The single definition keeps
-    the infer/output stage and the serving export quantizing identically."""
+    """In-graph denormalize + truncate a model output to uint8 RGB (f32
+    arithmetic). NOTE: the host image sink (scenarios/infer_stage.py
+    RgbImageSaver) promotes to f64 like the reference's python-list mean/std
+    (imgtools.py:24), so pixels at f32/f64 rounding-tie boundaries can differ
+    by 1 — the infer stage therefore uses this only when the config opts in
+    via `device_postprocess: true`. The serving export uses it
+    unconditionally (uint8 transfer, no reference-artifact parity needed)."""
     mean = jnp.asarray(mean_std[0], jnp.float32)
     std = jnp.asarray(mean_std[1], jnp.float32)
     rgb = jnp.clip(y * std + mean, 0, 1)

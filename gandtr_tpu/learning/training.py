@@ -285,13 +285,26 @@ class ScoreValidation:
         self.frequency = frequency
         self.net_name = net_name
         self.key_prefix = key_prefix
+        self._cfg = None  # dataset parsed once, like the reference __init__
+
+    def _dataset_cfg(self):
+        """Parse the dataset spec once and cache it (reference CirDatasetAp
+        builds images/bbxs/gnd in __init__, cirscore.py:26-40) — the tsv
+        files would otherwise be re-read every validation epoch."""
+        if self._cfg is None:
+            from gandtr_tpu.eval.retrieval import (configdataset,
+                                                   configdataset_tsv)
+            if isinstance(self.dataset, dict):
+                # reference tsv dataset form {name, queries, db, imgdir}
+                self._cfg = configdataset_tsv(self.dataset)
+            else:
+                self._cfg = configdataset(self.dataset, self.dir_main)
+        return self._cfg
 
     def __call__(self, state, epoch, events):
         if self.frequency and epoch % self.frequency != 0:
             return
-        from gandtr_tpu.eval.retrieval import (configdataset,
-                                               configdataset_tsv,
-                                               ShapeCachedExtractor,
+        from gandtr_tpu.eval.retrieval import (ShapeCachedExtractor,
                                                evaluate_dataset)
         variables = state.variables[self.net_name] \
             if isinstance(state.variables, dict) and self.net_name in state.variables \
@@ -304,12 +317,7 @@ class ScoreValidation:
         else:
             fwd = lambda v, x: self.embed_net.apply(v, x)  # noqa: E731
         extractor = ShapeCachedExtractor(fwd, variables)
-        if isinstance(self.dataset, dict):
-            # reference tsv dataset form {name, queries, db, imgdir}
-            # (cirscore.py:26-40)
-            cfg = configdataset_tsv(self.dataset)
-        else:
-            cfg = configdataset(self.dataset, self.dir_main)
+        cfg = self._dataset_cfg()
         import time as _time
         t0 = _time.time()
         metrics, aps, _, _ = evaluate_dataset(extractor, cfg, self.image_size,

@@ -282,6 +282,12 @@ class Codebook(Grouping):
                 n_pp = atts.shape[0]
                 one_hot = jax.nn.one_hot(idx[:n_pp], codebook.shape[0])
                 w = self.weight_function(None, None, atts, one_hot)
+                if isinstance(w, jax.core.Tracer):
+                    raise TypeError(
+                        "Codebook hard top-centroid reduction has "
+                        "data-dependent output shapes and runs host-side "
+                        "(like the reference's numpy path, grouping.py:"
+                        "278-293); call the layer eagerly, not inside jit")
                 codebook, feature_mask = self._reduce_codebook(
                     np.asarray(w), np.asarray(idx), codebook,
                     self.top_centroids)

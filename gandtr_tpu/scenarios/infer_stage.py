@@ -32,7 +32,7 @@ class RgbImageSaver:
     saves raw; a number n denormalizes then maps to [1/2n-ish] contrast.
     """
 
-    def __init__(self, directory, mean_std, structure="input", append=False,
+    def __init__(self, directory, mean_std, structure=None, append=False,
                  workers=6, stretch_by="meanstd"):
         self.directory = resolve_path(directory)
         # float64 like the reference's python-list mean/std, which promotes
@@ -56,8 +56,16 @@ class RgbImageSaver:
         return name.replace("/", "%")
 
     def target_path(self, name):
-        if self.structure == "flat":
+        # Default structure is per-row like the reference (output.py:44-46):
+        # "flat" for multi-piece names, "input" for plain paths; "input" on a
+        # multi-piece row keeps x[0] (output.py:62).
+        structure = self.structure
+        if structure is None:
+            structure = "flat" if isinstance(name, (list, tuple)) else "input"
+        if structure == "flat":
             name = self.flat_name(name)
+        elif isinstance(name, (list, tuple)):
+            name = name[0]
         path = os.path.join(self.directory, name)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         return path
@@ -155,10 +163,9 @@ def infer(params, data):
     mean_std = data_cfg.get("mean_std", [[0.5] * 3, [0.5] * 3])
     transforms = initialize_transforms(tf_str, mean_std)
 
-    # Fused device IO (default on): ship decoded uint8 images, run the
-    # normalize (+CLAHE) transform in-graph, and for the image sink also
-    # denormalize + quantize on device — byte-identical outputs (same f32
-    # arithmetic + truncation) at 1/4 of the transfer each way.
+    # Fused device IO (default on): ship decoded uint8 images and run the
+    # normalize (+CLAHE) transform in-graph — 1/4 of the upload, identical
+    # f32 math to the host transform.
     device_pre = None
     if data_cfg.get("device_preprocess", True):
         from gandtr_tpu.data.transforms import split_device_transform
@@ -177,7 +184,7 @@ def infer(params, data):
 
     if out_type == "image":
         sink = RgbImageSaver(out_cfg.pop("directory"), mean_std,
-                             structure=out_cfg.pop("structure", "input"),
+                             structure=out_cfg.pop("structure", None),
                              append=bool(out_cfg.pop("append", False)),
                              stretch_by=out_cfg.pop("stretch_by", "meanstd"))
     else:
@@ -187,11 +194,14 @@ def infer(params, data):
     batch_size = int(data_cfg.get("loader", {}).get("batch_size", 8))
     jit_cache = {}
 
-    # device_quantize_rgb implements exactly the "meanstd" stretch; other
-    # stretch modes (auto/none/number) must run on host (imgtools.py:20-29)
+    # Opt-in `device_postprocess: true` quantizes on device (1/4 download);
+    # it computes the "meanstd" stretch in f32 while the host sink promotes
+    # to f64 like the reference's python-list mean/std (imgtools.py:24), so
+    # pixels at f32/f64 rounding-tie boundaries can differ by 1 from the
+    # reference artifacts — hence off by default.
     device_post = bool(out_type == "image" and
                        sink.stretch_by == "meanstd" and
-                       data_cfg.get("device_postprocess", True))
+                       data_cfg.get("device_postprocess", False))
 
     def full_forward(v, x):
         if device_pre is not None:
