@@ -32,6 +32,10 @@ class Checkpoints:
         self.epochs_dir = os.path.join(directory, "epochs")
         self.store_every = int(store_every) if store_every else 0
         self.checkpoint_every = int(checkpoint_every) if checkpoint_every else 0
+        # reference contract (checkpoints.py:31-34): a 3-group regex over the
+        # epochs-directory path (prefix, epoch count, postfix) enabling resume
+        # from a finished sibling experiment with fewer epochs
+        self.directory_epoch_regex = directory_epoch_regex
         os.makedirs(self.epochs_dir, exist_ok=True)
 
     # --- paths ---
@@ -70,6 +74,11 @@ class Checkpoints:
                            and epoch % self.checkpoint_every == 0) or is_last
         is_stored = self.store_every > 0 and epoch % self.store_every == 0
         write_epoch = is_checkpointed or is_stored
+        if callable(train_state):
+            # lazy form: materializing the full host-side training state
+            # (optimizer moments + event history) costs a device_get per
+            # epoch; only pay it on epochs that actually write
+            train_state = train_state() if write_epoch else None
         for name, variables in net_states.items():
             path = self._net_path(name, epoch)
             if name in frozen:
@@ -105,7 +114,13 @@ class Checkpoints:
         if train_state is not None and write_epoch:
             self._atomic_write(self._train_path(epoch), pickle.dumps(train_state))
 
-        self._gc(epoch, net_states, frozen)
+        # GC only when a NEW checkpoint was written (reference
+        # checkpoints.py:115-132 deletes the previous checkpoint inside the
+        # is_checkpointed branch) — running it every epoch would delete the
+        # latest transient checkpoint one epoch later and make crash-resume
+        # impossible between boundaries (found by review)
+        if write_epoch:
+            self._gc(epoch, net_states, frozen)
 
     def _keep(self, epoch):
         if self.store_every and epoch % self.store_every == 0:
@@ -126,10 +141,15 @@ class Checkpoints:
                         protected.add(os.path.realpath(link))
             for name in net_states:
                 p = self._net_path(name, e)
-                if os.path.lexists(p) and os.path.realpath(p) not in protected \
-                        and p not in protected:
-                    # os.remove on a symlink removes the link, never the
-                    # frozen target it points to
+                if not os.path.lexists(p):
+                    continue
+                if os.path.islink(p):
+                    # frozen nets' per-epoch symlinks: removing the link never
+                    # touches the frozen target, and best/last links point at
+                    # the frozen file directly — always safe to GC (the
+                    # realpath check below would wrongly protect them forever)
+                    os.remove(p)
+                elif os.path.realpath(p) not in protected and p not in protected:
                     os.remove(p)
             tp = self._train_path(e)
             if os.path.exists(tp):
@@ -155,7 +175,9 @@ class Checkpoints:
         return sorted(eps)
 
     def load_latest_epoch(self):
-        """Returns (epoch, train_state) or (None, None) (checkpoints.py:159-204)."""
+        """Returns (epoch, train_state) or (None, None) (checkpoints.py:159-204).
+        With no local epochs and `directory_epoch_regex` set, falls back to
+        adopting a finished sibling experiment with fewer epochs."""
         for epoch in reversed(self.available_epochs()):
             path = self._train_path(epoch)
             try:
@@ -163,7 +185,70 @@ class Checkpoints:
                     return epoch, pickle.load(f)
             except (EOFError, pickle.UnpicklingError):
                 continue
+        if self.directory_epoch_regex:
+            adopted = self.adopt_previous_experiment()
+            if adopted is not None:
+                return adopted
         return None, None
+
+    def adopt_previous_experiment(self):
+        """Continue from a finished experiment with fewer epochs (reference
+        checkpoints.py:171-204): `directory_epoch_regex` is a 3-group regex
+        (prefix, epoch count, postfix) matched against this experiment's
+        epochs-directory path; sibling directories are constructed by
+        substituting smaller epoch counts into group 2. The newest sibling
+        whose final training file exists is adopted: its epoch net files,
+        `_best` nets, blobs, and training state are copied in, and
+        (epoch, train_state) is returned so resume proceeds from epoch+1."""
+        import re
+        import shutil
+
+        path = os.path.abspath(self.epochs_dir)
+        m = re.search(self.directory_epoch_regex, path)
+        assert m, ("directory_epoch_regex %r does not match "
+                   "learning.checkpoints.directory %r"
+                   % (self.directory_epoch_regex, path))
+        assert len(m.groups()) == 3, \
+            "directory_epoch_regex must contain 3 groups (prefix, epoch, postfix)"
+        for epoch1 in reversed(range(1, int(m.group(2)))):
+            src = "%s%s%s" % (m.group(1), epoch1, m.group(3))
+            tp = os.path.join(src, "training_epoch_%02d.pkl" % epoch1)
+            if not os.path.isdir(src) or not os.path.exists(tp):
+                continue
+            suffix = "_epoch_%02d.ckpt" % epoch1
+            names = sorted(fn[:-len(suffix)] for fn in os.listdir(src)
+                           if fn.endswith(suffix))
+            if not names:
+                continue
+            # verify epochs were parsed correctly (reference line 184-185):
+            # the _last shortcut must resolve to that epoch's file
+            for name in names:
+                last = os.path.join(src, name + LAST_SUFFIX + ".ckpt")
+                if os.path.lexists(last):
+                    assert os.path.realpath(last) == \
+                        os.path.realpath(os.path.join(src, name + suffix)), \
+                        "%s does not resolve to %s" % (last, name + suffix)
+            for name in names:
+                shutil.copyfile(os.path.realpath(os.path.join(src, name + suffix)),
+                                self._net_path(name, epoch1))
+                best = os.path.join(src, name + BEST_SUFFIX + ".ckpt")
+                if os.path.lexists(best):
+                    # retain the best-so-far network as a regular file
+                    # (reference copies _best into _bestsofar)
+                    shutil.copyfile(os.path.realpath(best),
+                                    self._link_path(name, BEST_SUFFIX))
+            src_blobs = os.path.join(src, "blobs")
+            if os.path.isdir(src_blobs):
+                dst_blobs = os.path.join(self.epochs_dir, "blobs")
+                if os.path.isdir(dst_blobs):
+                    shutil.rmtree(dst_blobs)
+                shutil.copytree(src_blobs, dst_blobs)
+            shutil.copyfile(tp, self._train_path(epoch1))
+            with open(self._train_path(epoch1), "rb") as f:
+                state = pickle.load(f)
+            print(">> Loading epoch %02d from experiment %s" % (epoch1, src))
+            return epoch1, state
+        return None
 
 
 def load_network_file(path, template):
@@ -173,43 +258,11 @@ def load_network_file(path, template):
         return flax.serialization.from_bytes(template, f.read())
 
 
-def adopt_from_directory_regex(checkpoints, directory_epoch_regex,
-                               net_names=None):
-    """Cross-experiment adoption (reference checkpoints.py:171-204): when this
-    experiment has no checkpoints, find a finished experiment whose directory
-    matches `directory_epoch_regex` (a regex over sibling directory names with
-    one group capturing its epoch count), copy its `_best` nets in as epoch-0
-    checkpoints and return the adopted epoch count (0-based start here —
-    training proceeds from epoch 1 with adopted weights)."""
-    import re
-    import shutil
-
+def adopt_from_directory_regex(checkpoints, directory_epoch_regex):
+    """Cross-experiment adoption under the reference's 3-group regex contract
+    (checkpoints.py:31-34,171-204): group 1 = path prefix, group 2 = epoch
+    count, group 3 = postfix. Returns (epoch, train_state) or None."""
     if checkpoints.available_epochs():
         return None
-    parent = os.path.dirname(os.path.abspath(checkpoints.directory))
-    pattern = re.compile(directory_epoch_regex)
-    candidates = []
-    if os.path.isdir(parent):
-        for name in os.listdir(parent):
-            m = pattern.fullmatch(name)
-            if m and os.path.isdir(os.path.join(parent, name, "epochs")):
-                try:
-                    epochs = int(m.group(1)) if m.groups() else 0
-                except (ValueError, IndexError):
-                    epochs = 0
-                candidates.append((epochs, os.path.join(parent, name)))
-    if not candidates:
-        return None
-    epochs, src_dir = max(candidates)
-    src_epochs = os.path.join(src_dir, "epochs")
-    copied = 0
-    for fn in os.listdir(src_epochs):
-        if fn.endswith("%s.ckpt" % BEST_SUFFIX):
-            name = fn[:-len("%s.ckpt" % BEST_SUFFIX)]
-            if net_names and name not in net_names:
-                continue
-            dst = checkpoints._net_path(name, 0)
-            shutil.copyfile(os.path.realpath(os.path.join(src_epochs, fn)), dst)
-            checkpoints._symlink(dst, checkpoints._link_path(name, BEST_SUFFIX))
-            copied += 1
-    return {"adopted_from": src_dir, "epochs": epochs, "nets": copied} if copied else None
+    checkpoints.directory_epoch_regex = directory_epoch_regex
+    return checkpoints.adopt_previous_experiment()

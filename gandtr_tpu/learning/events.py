@@ -115,7 +115,10 @@ class DebugPrinter:
             self._start = time.time()
         self._acc[key].append(float(value))
         if key.endswith("/total") and iteration is not None:
-            each = self.print_each_val if "/val" in key else self.print_each
+            # stage = first path segment, like the reference's
+            # key.split("/", 1)[0].startswith("Val") (eventprocessor.py:375,389)
+            each = self.print_each_val if key.split("/", 1)[0] == "val" \
+                else self.print_each
             if (iteration + 1) % each == 0 or iteration + 1 == epoch_size:
                 vals = self._acc[key]
                 elapsed = time.time() - self._start

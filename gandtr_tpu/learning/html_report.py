@@ -54,11 +54,12 @@ class HtmlReport:
         blob_dir = os.path.join(self.directory, "epochs", "blobs")
         thumbs = ""
         if os.path.isdir(blob_dir):
-            imgs = sorted(os.listdir(blob_dir))[-24:]
+            imgs = [n for n in sorted(os.listdir(blob_dir))
+                    if n.lower().endswith((".jpg", ".png"))][-24:]
             thumbs = "".join(
                 f"<figure><img src='../blobs/{html.escape(n)}' width='128'>"
                 f"<figcaption>{html.escape(n)}</figcaption></figure>"
-                for n in imgs if n.lower().endswith((".jpg", ".png")))
+                for n in imgs)
 
         # per-epoch weight/grad distributions (reference renders histogram
         # sections per key, eventprocessor.py:640-654); the latest epoch's

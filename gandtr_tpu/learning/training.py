@@ -144,15 +144,19 @@ class Training:
                 is_best = self.events.metadata.is_last_best()
 
             if self.checkpoints:
+                # lazy thunk: materializing optimizer moments + event history
+                # to host costs a device_get; save_epoch only calls it on
+                # epochs that actually write a checkpoint
                 self.checkpoints.save_epoch(
                     epoch, dict(state.variables),
-                    train_state={"epoch": epoch,
-                                 "events": self.events.state_dict() if self.events else None,
-                                 # optimizer moments / replay pools / rng /
-                                 # step — the reference restores optimizer
-                                 # state on resume (training.py:68-69);
-                                 # variables alone are not a faithful resume
-                                 "aux": _aux_state_dict(state)},
+                    train_state=lambda: {
+                        "epoch": epoch,
+                        "events": self.events.state_dict() if self.events else None,
+                        # optimizer moments / replay pools / rng / step — the
+                        # reference restores optimizer state on resume
+                        # (training.py:68-69); variables alone are not a
+                        # faithful resume
+                        "aux": _aux_state_dict(state)},
                     frozen=self.frozen, is_best=is_best,
                     is_last=(epoch == self.epochs))
             if self.state_hook:

@@ -212,7 +212,8 @@ def build_gan_experiment(scenario, sample_hw=256, batch_size=None,
         checkpoints = Checkpoints(
             directory,
             store_every=ckpt_cfg.get("store_every", 10) or 0,
-            checkpoint_every=ckpt_cfg.get("checkpoint_every", 2) or 0)
+            checkpoint_every=ckpt_cfg.get("checkpoint_every", 2) or 0,
+            directory_epoch_regex=ckpt_cfg.get("directory_epoch_regex"))
 
     frozen = tuple(name for name, net in models.nets.items() if net.frozen)
 

@@ -184,7 +184,13 @@ def build_finetune_experiment(params, directory=None, db=None, images=None):
                         num_workers=int(loader_cfg.get("num_workers", 6)))
 
     out_cfg = (params.get("output") or {}).get("learning", {})
-    checkpoints = Checkpoints(directory) if directory else None
+    ckpt_cfg = dict(learn_cfg.get("checkpoints") or {})
+    checkpoints = Checkpoints(
+        directory,
+        store_every=ckpt_cfg.get("store_every", 10) or 0,
+        checkpoint_every=ckpt_cfg.get("checkpoint_every", 2) or 0,
+        directory_epoch_regex=ckpt_cfg.get("directory_epoch_regex")) \
+        if directory else None
 
     # val-tuple loss validation (finetune.yml validation: SingleValidation,
     # frequency 5, over the CirTuples val split)

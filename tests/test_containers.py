@@ -7,7 +7,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from gandtr_tpu.learning.network import (WrappedNet, MultiheadModule,
-                                         GlobalLocalModule, build_single_net)
+                                         GlobalLocalModule)
 from gandtr_tpu.learning.checkpoints import (Checkpoints,
                                              adopt_from_directory_regex)
 
@@ -60,24 +60,51 @@ class TestGlobalLocal:
         assert f.shape[1] == 8 and att.shape[-1] == 1
 
 
+ADOPT_REGEX = r"(^.*/exp_)(\d+)(ep/epochs$)"
+
+
 class TestAdoption:
-    def test_adopt_best_from_sibling(self, tmp_path):
-        # a finished experiment with a best checkpoint
-        src = Checkpoints(str(tmp_path / "exp_10ep"))
-        net = build_single_net({"model": {"architecture": "identity"}})
-        variables = {"params": {}}
+    """Cross-experiment resume under the reference's 3-group
+    directory_epoch_regex contract (checkpoints.py:171-204)."""
+
+    def test_adopt_from_previous_experiment(self, tmp_path):
+        # a finished 1-epoch sibling experiment
+        src = Checkpoints(str(tmp_path / "exp_1ep"))
         var = {"params": {"w": np.ones((2, 2), np.float32) * 7}}
-        src.save_epoch(1, {"gen": var}, train_state={"epoch": 1},
+        src.save_epoch(1, {"gen": var}, train_state={"epoch": 1, "tag": "src"},
                        is_best=True, is_last=True)
+        os.makedirs(str(tmp_path / "exp_1ep" / "epochs" / "blobs"))
 
-        dst = Checkpoints(str(tmp_path / "exp_new"))
-        info = adopt_from_directory_regex(dst, r"exp_(\d+)ep")
-        assert info and info["nets"] == 1
-        loaded = dst.load_net("gen", 0, var)
+        dst = Checkpoints(str(tmp_path / "exp_3ep"),
+                          directory_epoch_regex=ADOPT_REGEX)
+        epoch, state = dst.load_latest_epoch()
+        assert epoch == 1 and state["tag"] == "src"
+        loaded = dst.load_net("gen", 1, var)
         np.testing.assert_allclose(loaded["params"]["w"], 7.0)
+        # best-so-far net retained (regular file at the _best path) + blobs
+        best = dst.load_net("gen", "_best", var)
+        np.testing.assert_allclose(best["params"]["w"], 7.0)
+        assert os.path.isdir(str(tmp_path / "exp_3ep" / "epochs" / "blobs"))
 
-    def test_no_adoption_when_checkpoints_exist(self, tmp_path):
-        dst = Checkpoints(str(tmp_path / "exp_new"))
+    def test_local_epochs_win_over_adoption(self, tmp_path):
+        sib = Checkpoints(str(tmp_path / "exp_1ep"))
         var = {"params": {"w": np.zeros((1,), np.float32)}}
-        dst.save_epoch(1, {"gen": var}, train_state={"epoch": 1})
-        assert adopt_from_directory_regex(dst, r"exp_(\d+)ep") is None
+        sib.save_epoch(1, {"gen": var}, train_state={"epoch": 1},
+                       is_last=True)
+
+        dst = Checkpoints(str(tmp_path / "exp_3ep"),
+                          directory_epoch_regex=ADOPT_REGEX)
+        dst.save_epoch(2, {"gen": var}, train_state={"epoch": 2, "tag": "dst"})
+        epoch, state = dst.load_latest_epoch()
+        assert epoch == 2 and state["tag"] == "dst"
+        assert adopt_from_directory_regex(dst, ADOPT_REGEX) is None
+
+    def test_regex_must_match(self, tmp_path):
+        dst = Checkpoints(str(tmp_path / "other"),
+                          directory_epoch_regex=ADOPT_REGEX)
+        try:
+            dst.load_latest_epoch()
+        except AssertionError:
+            pass
+        else:
+            raise AssertionError("unmatched directory_epoch_regex must raise")
