@@ -36,6 +36,14 @@ class Checkpoints:
         # epochs-directory path (prefix, epoch count, postfix) enabling resume
         # from a finished sibling experiment with fewer epochs
         self.directory_epoch_regex = directory_epoch_regex
+        # 1-based epoch adopted from a sibling experiment; the GC must never
+        # target epochs <= this (reference checkpoints.py:40,66-67,202 — the
+        # adopted epoch's files live in the SIBLING directory, never locally)
+        self.epoch_externally_loaded = 0
+        # (sibling epochs dir, epoch) the adopted nets live in; load_net falls
+        # back there for that epoch (the reference reads them from the sibling
+        # directory directly, checkpoints.py:200)
+        self._adopted = None
         os.makedirs(self.epochs_dir, exist_ok=True)
 
     # --- paths ---
@@ -61,6 +69,18 @@ class Checkpoints:
         if os.path.islink(link) or os.path.exists(link):
             os.remove(link)
         os.symlink(os.path.basename(target), link)
+
+    def save_notrain(self, net_states):
+        """Zero-epoch training: store the off-the-shelf networks as
+        `<name>_notrain` with `_best`/`_last` pointing at them (reference
+        checkpoints.py:42-56, driven by stages/train.py:17-20 when a train
+        stage is configured with `epochs: 0`)."""
+        for name, variables in net_states.items():
+            path = os.path.join(self.epochs_dir, "%s_notrain.ckpt" % name)
+            self._atomic_write(path, flax.serialization.to_bytes(
+                _to_numpy(variables)))
+            self._symlink(path, self._link_path(name, BEST_SUFFIX))
+            self._symlink(path, self._link_path(name, LAST_SUFFIX))
 
     def save_epoch(self, epoch, net_states, train_state=None, frozen=(),
                    is_best=False, is_last=False):
@@ -114,46 +134,48 @@ class Checkpoints:
         if train_state is not None and write_epoch:
             self._atomic_write(self._train_path(epoch), pickle.dumps(train_state))
 
-        # GC only when a NEW checkpoint was written (reference
-        # checkpoints.py:115-132 deletes the previous checkpoint inside the
-        # is_checkpointed branch) — running it every epoch would delete the
-        # latest transient checkpoint one epoch later and make crash-resume
-        # impossible between boundaries (found by review)
-        if write_epoch:
-            self._gc(epoch, net_states, frozen)
+        # GC exactly like the reference (checkpoints.py:61-67,115-132): only
+        # when a NEW checkpoint was written, and only the PREVIOUS checkpoint
+        # epoch is deleted — its training file unconditionally (even at a
+        # store_every epoch: reference line 115-116 has no last_is_stored
+        # guard there, found by differential fuzz), its net files only when
+        # the previous checkpoint is not a store_every epoch.
+        if is_checkpointed:
+            prev = (epoch - (epoch % self.checkpoint_every
+                             or self.checkpoint_every)
+                    if self.checkpoint_every > 0 else 0)
+            if prev <= self.epoch_externally_loaded:
+                prev = 0
+            if prev >= 1:
+                tp = self._train_path(prev)
+                if os.path.exists(tp):
+                    os.remove(tp)
+                prev_is_stored = (self.store_every > 0
+                                  and prev % self.store_every == 0)
+                if not prev_is_stored:
+                    for name in net_states:
+                        self._gc_net(name, prev)
 
-    def _keep(self, epoch):
-        if self.store_every and epoch % self.store_every == 0:
-            return True
-        return False
-
-    def _gc(self, current_epoch, net_states, frozen):
-        """Delete transient checkpoints of previous epochs
-        (checkpoints.py:118-136)."""
-        for e in range(current_epoch):
-            if self._keep(e):
-                continue
-            protected = set()
-            for name in net_states:
-                for suffix in (BEST_SUFFIX, LAST_SUFFIX):
-                    link = self._link_path(name, suffix)
-                    if os.path.islink(link):
-                        protected.add(os.path.realpath(link))
-            for name in net_states:
-                p = self._net_path(name, e)
-                if not os.path.lexists(p):
-                    continue
-                if os.path.islink(p):
-                    # frozen nets' per-epoch symlinks: removing the link never
-                    # touches the frozen target, and best/last links point at
-                    # the frozen file directly — always safe to GC (the
-                    # realpath check below would wrongly protect them forever)
-                    os.remove(p)
-                elif os.path.realpath(p) not in protected and p not in protected:
-                    os.remove(p)
-            tp = self._train_path(e)
-            if os.path.exists(tp):
-                os.remove(tp)
+    def _gc_net(self, name, epoch):
+        """Delete one net's file at a GC'd epoch. If the `_best` shortcut is a
+        symlink to it, the payload migrates into the shortcut as a regular
+        file instead of lingering — the reference renames the epoch file into
+        `_bestsofar` in exactly this situation (checkpoints.py:126-132)."""
+        p = self._net_path(name, epoch)
+        if not os.path.lexists(p):
+            return
+        if os.path.islink(p):
+            # frozen nets' per-epoch symlinks: removing the link never touches
+            # the frozen target, and best/last links point at the frozen file
+            # directly
+            os.remove(p)
+            return
+        best = self._link_path(name, BEST_SUFFIX)
+        if os.path.islink(best) and os.path.realpath(best) == os.path.realpath(p):
+            os.remove(best)
+            os.rename(p, best)
+        else:
+            os.remove(p)
 
     # --- load ---
 
@@ -162,6 +184,13 @@ class Checkpoints:
         from module.init)."""
         if isinstance(epoch_or_suffix, int):
             path = self._net_path(name, epoch_or_suffix)
+            if not os.path.exists(path) and self._adopted \
+                    and self._adopted[1] == epoch_or_suffix:
+                # adopted epoch: nets live in the sibling experiment's dir
+                # (reference checkpoints.py:200 loads them from there)
+                path = os.path.join(
+                    self._adopted[0],
+                    "%s_epoch_%02d.ckpt" % (name, epoch_or_suffix))
         else:
             path = self._link_path(name, epoch_or_suffix)
         with open(path, "rb") as f:
@@ -229,12 +258,12 @@ class Checkpoints:
                         os.path.realpath(os.path.join(src, name + suffix)), \
                         "%s does not resolve to %s" % (last, name + suffix)
             for name in names:
-                shutil.copyfile(os.path.realpath(os.path.join(src, name + suffix)),
-                                self._net_path(name, epoch1))
+                # only the best-so-far network is retained locally as a
+                # regular file (reference copies _best into _bestsofar,
+                # checkpoints.py:190-193); the adopted epoch's net/training
+                # files stay in the sibling dir — load_net resolves them there
                 best = os.path.join(src, name + BEST_SUFFIX + ".ckpt")
                 if os.path.lexists(best):
-                    # retain the best-so-far network as a regular file
-                    # (reference copies _best into _bestsofar)
                     shutil.copyfile(os.path.realpath(best),
                                     self._link_path(name, BEST_SUFFIX))
             src_blobs = os.path.join(src, "blobs")
@@ -243,9 +272,12 @@ class Checkpoints:
                 if os.path.isdir(dst_blobs):
                     shutil.rmtree(dst_blobs)
                 shutil.copytree(src_blobs, dst_blobs)
-            shutil.copyfile(tp, self._train_path(epoch1))
-            with open(self._train_path(epoch1), "rb") as f:
+            with open(tp, "rb") as f:
                 state = pickle.load(f)
+            # protect the adopted epoch from the previous-checkpoint GC
+            # (reference checkpoints.py:66-67,202)
+            self.epoch_externally_loaded = epoch1
+            self._adopted = (src, epoch1)
             print(">> Loading epoch %02d from experiment %s" % (epoch1, src))
             return epoch1, state
         return None

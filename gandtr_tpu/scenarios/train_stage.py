@@ -37,6 +37,8 @@ def _train_gan(params):
     if training is None:
         raise ValueError("train stage needs a data.train section")
     state, start_epoch = training.resume_or_start(exp["state"])
+    if _notrain(training, state, start_epoch):
+        return ({},)
     state = training.run(state, start_epoch=start_epoch)
 
     events = exp["events"]
@@ -51,8 +53,21 @@ def _train_finetune(params):
     exp = build_finetune_experiment(params, directory=directory)
     training = exp["training"]
     state, start_epoch = training.resume_or_start(exp["state"])
+    if _notrain(training, state, start_epoch):
+        return ({},)
     state = training.run(state, start_epoch=start_epoch)
     return (_stage_metadata(exp["events"], directory),)
+
+
+def _notrain(training, state, start_epoch):
+    """`epochs: 0` saves the off-the-shelf networks as `_notrain` shortcuts
+    and skips the loop entirely, returning empty stage metadata (reference
+    stages/train.py:17-20 + checkpoints.py:42-56)."""
+    if training.epochs > 0 or start_epoch > 1:
+        return False
+    if training.checkpoints:
+        training.checkpoints.save_notrain(dict(state.variables))
+    return True
 
 
 def _stage_metadata(events, directory):

@@ -108,3 +108,24 @@ class TestAdoption:
             pass
         else:
             raise AssertionError("unmatched directory_epoch_regex must raise")
+
+
+class TestNotrain:
+    def test_save_notrain_shortcuts(self, tmp_path):
+        """epochs:0 off-the-shelf store: `<name>_notrain` files with `_best`
+        and `_last` symlinked to them (reference checkpoints.py:42-56)."""
+        ck = Checkpoints(str(tmp_path / "exp"))
+        var = {"params": {"w": np.full((3,), 2.5, np.float32)}}
+        ck.save_notrain({"net": var, "aux": var})
+        ed = str(tmp_path / "exp" / "epochs")
+        for name in ("net", "aux"):
+            assert os.path.isfile(os.path.join(ed, name + "_notrain.ckpt"))
+            for suffix in ("_best", "_last"):
+                link = os.path.join(ed, name + suffix + ".ckpt")
+                assert os.path.islink(link)
+                assert os.path.realpath(link) == os.path.realpath(
+                    os.path.join(ed, name + "_notrain.ckpt"))
+            loaded = ck.load_net(name, "_best", var)
+            np.testing.assert_allclose(loaded["params"]["w"], 2.5)
+        # no resumable epochs — a rerun starts from scratch like the reference
+        assert ck.available_epochs() == []

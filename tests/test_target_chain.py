@@ -151,3 +151,68 @@ def test_micro_finetune_then_whitening_target(synthdir, tmp_path):
     with open(wpath, "rb") as f:
         lw = pickle.load(f)
     assert lw["P"].shape == (512, 512)
+
+
+def test_zero_epoch_train_saves_notrain(synthdir, tmp_path):
+    """`epochs: 0` stores the off-the-shelf networks as `_notrain` shortcuts
+    and returns empty stage metadata without entering the epoch loop
+    (reference stages/train.py:17-20 + checkpoints.py:42-56)."""
+    from gandtr_tpu.scenarios.train_stage import train
+
+    d, imgdir = synthdir
+    exp = str(tmp_path / "exp_ots")
+    params = {
+        "network": {
+            "type": "CirSequentialNetwork",
+            "sequence": "augment,embed",
+            "augment": {
+                "model": {"architecture": "official_resnet_generator",
+                          "ngf": 4, "n_blocks": 1, "norm_layer": "instance"},
+                "runtime": {
+                    "frozen": True,
+                    "wrappers": "cir_ratio_pass_through:0.5:anc",
+                    "data": {"transforms": "pil2np | totensor | normalize",
+                             "mean_std": [[0.5] * 3, [0.5] * 3]}},
+            },
+            "embed": {
+                "model": {"architecture": "cirnet",
+                          "cir_architecture": "vgg16", "pooling": "gem",
+                          "local_whitening": False, "whitening": False},
+                "runtime": {"wrappers": "", "data": {}},
+            },
+        },
+        "learning": {
+            "checkpoints": {"directory": exp},
+            "training": {
+                "epochs": 0, "seed": 0,
+                "criterion": {"loss": "contrastive", "margin": 0.75},
+                "epoch_iteration": {"type": "SupervisedEpoch",
+                                    "batch_average": False,
+                                    "fakebatch": True, "data": "train",
+                                    "criterion": "default"},
+                "optimizer": {"algorithm": "adam", "lr": 5e-5,
+                              "beta1": 0.9, "beta2": 0.999,
+                              "weight_decay": 0.0005},
+                "scheduler": {"algorithm": "gamma", "gamma": 0.99},
+            },
+        },
+        "output": {"learning": {"progress": {"print_each": 10}}},
+        "data": {"train": {
+            "dataset": {"name": "CirDiverseAnchors",
+                        "dataset_pkl": str(d / "train_db.pkl"),
+                        "image_dir": str(imgdir),
+                        "image_size": 32, "neg_num": 2, "pool_size": 10,
+                        "query_size": 2, "qpool_size": 3,
+                        "similar_exclude": 0.2, "similar_include": 0.8,
+                        "split": "train"},
+            "loader": {"batch_size": 2, "num_workers": 1},
+        }},
+    }
+    (meta,) = train(params, None)
+    assert meta == {}
+    ed = os.path.join(exp, "epochs")
+    assert os.path.isfile(os.path.join(ed, "embed_notrain.ckpt"))
+    for suffix in ("_best", "_last"):
+        link = os.path.join(ed, "embed" + suffix + ".ckpt")
+        assert os.path.islink(link)
+        assert os.path.realpath(link).endswith("embed_notrain.ckpt")
