@@ -1,0 +1,222 @@
+"""Differential fuzz of optimizers + LR schedules vs the reference's ACTUAL
+optim package (base_optimizers.py / base_schedulers.py, loaded standalone;
+torch CPU).
+
+Optimizers: identical gradient sequences drive torch adam/sgd and our optax
+chains over random param trees — torch-style L2 weight decay (coupled, not
+AdamW), sgd momentum buffers (first step = raw grad), adam bias correction and
+eps placement must all match within f32 tolerance.
+
+Schedules: for every base scheduler (const/lambda/lambda_p2p/gamma incl. the
+"exp(x)" string form), the reference steps a torch scheduler once per epoch
+(close_epoch); our pure epoch->factor functions must reproduce the lr the
+torch optimizer saw DURING each epoch, including mid-trajectory resume
+(last_epoch > -1 reconstruction).
+
+Reference: /root/reference/mdir/components/optim/optimizer/base_optimizers.py,
+/root/reference/mdir/components/optim/scheduler/base_schedulers.py.
+"""
+import os
+import random
+import sys
+import importlib.util as ilu
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+_OPT = "/root/reference/mdir/components/optim/optimizer/base_optimizers.py"
+_SCH = "/root/reference/mdir/components/optim/scheduler/base_schedulers.py"
+
+needs_reference = pytest.mark.skipif(not os.path.isfile(_OPT),
+                                     reason="reference tree not mounted")
+
+
+def _load(fullname, path):
+    spec = ilu.spec_from_file_location(fullname, path)
+    mod = ilu.module_from_spec(spec)
+    sys.modules[fullname] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_optim():
+    return _load("ref_base_optimizers", _OPT)
+
+
+@pytest.fixture(scope="module")
+def ref_sched():
+    return _load("ref_base_schedulers", _SCH)
+
+
+def _rand_tree(rng, ntensors):
+    shapes = [tuple(rng.randint(1, 5) for _ in range(rng.randint(1, 3)))
+              for _ in range(ntensors)]
+    return [np.asarray(rng.randn(*s), np.float32) for s in shapes]
+
+
+@needs_reference
+class TestOptimizerDifferential:
+    def _drive(self, ref_optim, opt_params, nsteps, seed, lr_factors=None):
+        """Run torch and ours on identical grads; return (torch, ours) params."""
+        import jax.numpy as jnp
+        from gandtr_tpu.learning.optimizers import (initialize_optimizer,
+                                                    set_learning_rate)
+
+        rng = np.random.RandomState(seed)
+        init = _rand_tree(rng, rng.randint(1, 4))
+        grads = [[np.asarray(rng.randn(*p.shape), np.float32) for p in init]
+                 for _ in range(nsteps)]
+
+        # torch
+        tparams = [torch.nn.Parameter(torch.from_numpy(p.copy()))
+                   for p in init]
+        topt = ref_optim.initialize_base_optimizer(tparams, dict(opt_params))
+        base_lr = opt_params["lr"]
+        for step in range(nsteps):
+            if lr_factors is not None:
+                for g in topt.param_groups:
+                    g["lr"] = base_lr * lr_factors[step]
+            topt.zero_grad()
+            for p, g in zip(tparams, grads[step]):
+                p.grad = torch.from_numpy(g.copy())
+            topt.step()
+        torch_final = [p.detach().numpy() for p in tparams]
+
+        # ours
+        tx, _ = initialize_optimizer(dict(opt_params))
+        jparams = [jnp.asarray(p) for p in init]
+        state = tx.init(jparams)
+        for step in range(nsteps):
+            if lr_factors is not None:
+                state = set_learning_rate(state, base_lr * lr_factors[step])
+            updates, state = tx.update(
+                [jnp.asarray(g) for g in grads[step]], state, jparams)
+            import optax
+            jparams = optax.apply_updates(jparams, updates)
+        ours_final = [np.asarray(p) for p in jparams]
+        return torch_final, ours_final
+
+    @pytest.mark.parametrize("seed", range(6))
+    def test_adam_fuzz(self, ref_optim, seed):
+        rng = random.Random(1000 + seed)
+        params = {"algorithm": "adam",
+                  "lr": rng.choice([1e-1, 1e-2, 5e-4, 2e-4]),
+                  "beta1": rng.choice([0.5, 0.9]),
+                  "beta2": rng.choice([0.999, 0.99]),
+                  "weight_decay": rng.choice([0.0, 5e-4, 1e-2])}
+        t, o = self._drive(ref_optim, params, nsteps=rng.randint(1, 12),
+                           seed=seed)
+        for a, b in zip(t, o):
+            np.testing.assert_allclose(b, a, rtol=2e-5, atol=2e-6)
+
+    @pytest.mark.parametrize("seed", range(6))
+    def test_sgd_fuzz(self, ref_optim, seed):
+        rng = random.Random(2000 + seed)
+        params = {"algorithm": "sgd",
+                  "lr": rng.choice([1e-1, 1e-2, 1e-3]),
+                  "momentum": rng.choice([0.0, 0.9, 0.99]),
+                  "weight_decay": rng.choice([0.0, 5e-4, 1e-2])}
+        t, o = self._drive(ref_optim, params, nsteps=rng.randint(1, 12),
+                           seed=seed)
+        for a, b in zip(t, o):
+            np.testing.assert_allclose(b, a, rtol=2e-5, atol=2e-6)
+
+    def test_adam_with_scheduled_lr(self, ref_optim):
+        """Per-epoch LR injection (our set_learning_rate path) must equal
+        torch param-group lr mutation — moments must carry across changes."""
+        factors = [1.0, 1.0, 0.75, 0.5, 0.25, 0.1]
+        params = {"algorithm": "adam", "lr": 2e-2, "beta1": 0.5,
+                  "beta2": 0.999, "weight_decay": 5e-4}
+        t, o = self._drive(ref_optim, params, nsteps=len(factors), seed=77,
+                           lr_factors=factors)
+        for a, b in zip(t, o):
+            np.testing.assert_allclose(b, a, rtol=2e-5, atol=2e-6)
+
+
+@needs_reference
+class TestSchedulerDifferential:
+    def _torch_lrs(self, ref_sched, algorithm, nepochs, base_lr, **kw):
+        """The lr a reference training sees during each epoch 1..nepochs:
+        scheduler constructed with last_epoch=-1, stepped at close_epoch."""
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([p], lr=base_lr, momentum=0.0, weight_decay=0.0)
+        sched = ref_sched.initialize_base_scheduler(
+            opt, -1, nepochs, {"algorithm": algorithm, **kw})
+        lrs = []
+        for _ in range(1, nepochs + 1):
+            lrs.append(opt.param_groups[0]["lr"])
+            opt.step()  # silence the torch step-order warning
+            sched.step()
+        return lrs
+
+    def _ours_lrs(self, algorithm, nepochs, base_lr, **kw):
+        from gandtr_tpu.learning.schedules import initialize_schedule
+        factor = initialize_schedule(nepochs, {"algorithm": algorithm, **kw})
+        return [base_lr * factor(e - 1) for e in range(1, nepochs + 1)]
+
+    @pytest.mark.parametrize("seed", range(12))
+    def test_fuzz_all_algorithms(self, ref_sched, seed):
+        rng = random.Random(3000 + seed)
+        nepochs = rng.randint(1, 40)
+        base_lr = rng.choice([1e-1, 2e-4, 5e-7])
+        algorithm = rng.choice(["const", "lambda", "lambda_p2p", "gamma"])
+        kw = {}
+        if algorithm == "lambda":
+            kw["fixed_ratio"] = rng.choice([0.25, 0.5, 0.75])
+        elif algorithm == "lambda_p2p":
+            kw["n_epochs_decay"] = rng.randint(0, nepochs)
+        elif algorithm == "gamma":
+            kw["gamma"] = rng.choice([0.99, 0.9, "exp(-0.01)", "exp(-0.1)"])
+        ref = self._torch_lrs(ref_sched, algorithm, nepochs, base_lr, **kw)
+        got = self._ours_lrs(algorithm, nepochs, base_lr, **kw)
+        np.testing.assert_allclose(got, ref, rtol=1e-9, atol=0,
+                                   err_msg="%s nepochs=%d kw=%s"
+                                           % (algorithm, nepochs, kw))
+
+    def test_resume_mid_trajectory(self, ref_sched):
+        """Resume at epoch k exactly like the reference: the saved optimizer
+        state_dict (post-close_epoch lr, learning.py:62-74) is loaded into a
+        fresh optimizer, then the scheduler is rebuilt with last_epoch=k-1
+        (training.py:62-73). Our factor function is stateless so the SAME
+        epoch->lr mapping must fall out."""
+        nepochs, base_lr, k = 20, 1e-2, 8
+        for algorithm, kw in (("lambda", {"fixed_ratio": 0.5}),
+                              ("lambda_p2p", {"n_epochs_decay": 10}),
+                              ("gamma", {"gamma": 0.95})):
+            # full run up to k, saving the optimizer state after close_epoch
+            p = torch.nn.Parameter(torch.zeros(1))
+            opt = torch.optim.SGD([p], lr=base_lr)
+            sched = ref_sched.initialize_base_scheduler(
+                opt, -1, nepochs, {"algorithm": algorithm, **dict(kw)})
+            full = []
+            for _ in range(1, nepochs + 1):
+                full.append(opt.param_groups[0]["lr"])
+                opt.step()
+                sched.step()
+            p2 = torch.nn.Parameter(torch.zeros(1))
+            opt2 = torch.optim.SGD([p2], lr=base_lr)
+            sched2 = ref_sched.initialize_base_scheduler(
+                opt2, -1, nepochs, {"algorithm": algorithm, **dict(kw)})
+            for _ in range(k):
+                opt2.step()
+                sched2.step()
+            saved = opt2.state_dict()
+
+            p3 = torch.nn.Parameter(torch.zeros(1))
+            opt3 = torch.optim.SGD([p3], lr=base_lr)
+            opt3.load_state_dict(saved)
+            opt3.param_groups[0].setdefault("initial_lr", base_lr)
+            sched3 = ref_sched.initialize_base_scheduler(
+                opt3, k - 1, nepochs, {"algorithm": algorithm, **dict(kw)})
+            resumed = []
+            for _ in range(k + 1, nepochs + 1):
+                resumed.append(opt3.param_groups[0]["lr"])
+                opt3.step()
+                sched3.step()
+            assert np.allclose(resumed, full[k:], rtol=1e-9), algorithm
+            got = self._ours_lrs(algorithm, nepochs, base_lr, **dict(kw))
+            np.testing.assert_allclose(got[k:], resumed, rtol=1e-9,
+                                       err_msg=algorithm)
