@@ -14,31 +14,72 @@ import optax
 import jax
 
 
-def adam(learning_rate, beta1=0.9, beta2=0.999, weight_decay=0.0, eps=1e-8):
+def _decay_per_leaf(weight_decay, wd_mults):
+    """Torch-style coupled L2 with a per-leaf decay multiplier (the reference
+    parameter groups carry `weight_decay: mult * wd`)."""
+    def update_fn(updates, state, params):
+        assert params is not None, "per-group weight decay needs params"
+        upd = jax.tree_util.tree_map(
+            lambda u, p, m: u + (weight_decay * m) * p,
+            updates, params, wd_mults)
+        return upd, state
+    return optax.GradientTransformation(
+        lambda _: optax.EmptyState(), update_fn)
+
+
+def _scale_per_leaf(lr_mults):
+    """Per-leaf multiplier on the FINAL update — the exact analog of torch
+    per-group lr (adam/sgd updates are linear in lr, so scaling after the
+    moments equals running the group at lr_mult * lr)."""
+    def update_fn(updates, state, params=None):
+        del params
+        return jax.tree_util.tree_map(
+            lambda u, m: u * m, updates, lr_mults), state
+    return optax.GradientTransformation(
+        lambda _: optax.EmptyState(), update_fn)
+
+
+def adam(learning_rate, beta1=0.9, beta2=0.999, weight_decay=0.0, eps=1e-8,
+         group_mults=None):
+    lr_mults, wd_mults = group_mults or (None, None)
     chain = []
     if weight_decay:
-        chain.append(optax.add_decayed_weights(weight_decay))
+        chain.append(_decay_per_leaf(weight_decay, wd_mults)
+                     if wd_mults is not None
+                     else optax.add_decayed_weights(weight_decay))
     chain.append(optax.scale_by_adam(b1=beta1, b2=beta2, eps=eps))
     chain.append(optax.scale_by_learning_rate(learning_rate))
+    if lr_mults is not None:
+        chain.append(_scale_per_leaf(lr_mults))
     return optax.chain(*chain)
 
 
-def sgd(learning_rate, momentum=0.0, weight_decay=0.0):
+def sgd(learning_rate, momentum=0.0, weight_decay=0.0, group_mults=None):
+    lr_mults, wd_mults = group_mults or (None, None)
     chain = []
     if weight_decay:
-        chain.append(optax.add_decayed_weights(weight_decay))
+        chain.append(_decay_per_leaf(weight_decay, wd_mults)
+                     if wd_mults is not None
+                     else optax.add_decayed_weights(weight_decay))
     if momentum:
         chain.append(optax.trace(decay=momentum))
     chain.append(optax.scale_by_learning_rate(learning_rate))
+    if lr_mults is not None:
+        chain.append(_scale_per_leaf(lr_mults))
     return optax.chain(*chain)
 
 
 OPTIMIZERS = {"adam": adam, "sgd": sgd}
 
 
-def initialize_optimizer(params):
+def initialize_optimizer(params, group_mults=None):
     """Build an inject_hyperparams-wrapped optimizer from a reference-style
     config dict: {algorithm, lr, beta1, beta2, weight_decay, ...}.
+
+    `group_mults`, when given, is the `(lr_mults, wd_mults)` pair of pytrees
+    from `param_group_mults` — the torch param-group semantics of the
+    reference's `model.parameter_groups(optimizer_opts)`
+    (network.py:66-72).
 
     Returns an optax.GradientTransformation whose opt_state exposes
     `hyperparams['learning_rate']` for per-epoch schedule updates.
@@ -46,16 +87,23 @@ def initialize_optimizer(params):
     params = dict(params)
     algorithm = params.pop("algorithm")
     lr = float(params.pop("lr"))
+
     if algorithm == "adam":
+        def make_adam(learning_rate, beta1, beta2, weight_decay, eps=1e-8):
+            return adam(learning_rate, beta1, beta2, weight_decay, eps,
+                        group_mults=group_mults)
         factory = optax.inject_hyperparams(
-            adam, static_args=("beta1", "beta2", "weight_decay", "eps"))
+            make_adam, static_args=("beta1", "beta2", "weight_decay", "eps"))
         return factory(learning_rate=lr,
                        beta1=float(params.pop("beta1", 0.9)),
                        beta2=float(params.pop("beta2", 0.999)),
                        weight_decay=float(params.pop("weight_decay", 0.0))), lr
     if algorithm == "sgd":
+        def make_sgd(learning_rate, momentum, weight_decay):
+            return sgd(learning_rate, momentum, weight_decay,
+                       group_mults=group_mults)
         factory = optax.inject_hyperparams(
-            sgd, static_args=("momentum", "weight_decay"))
+            make_sgd, static_args=("momentum", "weight_decay"))
         return factory(learning_rate=lr,
                        momentum=float(params.pop("momentum", 0.0)),
                        weight_decay=float(params.pop("weight_decay", 0.0))), lr
@@ -68,18 +116,63 @@ def set_learning_rate(opt_state, lr):
     return opt_state
 
 
-def multiplied(base, lr_mults, params_labels):
-    """Per-group LR multipliers applied to the final update (matching torch
-    param groups, where each group has its own lr — for Adam this must scale
-    the post-moment update, not the gradient).
+# --- reference parameter-group semantics -----------------------------------
+#
+# The reference wires per-module lr/weight-decay multipliers through
+# `model.parameter_groups(optimizer_opts)` (network.py:66-72). Two model
+# families define them:
+#  - cirnet (cirnet.py:11-33,79-82,127-131): GeM pool p at lr x10 / wd 0,
+#    EdgeFilter preprocessing at lr x10, attention at lr x100, rest x1;
+#  - HED (hed.py:86-112): per-layer lr_mult {conv.w 1, conv.b 2, conv5.w 100,
+#    conv5.b 200, score.w .01, score.b .02, fusion.w .001, fusion.b .002} and
+#    decay_mult {weights 1, biases 0}.
+# RCF and the p2p GAN nets have NO groups (flat optimizer).
 
-    `params_labels` is a pytree (same structure as params) of string labels;
-    `lr_mults` maps label -> multiplier. Unlabeled leaves get 1.0.
-    """
-    def scale_fn(updates, state, params=None):
-        del params
-        scaled = jax.tree_util.tree_map(
-            lambda u, lbl: u * lr_mults.get(lbl, 1.0), updates, params_labels)
-        return scaled, state
-    post = optax.GradientTransformation(lambda p: optax.EmptyState(), scale_fn)
-    return optax.chain(base, post)
+CIRNET_GROUP_ARCHS = ("cirnet", "cirnet_inchan", "cirnet_attention",
+                      "gem_retrieval")
+HED_GROUP_ARCHS = ("hed_interpolation",)
+
+
+def _cirnet_leaf_mults(keys):
+    if keys[-1] == "gem_p":
+        return 10.0, 0.0
+    if keys[0] == "preprocessing":
+        return 10.0, 1.0
+    if keys[0] == "attention":
+        return 100.0, 1.0
+    return 1.0, 1.0
+
+
+def _hed_leaf_mults(keys):
+    top, leaf = keys[0], keys[-1]
+    is_weight = leaf != "bias"
+    if top.startswith("vgg5"):
+        return (100.0, 1.0) if is_weight else (200.0, 0.0)
+    if top.startswith("vgg"):
+        return (1.0, 1.0) if is_weight else (2.0, 0.0)
+    if top.startswith("score"):
+        return (0.01, 1.0) if is_weight else (0.02, 0.0)
+    if top.startswith("fusion"):
+        return (0.001, 1.0) if is_weight else (0.002, 0.0)
+    raise KeyError("HED parameter not recognized %r (hed.py:96)"
+                   % "/".join(keys))
+
+
+def param_group_mults(architecture, params):
+    """(lr_mults, wd_mults) pytrees matching `params` for architectures the
+    reference gives parameter groups, else None."""
+    if architecture in CIRNET_GROUP_ARCHS:
+        classify = _cirnet_leaf_mults
+    elif architecture in HED_GROUP_ARCHS:
+        classify = _hed_leaf_mults
+    else:
+        return None
+
+    def keys_of(path):
+        return [getattr(e, "key", getattr(e, "name", str(e))) for e in path]
+
+    lr = jax.tree_util.tree_map_with_path(
+        lambda p, _: classify(keys_of(p))[0], params)
+    wd = jax.tree_util.tree_map_with_path(
+        lambda p, _: classify(keys_of(p))[1], params)
+    return lr, wd

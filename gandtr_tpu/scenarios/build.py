@@ -14,7 +14,8 @@ import jax
 import jax.numpy as jnp
 
 from gandtr_tpu.learning.network import build_model_set
-from gandtr_tpu.learning.optimizers import initialize_optimizer
+from gandtr_tpu.learning.optimizers import (initialize_optimizer,
+                                             param_group_mults)
 from gandtr_tpu.learning.schedules import initialize_schedule
 from gandtr_tpu.learning.events import initialize_processor
 from gandtr_tpu.learning.checkpoints import Checkpoints
@@ -138,7 +139,13 @@ def build_gan_experiment(scenario, sample_hw=256, batch_size=None,
     for name, cfg in opt_cfg.items():
         if cfg is None:
             continue
-        optimizers[name], base_lr[name] = initialize_optimizer(dict(cfg))
+        # reference parameter groups: a trained HED detector gets per-layer
+        # lr/decay multipliers (network.py:66-72 -> hed.py:86-112)
+        arch = (net_cfg.get(name, {}).get("model", {}) or {}).get("architecture")
+        mults = (param_group_mults(arch, variables[name]["params"])
+                 if name in variables and arch else None)
+        optimizers[name], base_lr[name] = initialize_optimizer(dict(cfg),
+                                                               group_mults=mults)
 
     epochs = int(train_cfg.get("epochs", 1))
     sched_cfg = dict(train_cfg.get("scheduler", {}))

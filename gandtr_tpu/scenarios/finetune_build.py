@@ -23,7 +23,8 @@ from gandtr_tpu.data.transforms import initialize_transforms
 from gandtr_tpu.eval.retrieval import imresize
 from gandtr_tpu.learning.criteria import initialize_criterion
 from gandtr_tpu.learning.network import build_single_net
-from gandtr_tpu.learning.optimizers import initialize_optimizer
+from gandtr_tpu.learning.optimizers import (initialize_optimizer,
+                                             param_group_mults)
 from gandtr_tpu.learning.schedules import initialize_schedule
 from gandtr_tpu.learning.events import initialize_processor
 from gandtr_tpu.learning.checkpoints import Checkpoints
@@ -102,7 +103,13 @@ def build_finetune_experiment(params, directory=None, db=None, images=None):
                           % (augment_path, exc))
 
     # --- optimizer / schedule / criterion ---
-    optimizer, base_lr = initialize_optimizer(dict(train_cfg["optimizer"]))
+    # reference parameter groups for the trained embed net: GeM pool p at
+    # lr x10 / weight_decay 0 etc. (network.py:66-72 -> cirnet.py:11-33)
+    embed_mults = param_group_mults(
+        embed_cfg.get("model", {}).get("architecture", ""),
+        variables["embed"]["params"])
+    optimizer, base_lr = initialize_optimizer(dict(train_cfg["optimizer"]),
+                                              group_mults=embed_mults)
     epochs = int(train_cfg.get("epochs", 1))
     schedule = initialize_schedule(epochs, dict(train_cfg.get(
         "scheduler", {"algorithm": "const"})))

@@ -93,3 +93,39 @@ def test_dp_step_accepts_host_resumed_state():
     real_Y = jax.random.uniform(jax.random.PRNGKey(4), (8, 16, 16, 3)) * 2 - 1
     state, metrics, _ = exp["step"](host_state, real_X, real_Y)
     assert np.isfinite(float(metrics["total"]))
+
+
+def test_detector_optimizer_gets_hed_param_groups(monkeypatch):
+    """build_gan_experiment must hand the HED per-layer lr/decay multiplier
+    tables (reference hed.py:86-112 via network.py:66-72) to the detector's
+    optimizer, and keep the p2p nets flat."""
+    from gandtr_tpu.scenarios import build as B
+
+    captured = {}
+    real = B.initialize_optimizer
+
+    def spy(params, group_mults=None):
+        captured[len(captured)] = group_mults
+        return real(params, group_mults=group_mults)
+
+    scenario = _scenario(parallel=False)
+    tr = scenario["learning"]["training"]
+    tr["epoch_iteration"]["type"] = "SupervisedHEDNGANEpoch"
+    tr["criterion"]["weights"]["hed"] = 1
+    tr["optimizer"]["detector"] = {"algorithm": "adam", "lr": 1e-6,
+                                   "beta1": 0.9, "weight_decay": 2e-4}
+    scenario["network"]["detector_frozen"] = {
+        "model": {"architecture": "hed_interpolation", "width_mult": 0.0625},
+        "runtime": {"frozen": True, "wrappers": "", "data": {}}}
+
+    monkeypatch.setattr(B, "initialize_optimizer", spy)
+    B.build_gan_experiment(scenario, sample_hw=16, batch_size=2,
+                           data_override={})
+    # build iterates the optimizer config in insertion order
+    by_net = dict(zip(list(tr["optimizer"]), captured.values()))
+    assert by_net["generator_X"] is None
+    assert by_net["discriminator_Y"] is None
+    lr, wd = by_net["detector"]
+    assert lr["vgg5_0"]["conv"]["kernel"] == 100.0
+    assert lr["score1"]["conv"]["bias"] == 0.02
+    assert wd["fusion"]["conv"]["bias"] == 0.0

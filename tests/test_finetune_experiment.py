@@ -109,3 +109,26 @@ def test_finetune_experiment_end_to_end(synth, tmp_path):
         assert all(db["cluster"][n] != qc for n in negs)
     # checkpoints written
     assert os.path.isdir(tmp_path / "exp" / "epochs")
+
+
+def test_embed_optimizer_gets_cirnet_param_groups(synth, tmp_path,
+                                                  monkeypatch):
+    """The finetune build must hand the cirnet parameter-group multipliers
+    (GeM p at lr x10 / wd 0 — reference cirnet.py:11-33 via network.py:66-72)
+    to the optimizer."""
+    from gandtr_tpu.scenarios import finetune_build as fb
+
+    captured = {}
+    real = fb.initialize_optimizer
+
+    def spy(params, group_mults=None):
+        captured["mults"] = group_mults
+        return real(params, group_mults=group_mults)
+
+    monkeypatch.setattr(fb, "initialize_optimizer", spy)
+    db, images = synth
+    build_finetune_experiment(micro_params(tmp_path), db=db, images=images)
+    assert captured["mults"] is not None
+    lr, wd = captured["mults"]
+    assert lr["gem_p"] == 10.0 and wd["gem_p"] == 0.0
+    assert lr["backbone"]["features_0"]["conv"]["kernel"] == 1.0

@@ -220,3 +220,137 @@ class TestSchedulerDifferential:
             got = self._ours_lrs(algorithm, nepochs, base_lr, **dict(kw))
             np.testing.assert_allclose(got[k:], resumed, rtol=1e-9,
                                        err_msg=algorithm)
+
+
+@needs_reference
+class TestParamGroupDifferential:
+    """Per-group lr/weight-decay multipliers (the reference's
+    model.parameter_groups, network.py:66-72) vs actual torch param groups:
+    our per-leaf mult trees must reproduce torch exactly for both the cirnet
+    spec (pool p lr x10 wd 0; cirnet.py:11-33) and the HED spec (per-layer
+    lr/decay multiplier tables; hed.py:86-112)."""
+
+    def _drive_groups(self, ref_optim, opt_params, leaf_specs, nsteps, seed):
+        """leaf_specs: list of (shape, lr_mult, wd_mult). Returns final params
+        from torch (grouped) and ours (mult trees)."""
+        import jax.numpy as jnp
+        import optax
+        from gandtr_tpu.learning.optimizers import initialize_optimizer
+
+        rng = np.random.RandomState(seed)
+        init = [np.asarray(rng.randn(*s), np.float32)
+                for s, _, _ in leaf_specs]
+        grads = [[np.asarray(rng.randn(*p.shape), np.float32) for p in init]
+                 for _ in range(nsteps)]
+
+        # torch with one param group per leaf, like parameter_groups builds
+        base_lr = opt_params["lr"]
+        base_wd = opt_params.get("weight_decay", 0.0)
+        tparams = [torch.nn.Parameter(torch.from_numpy(p.copy()))
+                   for p in init]
+        groups = [{"params": [p], "lr": base_lr * lm,
+                   "weight_decay": base_wd * wm}
+                  for p, (_, lm, wm) in zip(tparams, leaf_specs)]
+        topt = ref_optim.initialize_base_optimizer(
+            groups, {k: v for k, v in opt_params.items()
+                     if k not in ("lr", "weight_decay")}
+            | {"lr": base_lr, "weight_decay": base_wd})
+        for step in range(nsteps):
+            topt.zero_grad()
+            for p, g in zip(tparams, grads[step]):
+                p.grad = torch.from_numpy(g.copy())
+            topt.step()
+        torch_final = [p.detach().numpy() for p in tparams]
+
+        lr_tree = [lm for _, lm, _ in leaf_specs]
+        wd_tree = [wm for _, _, wm in leaf_specs]
+        tx, _ = initialize_optimizer(dict(opt_params),
+                                     group_mults=(lr_tree, wd_tree))
+        jparams = [jnp.asarray(p) for p in init]
+        state = tx.init(jparams)
+        for step in range(nsteps):
+            updates, state = tx.update(
+                [jnp.asarray(g) for g in grads[step]], state, jparams)
+            jparams = optax.apply_updates(jparams, updates)
+        return torch_final, [np.asarray(p) for p in jparams]
+
+    def test_cirnet_spec_adam(self, ref_optim):
+        # features x1, gem_p (10, 0), preprocessing (10, 1), whiten x1
+        specs = [((3, 4), 1.0, 1.0), ((1,), 10.0, 0.0),
+                 ((2, 2), 10.0, 1.0), ((4,), 1.0, 1.0)]
+        t, o = self._drive_groups(
+            ref_optim, {"algorithm": "adam", "lr": 5e-3, "beta1": 0.9,
+                        "beta2": 0.999, "weight_decay": 5e-4},
+            specs, nsteps=8, seed=11)
+        for a, b in zip(t, o):
+            np.testing.assert_allclose(b, a, rtol=2e-5, atol=2e-6)
+
+    def test_hed_spec_adam(self, ref_optim):
+        # conv.w/b, conv5.w/b, score.w/b, fusion.w/b multiplier table
+        specs = [((3, 3), 1.0, 1.0), ((3,), 2.0, 0.0),
+                 ((2, 2), 100.0, 1.0), ((2,), 200.0, 0.0),
+                 ((1, 4), 0.01, 1.0), ((1,), 0.02, 0.0),
+                 ((1, 5), 0.001, 1.0), ((5,), 0.002, 0.0)]
+        t, o = self._drive_groups(
+            ref_optim, {"algorithm": "adam", "lr": 1e-4, "beta1": 0.9,
+                        "beta2": 0.999, "weight_decay": 2e-4},
+            specs, nsteps=8, seed=12)
+        for a, b in zip(t, o):
+            np.testing.assert_allclose(b, a, rtol=2e-5, atol=2e-6)
+
+    def test_hed_spec_sgd_momentum(self, ref_optim):
+        specs = [((3, 3), 1.0, 1.0), ((3,), 2.0, 0.0),
+                 ((2, 2), 100.0, 1.0), ((2,), 200.0, 0.0)]
+        t, o = self._drive_groups(
+            ref_optim, {"algorithm": "sgd", "lr": 1e-3, "momentum": 0.9,
+                        "weight_decay": 2e-4},
+            specs, nsteps=8, seed=13)
+        for a, b in zip(t, o):
+            np.testing.assert_allclose(b, a, rtol=2e-5, atol=2e-6)
+
+
+class TestParamGroupMultTrees:
+    """param_group_mults must classify real model param trees exactly like
+    the reference's parameter_groups walk."""
+
+    def test_cirnet_tree(self):
+        import jax
+        import jax.numpy as jnp
+        from gandtr_tpu.models import initialize_model
+        from gandtr_tpu.learning.optimizers import param_group_mults
+
+        net = initialize_model({"architecture": "cirnet",
+                                "cir_architecture": "vgg16",
+                                "pooling": "gem", "local_whitening": False,
+                                "whitening": True, "pretrained": False})
+        var = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        lr, wd = param_group_mults("cirnet", var["params"])
+        assert lr["gem_p"] == 10.0 and wd["gem_p"] == 0.0
+        assert lr["whiten"]["kernel"] == 1.0 and wd["whiten"]["kernel"] == 1.0
+        assert all(v == 1.0 for v in jax.tree_util.tree_leaves(lr["backbone"]))
+
+    def test_hed_tree(self):
+        import jax
+        import jax.numpy as jnp
+        from gandtr_tpu.models import initialize_model
+        from gandtr_tpu.learning.optimizers import param_group_mults
+
+        net = initialize_model({"architecture": "hed_interpolation",
+                                "width_mult": 0.0625})
+        var = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        lr, wd = param_group_mults("hed_interpolation", var["params"])
+        assert lr["vgg1_0"]["conv"]["kernel"] == 1.0
+        assert lr["vgg1_0"]["conv"]["bias"] == 2.0
+        assert wd["vgg1_0"]["conv"]["bias"] == 0.0
+        assert lr["vgg5_0"]["conv"]["kernel"] == 100.0
+        assert lr["vgg5_0"]["conv"]["bias"] == 200.0
+        assert lr["score3"]["conv"]["kernel"] == 0.01
+        assert lr["score3"]["conv"]["bias"] == 0.02
+        assert lr["fusion"]["conv"]["kernel"] == 0.001
+        assert lr["fusion"]["conv"]["bias"] == 0.002
+        assert wd["fusion"]["conv"]["kernel"] == 1.0
+
+    def test_flat_architectures_get_none(self):
+        from gandtr_tpu.learning.optimizers import param_group_mults
+        assert param_group_mults("rcf", {"w": 1}) is None
+        assert param_group_mults("official_resnet_generator", {"w": 1}) is None
