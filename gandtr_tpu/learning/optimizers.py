@@ -158,6 +158,24 @@ def _hed_leaf_mults(keys):
                    % "/".join(keys))
 
 
+def multihead_group_mults(parameter_groups, variables):
+    """Reference MultiheadNetwork config-level groups (network.py:764,
+    482-496): `parameter_groups` maps subnet name -> {"lr": mult,
+    "weight_decay": mult}; every leaf of that subnet's params gets the
+    multiplier (missing nets/keys default to 1.0). `variables` is the
+    multihead variables dict {'base': {...}, '<head>': {...}}; returns
+    (lr_mults, wd_mults) trees over {name: variables[name]['params']}."""
+    params = {name: v["params"] for name, v in variables.items()}
+
+    def tree_for(idx):
+        return {
+            name: jax.tree_util.tree_map(
+                lambda _: float(parameter_groups.get(name, {}).get(
+                    ("lr", "weight_decay")[idx], 1.0)), sub)
+            for name, sub in params.items()}
+    return tree_for(0), tree_for(1)
+
+
 def param_group_mults(architecture, params):
     """(lr_mults, wd_mults) pytrees matching `params` for architectures the
     reference gives parameter groups, else None."""

@@ -354,3 +354,73 @@ class TestParamGroupMultTrees:
         from gandtr_tpu.learning.optimizers import param_group_mults
         assert param_group_mults("rcf", {"w": 1}) is None
         assert param_group_mults("official_resnet_generator", {"w": 1}) is None
+
+
+@needs_reference
+class TestMultiheadConfigGroups:
+    def test_matches_torch_per_net_multipliers(self, ref_optim):
+        """Reference MultiheadNetwork config-level parameter_groups
+        (network.py:764,482-496): per-subnet {"lr": mult, "weight_decay":
+        mult} applied on top of the optimizer opts."""
+        import jax.numpy as jnp
+        import optax
+        from gandtr_tpu.learning.optimizers import (initialize_optimizer,
+                                                    multihead_group_mults)
+
+        rng = np.random.RandomState(5)
+        variables = {
+            "base": {"params": {"w": np.asarray(rng.randn(3, 3), np.float32),
+                                "b": np.asarray(rng.randn(3), np.float32)}},
+            "edges": {"params": {"w": np.asarray(rng.randn(2, 3), np.float32)}},
+            "depth": {"params": {"w": np.asarray(rng.randn(2, 2), np.float32)}},
+        }
+        pg = {"edges": {"lr": 0.1, "weight_decay": 0.0},
+              "depth": {"lr": 5.0}}
+        opt_params = {"algorithm": "adam", "lr": 1e-2, "beta1": 0.9,
+                      "beta2": 0.999, "weight_decay": 1e-3}
+
+        # torch: one group per net like _parameters_with_groups builds
+        order = ["base", "edges", "depth"]
+        tparams = {n: [torch.nn.Parameter(torch.from_numpy(a.copy()))
+                       for a in variables[n]["params"].values()]
+                   for n in order}
+        groups = []
+        for n in order:
+            g = {"params": tparams[n]}
+            for key, val in pg.get(n, {}).items():
+                g[key] = opt_params[key] * val
+            groups.append(g)
+        topt = ref_optim.initialize_base_optimizer(
+            groups, {"algorithm": "adam", "lr": 1e-2, "beta1": 0.9,
+                     "beta2": 0.999, "weight_decay": 1e-3})
+
+        jp = {n: dict(variables[n]["params"]) for n in order}
+        jp = jax.tree_util.tree_map(jnp.asarray, jp) if False else {
+            n: {k: jnp.asarray(v) for k, v in variables[n]["params"].items()}
+            for n in order}
+        mults = multihead_group_mults(pg, variables)
+        tx, _ = initialize_optimizer(dict(opt_params), group_mults=mults)
+        st = tx.init(jp)
+
+        for step in range(6):
+            grads = {n: {k: np.asarray(rng.randn(*np.shape(v)), np.float32)
+                         for k, v in variables[n]["params"].items()}
+                     for n in order}
+            topt.zero_grad()
+            for n in order:
+                for p, g in zip(tparams[n], grads[n].values()):
+                    p.grad = torch.from_numpy(g.copy())
+            topt.step()
+            jgrads = {n: {k: jnp.asarray(v) for k, v in grads[n].items()}
+                      for n in order}
+            upd, st = tx.update(jgrads, st, jp)
+            import optax as _ox
+            jp = _ox.apply_updates(jp, upd)
+
+        for n in order:
+            by_key = dict(zip(variables[n]["params"].keys(), tparams[n]))
+            for k, ours in jp[n].items():
+                np.testing.assert_allclose(np.asarray(ours),
+                                           by_key[k].detach().numpy(),
+                                           rtol=2e-5, atol=2e-6,
+                                           err_msg=f"{n}/{k}")
