@@ -54,25 +54,40 @@ def init_weights_p2p(params, rng, init_type="normal", gain=0.02, batch_stats=Non
         [l for l in new_leaves])
 
 
-def init_weights_simple(params, rng, scheme="normal", gain=0.2):
-    """normal/uniform/he_normal over kernels (weight_initialization.py:8-51)."""
+def init_weights_simple(params, rng, scheme="normal"):
+    """normal/uniform/he_normal (weight_initialization.py:6-46), exactly like
+    the reference touches torch Conv/Linear modules:
+    - normal: weight AND bias ~ N(0, 1) (std 1, unscaled);
+    - uniform: weight AND bias ~ U(0, 1);
+    - he_normal: weight ~ N(0, sqrt(2/fan_in)), bias = 0.01 const.
+    Norm-layer scale/bias params are left untouched (their torch classnames
+    match neither Conv nor Linear)."""
     leaves, _ = jax.tree_util.tree_flatten_with_path(params)
+    conv_dense = {tuple(str(e) for e in p[:-1]) for p, l in leaves
+                  if getattr(p[-1], "key", None) == "kernel"
+                  and l.ndim in (2, 4)}
     new_leaves = []
     keys = jax.random.split(rng, len(leaves))
     for (path, leaf), key in zip(leaves, keys):
         name = path[-1].key
+        parent = tuple(str(e) for e in path[:-1])
         if name == "kernel" and leaf.ndim in (2, 4):
             if scheme == "normal":
-                new = gain * jax.random.normal(key, leaf.shape, leaf.dtype)
+                new = jax.random.normal(key, leaf.shape, leaf.dtype)
             elif scheme == "uniform":
-                new = gain * (jax.random.uniform(key, leaf.shape, leaf.dtype) * 2 - 1)
+                new = jax.random.uniform(key, leaf.shape, leaf.dtype)
             elif scheme == "he_normal":
                 std = np.sqrt(2.0 / _fan_in(leaf))
                 new = std * jax.random.normal(key, leaf.shape, leaf.dtype)
             else:
                 raise NotImplementedError(scheme)
-        elif name == "bias":
-            new = jnp.zeros_like(leaf)
+        elif name == "bias" and parent in conv_dense:
+            if scheme == "normal":
+                new = jax.random.normal(key, leaf.shape, leaf.dtype)
+            elif scheme == "uniform":
+                new = jax.random.uniform(key, leaf.shape, leaf.dtype)
+            else:  # he_normal: "better than 0 if relu follows"
+                new = jnp.full_like(leaf, 0.01)
         else:
             new = leaf
         new_leaves.append(new)
@@ -81,13 +96,16 @@ def init_weights_simple(params, rng, scheme="normal", gain=0.2):
 
 
 def initialize_weights(params, rng, weights="normal_p2p", seed=None, **kwargs):
-    """Dispatcher mirroring weight_initialization.py:79-94."""
+    """Dispatcher mirroring weight_initialization.py:79-94. NOTE the
+    reference's default init_gain for the *_p2p schemes is 0.2 (NOT the
+    upstream pix2pix 0.02): its initialize_weights substitutes
+    {"init_gain": 0.2} whenever the scenario's `initialize:` dict carries no
+    init_gain — which the iccv23 configs never do."""
     if seed is not None:
         rng = jax.random.PRNGKey(seed)
-    if weights == "normal_p2p":
-        return init_weights_p2p(params, rng, "normal", kwargs.get("gain", 0.02))
-    if weights == "kaiming_p2p":
-        return init_weights_p2p(params, rng, "kaiming", kwargs.get("gain", 0.02))
+    if weights.endswith("_p2p"):
+        gain = float(kwargs.get("init_gain", kwargs.get("gain", 0.2)))
+        return init_weights_p2p(params, rng, weights.rsplit("_", 1)[0], gain)
     if weights in ("normal", "uniform", "he_normal"):
-        return init_weights_simple(params, rng, weights, kwargs.get("gain", 0.2))
+        return init_weights_simple(params, rng, weights)
     raise NotImplementedError("weights scheme %s" % weights)
