@@ -124,7 +124,14 @@ class ModelSet:
             var = dict(net.init(key, sample_inputs[name]))
             spec = (init_specs or {}).get(name)
             if spec:
-                var["params"] = initialize_weights(var["params"], key, **spec)
+                if "params" in var:
+                    var["params"] = initialize_weights(var["params"], key,
+                                                       **spec)
+                else:  # multihead: {'base': {...}, '<head>': {...}} nesting
+                    for j, sv in enumerate(var.values()):
+                        sv["params"] = initialize_weights(
+                            sv["params"], jax.random.fold_in(key, 100 + j),
+                            **dict(spec))
             variables[name] = var
         return variables
 
@@ -165,10 +172,13 @@ def build_model_set(config):
         if sub.get("type") == "SingleNetworkLink":
             links[name] = sub.get("link") or sub.get("network")
             continue
-        sub.pop("type", None)
-        sub.pop("path", None)
         init_spec = sub.pop("initialize", None)
-        nets[name] = build_single_net(sub)
+        if sub.get("type") == "MultiheadNetwork":
+            nets[name] = build_multihead_net(sub)
+        else:
+            sub.pop("type", None)
+            sub.pop("path", None)
+            nets[name] = build_single_net(sub)
         if init_spec:
             init_specs[name] = dict(init_spec)
     for name, target in links.items():  # shared-module aliases (network.py:330)
@@ -177,34 +187,100 @@ def build_model_set(config):
 
 
 class MultiheadModule:
-    """Base→heads composition (reference MultiheadNetwork, network.py:756-879):
-    a shared base module feeding named head modules; `default_output` selects
-    the head returned by plain forward. Functional: variables are
-    {'base': ..., '<head>': ...}."""
+    """Base→(split)→heads composition (reference MultiheadNetwork,
+    network.py:756-879): a shared base feeds an optional `split` net producing
+    one piece per head (in head order), or — with no split — every head sees
+    the base output directly. `default_output` selects the net returned by
+    plain forward (base or a head, never the split — network.py:775);
+    `head=` forces a single output like `single_output`. Functional:
+    variables are {'base': ..., ('split': ...,) '<head>': ...};
+    `parameter_groups` carries the reference's config-level per-subnet
+    optimizer multipliers (network.py:764,844) consumed by
+    optimizers.multihead_group_mults."""
 
     def __init__(self, base: WrappedNet, heads: Dict[str, WrappedNet],
-                 default_output: Optional[str] = None):
+                 default_output: Optional[str] = None,
+                 split: Optional[WrappedNet] = None,
+                 parameter_groups: Optional[Dict[str, Dict[str, float]]] = None):
+        assert default_output is None or default_output == "base" \
+            or default_output in heads, default_output
         self.base = base
+        self.split = split
         self.heads = heads
         self.default_output = default_output
+        self.parameter_groups = dict(parameter_groups or {})
+        self.frozen = False
+        self.meta: Dict[str, Any] = {}
+        self.data_params = getattr(base, "data_params", {}) or {}
+
+    def _pieces(self, variables, h, train):
+        """Split the base output into per-head inputs (network.py:826-828:
+        len(pieces) must equal the head count)."""
+        if self.split is None:
+            return {name: h for name in self.heads}
+        pieces = self.split.apply(variables["split"], h, train=train)
+        assert len(pieces) == len(self.heads), (len(pieces), len(self.heads))
+        return dict(zip(self.heads, pieces))
 
     def init(self, rng, x, **kw):
         import jax
         variables = {"base": dict(self.base.init(rng, x, **kw))}
         h = self.base.apply(variables["base"], x)
+        if self.split is not None:
+            variables["split"] = dict(
+                self.split.init(jax.random.fold_in(rng, 1000), h))
+        pieces = self._pieces(variables, h, train=False)
         for i, (name, head) in enumerate(self.heads.items()):
-            variables[name] = dict(head.init(jax.random.fold_in(rng, i), h))
+            variables[name] = dict(head.init(jax.random.fold_in(rng, i),
+                                             pieces[name]))
         return variables
 
     def apply(self, variables, x, head=None, train=False, **kw):
         h = self.base.apply(variables["base"], x, train=train, **kw)
-        if head is not None:
-            return self.heads[head].apply(variables[head], h, train=train)
-        if self.default_output:
-            return self.heads[self.default_output].apply(
-                variables[self.default_output], h, train=train)
-        return {name: m.apply(variables[name], h, train=train)
-                for name, m in self.heads.items()}
+        single = head if head is not None else self.default_output
+        if single == "base":
+            return h
+        pieces = self._pieces(variables, h, train)
+        if single is not None:
+            return self.heads[single].apply(variables[single], pieces[single],
+                                            train=train)
+        # all-outputs dict reports base + every head (network.py:818-839)
+        out = {"base": h}
+        out.update({name: m.apply(variables[name], pieces[name], train=train)
+                    for name, m in self.heads.items()})
+        return out
+
+
+def build_multihead_net(config):
+    """Build a MultiheadModule from a reference-style MultiheadNetwork config
+    ({type: MultiheadNetwork, network_order: "base,split,head...", runtime:
+    {default_output, ...}, parameter_groups: {...}, <name>: subnet-config}).
+    Mirrors MultiheadNetwork.initialize (network.py:841-846): network_order
+    names base, split, then heads in order; default_output must not be the
+    split."""
+    config = dict(config)
+    config.pop("type", None)
+    order = [s.strip() for s in config.pop("network_order").split(",")]
+    runtime = dict(config.pop("runtime", {}) or {})
+    parameter_groups = dict(config.pop("parameter_groups", {}) or {})
+    base_name, split_name, *head_names = order
+    default_output = runtime.get("default_output")
+    assert default_output in order and default_output != split_name, \
+        default_output
+    subs = {name: build_single_net(config[name]) for name in order}
+    heads = {name: subs[name] for name in head_names}
+    # variables are keyed 'base'/'split'/<head> — rewrite the config-level
+    # group names for the base/split subnets to match
+    pg = {("base" if k == base_name else "split" if k == split_name else k): v
+          for k, v in parameter_groups.items()}
+    mod = MultiheadModule(subs[base_name], heads,
+                          default_output=("base" if default_output == base_name
+                                          else default_output),
+                          split=subs[split_name],
+                          parameter_groups=pg)
+    mod.data_params = (runtime.get("data")
+                       or subs[base_name].data_params or {})
+    return mod
 
 
 class GlobalLocalModule:

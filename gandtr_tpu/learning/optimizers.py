@@ -8,7 +8,13 @@ Learning-rate schedule factors are injected per epoch via
 reference's per-epoch `scheduler.step()`.
 
 Per-parameter-group LR/decay multipliers (cirnet pool-p ×10, HED group table —
-cirnet.py:11-33, hed.py:98-112) are expressed with `lr_mult_labels` masks.
+cirnet.py:11-33, hed.py:98-112; MultiheadNetwork config-level groups,
+network.py:764,844) are expressed as per-leaf multiplier pytrees passed via
+`initialize_optimizer(..., group_mults=(lr_tree, wd_tree))`: decay is added
+per-leaf BEFORE the moment updates and the LR multiplier scales per-leaf AFTER
+`scale_by_learning_rate` — exactly torch's per-group `lr`/`weight_decay`
+semantics. Build with `param_group_mults` (architecture tables) or
+`multihead_group_mults` (config parameter_groups).
 """
 import optax
 import jax

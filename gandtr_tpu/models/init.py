@@ -107,5 +107,11 @@ def initialize_weights(params, rng, weights="normal_p2p", seed=None, **kwargs):
         gain = float(kwargs.get("init_gain", kwargs.get("gain", 0.2)))
         return init_weights_p2p(params, rng, weights.rsplit("_", 1)[0], gain)
     if weights in ("normal", "uniform", "he_normal"):
+        if kwargs:
+            # the reference refuses parameters for the simple schemes
+            # (weight_initialization.py:86 `assert not params`) — a config
+            # carrying e.g. a gain here is an error, not a silent no-op
+            raise TypeError("weight scheme %r takes no parameters, got %r"
+                            % (weights, sorted(kwargs)))
         return init_weights_simple(params, rng, weights)
     raise NotImplementedError("weights scheme %s" % weights)

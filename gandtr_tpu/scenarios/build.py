@@ -15,7 +15,8 @@ import jax.numpy as jnp
 
 from gandtr_tpu.learning.network import build_model_set
 from gandtr_tpu.learning.optimizers import (initialize_optimizer,
-                                             param_group_mults)
+                                             param_group_mults,
+                                             multihead_group_mults)
 from gandtr_tpu.learning.schedules import initialize_schedule
 from gandtr_tpu.learning.events import initialize_processor
 from gandtr_tpu.learning.checkpoints import Checkpoints
@@ -140,10 +141,19 @@ def build_gan_experiment(scenario, sample_hw=256, batch_size=None,
         if cfg is None:
             continue
         # reference parameter groups: a trained HED detector gets per-layer
-        # lr/decay multipliers (network.py:66-72 -> hed.py:86-112)
-        arch = (net_cfg.get(name, {}).get("model", {}) or {}).get("architecture")
-        mults = (param_group_mults(arch, variables[name]["params"])
-                 if name in variables and arch else None)
+        # lr/decay multipliers (network.py:66-72 -> hed.py:86-112); a
+        # MultiheadNetwork carries config-level per-subnet groups
+        # (network.py:764,844)
+        net_entry = net_cfg.get(name) or {}
+        arch = ((net_entry.get("model") or {})).get("architecture")
+        net_obj = models.nets.get(name)
+        pg = getattr(net_obj, "parameter_groups", None)
+        if name in variables and pg:
+            mults = multihead_group_mults(pg, variables[name])
+        elif name in variables and arch and "params" in variables[name]:
+            mults = param_group_mults(arch, variables[name]["params"])
+        else:
+            mults = None
         optimizers[name], base_lr[name] = initialize_optimizer(dict(cfg),
                                                                group_mults=mults)
 

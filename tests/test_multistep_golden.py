@@ -246,6 +246,14 @@ class TestHedNGanTrajectory:
         ref_move = np.linalg.norm(ref_v5 - init_v5)
         assert ref_move > 1e-4, "conv5 should have moved ~lr*100 per step"
         np.testing.assert_allclose(got_move, ref_move, rtol=0.2)
+        # ... and the movement DIRECTION must agree: per-element signs are
+        # f32-chaotic but the aggregate displacement is not — a wrong-group
+        # bug with a coincidentally-close norm would still decorrelate this
+        d_got = (got_v5 - init_v5).ravel()
+        d_ref = (ref_v5 - init_v5).ravel()
+        cos = float(d_got @ d_ref / (np.linalg.norm(d_got) *
+                                     np.linalg.norm(d_ref)))
+        assert cos > 0.8, "conv5 movement direction diverged (cos=%.3f)" % cos
         for path in (("vgg1_0", "conv", "bias"),
                      ("score1", "conv", "bias"), ("fusion", "conv", "kernel")):
             x, y = ours_det, th
