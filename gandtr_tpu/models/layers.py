@@ -47,6 +47,7 @@ class _RawConv(nn.Module):
     use_bias: bool
 
     reflect_pad: int = 0  # fold a 'SAME' reflect pad into the fast path
+    dilation: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -64,11 +65,12 @@ class _RawConv(nn.Module):
             y = fastconv.dispatch_conv_reflect(x, kernel, self.reflect_pad)
             if y is None:
                 x = pad2d(x, self.reflect_pad, "reflect")
-        if y is None and x.ndim == 4:
+        if y is None and x.ndim == 4 and self.dilation == 1:
             y = fastconv.dispatch_conv(x, kernel, self.stride)
         if y is None:
             y = jax.lax.conv_general_dilated(
                 x, kernel, (self.stride, self.stride), "VALID",
+                rhs_dilation=(self.dilation, self.dilation),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
         if squeeze:
             y = y[0]
@@ -87,6 +89,7 @@ class Conv(nn.Module):
     padding: int = 0
     use_bias: bool = True
     pad_mode: str = "zero"
+    dilation: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -97,7 +100,8 @@ class Conv(nn.Module):
         if self.padding:
             x = pad2d(x, self.padding, self.pad_mode)
         return _RawConv(self.features, self.kernel_size, self.stride,
-                        self.use_bias, name="conv")(x)
+                        self.use_bias, dilation=self.dilation,
+                        name="conv")(x)
 
 
 class ConvTranspose(nn.Module):

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from gandtr_tpu.models.layers import Conv, pad2d
+from gandtr_tpu.models.layers import Conv
 
 
 def _bilinear_filter(size):
@@ -64,13 +64,8 @@ class RCF(nn.Module):
             downs = []
             for ci, width in enumerate(widths, start=1):
                 dilation = 2 if si == 5 else 1
-                if dilation == 1:
-                    h = Conv(width, 3, padding=1, name=f"conv{si}_{ci}")(h)
-                else:
-                    hp = pad2d(h, 2, "zero")
-                    h = nn.Conv(width, (3, 3), padding="VALID",
-                                kernel_dilation=(2, 2),
-                                name=f"conv{si}_{ci}_conv")(hp)
+                h = Conv(width, 3, padding=dilation, dilation=dilation,
+                         name=f"conv{si}_{ci}")(h)
                 h = nn.relu(h)
                 downs.append(Conv(21, 1, name=f"conv{si}_{ci}_down")(h))
             s = Conv(1, 1, name=f"score_dsn{si}")(sum(downs))
@@ -88,9 +83,8 @@ class RCF(nn.Module):
 
 
 def rcf_key_map(path):
-    """flax path -> torch RCF state key."""
+    """flax path -> torch RCF state key (every conv — dilated conv5 included —
+    nests its kernel under layers.Conv's 'conv' submodule, so torch_import's
+    OIHW layout rule applies uniformly)."""
     leaf = {"kernel": "weight", "bias": "bias"}[path[-1]]
-    head = path[0]
-    if head.endswith("_conv"):  # dilated conv5_x
-        return f"{head[:-5]}.{leaf}"
-    return f"{head}.{leaf}"
+    return f"{path[0]}.{leaf}"

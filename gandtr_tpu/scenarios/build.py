@@ -197,8 +197,11 @@ def build_gan_experiment(scenario, sample_hw=256, batch_size=None,
     # gradient psum). `learning.training.parallel: false` disables;
     # `parallel: {devices: N}` restricts the mesh.
     par_cfg = train_cfg.get("parallel", True)
-    batch_size_cfg = int((data_cfg.get("train") or {}).get("loader", {})
-                         .get("batch_size", batch_size or 0) or 0)
+    # the divisibility check must see the batch the loader will actually use:
+    # an explicit batch_size argument overrides the config's loader value below
+    batch_size_cfg = int(batch_size
+                         or (data_cfg.get("train") or {}).get("loader", {})
+                         .get("batch_size", 0) or 0)
     step, state = _maybe_data_parallel(step, state, par_cfg, batch_size_cfg,
                                        num_batch_args=2)
 

@@ -120,9 +120,22 @@ def convert_contained_net(params, data):
             else:
                 emit(prefix + (k,), v)
 
+    # multi-net container checkpoints nest per subnet ({name: {params: ...}});
+    # select the named subnet before walking (reference test.py:153-245
+    # extracts the embedding net from an mdir container)
+    if "params" not in variables and "batch_stats" not in variables:
+        if net_name not in variables:
+            raise KeyError(
+                "checkpoint has no top-level params and no subnet %r "
+                "(has: %s)" % (net_name, sorted(variables)))
+        variables = variables[net_name]
+
     for collection in ("params", "batch_stats"):
         if collection in variables:
             walk(variables[collection])
+    if not state_dict:
+        raise ValueError("convert_contained_net produced an empty state_dict "
+                         "for network %r — key map matched nothing" % net_name)
 
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "wb") as f:

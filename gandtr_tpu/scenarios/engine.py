@@ -98,8 +98,8 @@ def load_yaml_scenario(scenarios):
             keys[-1] = keys[-1][:-1]
             try:
                 existing = get_deeply(scenario, keys, ignore_nonexistent=True)
-            except TypeError:  # scalar intermediate — replaced below
-                existing = None
+            except (TypeError, ValueError):  # scalar intermediate (get_deeply
+                existing = None              # raises ValueError) — replaced below
             value = (existing or []) + value
         elif keys[-1].endswith("*"):
             keys[-1] = keys[-1][:-1]

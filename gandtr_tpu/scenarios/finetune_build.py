@@ -147,8 +147,8 @@ def build_finetune_experiment(params, directory=None, db=None, images=None):
     from gandtr_tpu.scenarios.build import _maybe_data_parallel
     step, state = _maybe_data_parallel(
         raw_step, state, train_cfg.get("parallel", True),
-        int(data_cfg.get("train", {}).get("loader", {}).get("batch_size", 0)
-            or 0), num_batch_args=4)
+        int(data_cfg.get("train", {}).get("loader", {}).get("batch_size", 5)
+            or 5), num_batch_args=4)
 
     # --- mining + dataset ---
     ds_cfg = dict(data_cfg.get("train", {}).get("dataset", {}))
@@ -185,7 +185,8 @@ def build_finetune_experiment(params, directory=None, db=None, images=None):
                                     augment_ratio=ratio, augment_label=label,
                                     neg_num=int(ds_cfg.get("neg_num", 5)))
         dataset.extract_fn = _make_extract_fn(models, state, images, transform,
-                                              image_size)
+                                              image_size, augment_ratio=ratio,
+                                              augment_label=label)
         loader = Loader(dataset, batch_size=int(loader_cfg.get("batch_size", 5)),
                         shuffle=True, drop_last=True,
                         num_workers=int(loader_cfg.get("num_workers", 6)))
@@ -206,7 +207,19 @@ def build_finetune_experiment(params, directory=None, db=None, images=None):
     val_data = dict(data_cfg.get("val") or {})
     if val_section and val_data and db is not None:
         vds_cfg = dict(val_data.get("dataset", {}))
-        val_db = db if vds_cfg.get("split", "val") not in ("train",) else db
+        # load the configured validation split (reference finetune.yml sets
+        # data.val.dataset.split: val — a held-out tuple db, NOT the train db)
+        vsplit = vds_cfg.get("split", "val")
+        vpkl = vds_cfg.get("dataset_pkl", ds_cfg.get("dataset_pkl"))
+        vroot = vds_cfg.get("image_dir", ds_cfg.get("image_dir", ""))
+        val_db, val_images = db, images
+        if vpkl and (vsplit != ds_cfg.get("split", "train")
+                     or vpkl != ds_cfg.get("dataset_pkl")):
+            try:
+                val_db, val_images = load_tuples_db(vpkl, vsplit, vroot)
+            except (KeyError, OSError) as exc:  # pkl without the split
+                warnings.warn("finetune val split %r unavailable (%s); "
+                              "falling back to the train db" % (vsplit, exc))
         try:
             val_miner = TuplesMiner(
                 val_db, nnum=int(vds_cfg.get("neg_num", 5)),
@@ -217,10 +230,12 @@ def build_finetune_experiment(params, directory=None, db=None, images=None):
                          "mean_std": [[0.5, 0.5, 0.5], [0.5, 0.5, 0.5]]}
             vtransform = initialize_transforms(gen_data2["transforms"],
                                                gen_data2["mean_std"])
-            vdataset = TupleEpochDataset(val_db, images, vtransform, image_size,
-                                         val_miner, augment_ratio=0.0)
-            vdataset.extract_fn = _make_extract_fn(models, state, images,
-                                                   vtransform, image_size)
+            vdataset = TupleEpochDataset(val_db, val_images, vtransform,
+                                         image_size, val_miner,
+                                         augment_ratio=0.0)
+            vdataset.extract_fn = _make_extract_fn(
+                models, state, val_images, vtransform, image_size,
+                augment_ratio=ratio, augment_label=label)
             vloader = Loader(vdataset, batch_size=1, num_workers=1)
             from gandtr_tpu.learning.training import LossValidation
             from gandtr_tpu.ops import losses as L
@@ -277,10 +292,13 @@ def _parse_ratio(wrappers_str):
     return 0.0, "anc"
 
 
-def _make_extract_fn(models, state_ref, images, transform, image_size):
+def _make_extract_fn(models, state_ref, images, transform, image_size,
+                     augment_ratio=0.25, augment_label="anc"):
     """Descriptor extraction over dataset indices for mining: batched
     square-padded masked embedding (mining runs through the SAME augment+embed
-    pipeline as training, reference traindataset.py:216-243)."""
+    pipeline as training, reference traindataset.py:216-243). The augmentation
+    gate (ratio + label regex) comes from the configured
+    cir_ratio_pass_through wrapper, not hardcoded defaults."""
     embed = models["embed"]
     augment = models["augment"]
     holder = {"state": state_ref}
@@ -294,10 +312,10 @@ def _make_extract_fn(models, state_ref, images, transform, image_size):
         return embed.apply(variables["embed"], x, train=False, mask=masks)
 
     import re as _re
-    anc_re = _re.compile("anc")
+    anc_re = _re.compile(augment_label or "anc")
 
     def extract(idxs, label="anc-mine"):
-        gate = bool(anc_re.match(label))  # only anchor-role extractions are
+        gate = bool(anc_re.match(label))  # only gate-label extractions are
         # augmentation-gated (reference image_label regex, wrapper.py:131-135)
         state = holder["state"]
         vecs = []
@@ -316,7 +334,7 @@ def _make_extract_fn(models, state_ref, images, transform, image_size):
                 imgs.append(out)
                 masks.append(m)
                 pmask.append(gate and cir_hash_passthrough(
-                    metadata_name(images[idx]), 0.25))
+                    metadata_name(images[idx]), augment_ratio))
             n = len(imgs)
             while len(imgs) < batch:  # pad last chunk to the static batch
                 imgs.append(imgs[-1]); masks.append(masks[-1]); pmask.append(False)

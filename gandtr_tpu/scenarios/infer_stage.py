@@ -295,6 +295,12 @@ def infer_incrementally(params, data):
     merge (reference infer.py:69-84): data = (identifier_existing,
     value_existing, identifier_new); returns (metadata, identifier_new,
     value_new) with values as per-identifier rows."""
+    if len(data) != 3:
+        raise ValueError(
+            "infer_incrementally needs (identifier_existing, value_existing, "
+            "identifier_new) — it is a programmatic API (no caller passes "
+            "stdin data to it as a scenario step, matching the reference), "
+            "got %d data item(s)" % len(data))
     identifier_existing, value_existing, identifier_new = data
     existing = dict(zip(identifier_existing, list(value_existing)))
     for_inference = [x for x in identifier_new if x not in existing]

@@ -126,6 +126,15 @@ def parse_targets(scenario, targets, path=""):
     return acc
 
 
+def derive_scenario_name(specs):
+    """${SCENARIO_NAME} comes from the LAST yaml path (reference
+    perform_scenario.py:116, os.path.basename(paths[-1])): overlay chains are
+    named after the most-derived file. key=value overrides don't count."""
+    yaml_specs = [s for s in specs if "=" not in s.split("/")[-1]]
+    return (yaml_specs[-1] if yaml_specs else specs[-1]) \
+        .rsplit("/", 1)[-1].rsplit(".", 1)[0]
+
+
 def run_target(scenario, target, scenario_name, stdin_data=None):
     """Run one target's sorted steps, threading metadata context
     (perform_scenario.py:108-131)."""
@@ -223,7 +232,7 @@ def main(argv=None):
         print("OK: %d targets, all step functions resolve" % len(targets))
         return 0
 
-    scenario_name = args.scenario[0].rsplit("/", 1)[-1].rsplit(".", 1)[0]
+    scenario_name = derive_scenario_name(args.scenario)
     stdin_data = None
     if not sys.stdin.isatty():
         stdin_data = [x.strip() for x in sys.stdin.readlines() if x.strip()]

@@ -124,7 +124,7 @@ def validate(params, data):
         metrics, _, _, _ = evaluate_dataset(extractor, cfg, image_size,
                                             transform, batch_size=batch_size)
         for mk, mv in metrics.items():
-            metadata[f"{ds}/validation/score_avg:{mk.replace('map_', 'map_') if mk != 'map' else 'map'}"] = mv
+            metadata[f"{ds}/validation/score_avg:{mk}"] = mv
         print(">> %s: %s" % (ds, {k: round(100 * v, 2) for k, v in metrics.items()}))
     return (
         {"metadata": {"validation": metadata}},

@@ -105,6 +105,10 @@ def fs_driver(path, *nested):
         if "?" in path:
             return ApiPath(path, *nested)
         from gandtr_tpu.utils.io import fetch
-        return fetch  # plain http: sha-validated download (utils/io.py)
+        # plain http: join nested components then hand back the local path of
+        # the sha-validated download (reference returns HttpPath(path, *nested)
+        # whose consumers read a local file, fs_driver.py:177-183)
+        return fetch("/".join((path.rstrip("/"),) + tuple(nested))
+                     if nested else path)
     import os
     return os.path.join(path, *nested)

@@ -11,6 +11,14 @@ Layout rules:
 - ConvTranspose2d weight (I, O, kH, kW) → our ConvTranspose kernel (kH, kW, I, O)
 - Linear weight (out, in) → flax Dense kernel (in, out)
 - BatchNorm weight/bias/running_mean/running_var → scale/bias + batch_stats
+
+INVARIANT the 4-D rule relies on: every regular conv kernel in this package
+nests under models/layers.py Conv's 'conv' submodule; a 4-D kernel that is a
+DIRECT leaf of its module (path[-2] != 'conv') is a ConvTranspose (IOHW
+source layout). Do not add raw nn.Conv modules to importable models — for a
+square I==O kernel the two transposes produce the same shape, so a violation
+imports silently channel-swapped weights (caught once in RCF's dilated
+conv5; fixed by routing it through layers.Conv with dilation).
 """
 import numpy as np
 import jax.numpy as jnp

@@ -132,3 +132,41 @@ def test_embed_optimizer_gets_cirnet_param_groups(synth, tmp_path,
     lr, wd = captured["mults"]
     assert lr["gem_p"] == 10.0 and wd["gem_p"] == 0.0
     assert lr["backbone"]["features_0"]["conv"]["kernel"] == 1.0
+
+
+def test_finetune_validation_uses_val_split(synth, tmp_path):
+    """The validation loader must mine from data.val.dataset.split (reference
+    finetune.yml sets split: val) — not silently reuse the train db."""
+    import pickle
+
+    db, images = synth
+    imgdir = os.path.dirname(images[0])
+    # a pkl carrying both splits in the "ids" form (filenames under image_dir)
+    names = [os.path.basename(p) for p in images]
+    train_db = dict(db)
+    val_db = {
+        "ids": names[8:16],
+        "cluster": [i // 2 for i in range(8)],
+        "qidxs": [0, 2], "pidxs": [1, 3],
+    }
+    pkl = tmp_path / "tuples.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump({"train": train_db, "val": val_db}, f)
+
+    params = micro_params(tmp_path)
+    params["learning"]["validation"] = {"frequency": 1}
+    params["data"]["val"] = {
+        "dataset": {"dataset_pkl": str(pkl), "split": "val",
+                    "image_dir": imgdir, "neg_num": 2,
+                    "query_size": 2, "pool_size": 8},
+        "loader": {"batch_size": 1},
+    }
+    exp = build_finetune_experiment(params, directory=str(tmp_path / "expv"),
+                                    db=db, images=images)
+    vals = exp["training"].validations
+    assert vals, "validation configured but not built"
+    vds = vals[0].loader.dataset
+    assert vds.db is not db
+    assert vds.db["ids"] == val_db["ids"]
+    # val images resolve under the configured image_dir
+    assert all(os.path.dirname(p) == imgdir for p in vds.images)
