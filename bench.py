@@ -204,12 +204,13 @@ def bench_index_search():
 # The tunnel chip can transiently wedge (FAILED_PRECONDITION, then HANGS on
 # new dispatches) and recovers on its own in ~5-10 min (CLAUDE.md). A hang
 # cannot be caught inline, so the default invocation runs the measurement in
-# a watchdog subprocess (35 min timeout ≫ the ~12 min normal wall) and
-# retries once after a recovery wait; stdout is forwarded only on success so
-# the driver never parses a partial line.
+# a watchdog subprocess and retries once after a recovery wait; stdout is
+# forwarded only on success so the driver never parses a partial line.
+# Timeout 48 min: normal wall is ~12-20 min, but on a 1-CPU host with
+# concurrent load the round-2 pre-validation measured ~30 min — leave margin.
 _INNER_ENV = "GANDTR_BENCH_INNER"
 _ATTEMPTS = 2
-_TIMEOUT_S = 2100
+_TIMEOUT_S = 2880
 _RECOVERY_WAIT_S = 420
 
 
@@ -218,6 +219,7 @@ def _watchdog():
     env[_INNER_ENV] = "1"
     last = None
     for attempt in range(_ATTEMPTS):
+        t_start = time.perf_counter()
         try:
             proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
                                   env=env, capture_output=True, text=True,
@@ -229,6 +231,8 @@ def _watchdog():
             if proc.returncode == 0 and '"metric"' in proc.stdout:
                 sys.stdout.write(proc.stdout)
                 sys.stderr.write(proc.stderr[-2000:])
+                sys.stderr.write("bench inner wall: %.0fs\n"
+                                 % (time.perf_counter() - t_start))
                 return 0
             last = "rc=%d; stderr tail: %s" % (proc.returncode,
                                                proc.stderr[-1500:])
