@@ -208,22 +208,33 @@ class Training:
         return state, epoch + 1
 
 
+def should_validate(frequency, epoch):
+    """Reference validation.py:73-74: `epoch is None or (frequency and
+    (epoch + 1) % frequency == 0)`. Our training epochs are 1-based (the
+    reference's are 0-based, hence its +1), and `epoch=None` marks an
+    explicit validate-stage run, which always validates. A falsy frequency
+    (null/0) therefore never validates during training — the reference's
+    eval.yml uses `frequency: null` for exactly that."""
+    return epoch is None or (bool(frequency) and epoch % int(frequency) == 0)
+
+
 class VisualValidation:
     """Run the generator over fixed validation images and log outputs as blobs
     (reference optim/score/visual.py:12-91)."""
 
     def __init__(self, model, images, mean_std=((0.5,) * 3, (0.5,) * 3),
-                 net_name="generator_X", key="val/visual"):
+                 net_name="generator_X", key="val/visual", frequency=1):
         self.model = model
         self.images = images  # (N, H, W, C) normalized
         self.mean = np.asarray(mean_std[0])
         self.std = np.asarray(mean_std[1])
         self.net_name = net_name
         self.key = key
+        self.frequency = frequency
         self._jit = None
 
     def __call__(self, state, epoch, events):
-        if events is None:
+        if events is None or not should_validate(self.frequency, epoch):
             return
         if self._jit is None:
             self._jit = jax.jit(lambda v, x: self.model.apply(v, x, train=False))
@@ -239,21 +250,29 @@ class LossValidation:
     a val loader every `frequency` epochs."""
 
     def __init__(self, loss_fn, loader, frequency=1,
-                 key="val/learning/loss:total", batch_to_args=None):
+                 key="val/learning/loss:total", batch_to_args=None,
+                 criterion_mean_reduction=True):
         self.loss_fn = loss_fn
         self.loader = loader
         self.frequency = frequency
         self.key = key
         self.batch_to_args = batch_to_args or (lambda b: b)
+        # reference validation.py:99-101: sum-reduction criteria are
+        # "always reported batch-normalized" — divided by the number of
+        # items (tuples) in the batch before logging
+        self.criterion_mean_reduction = criterion_mean_reduction
 
     def __call__(self, state, epoch, events):
-        if self.frequency and epoch % self.frequency != 0:
+        if not should_validate(self.frequency, epoch):
             return
         if hasattr(self.loader.dataset, "prepare_epoch"):
             self.loader.dataset.prepare_epoch()
         losses = []
         for batch in self.loader:
-            losses.append(float(self.loss_fn(state, *self.batch_to_args(batch))))
+            loss = float(self.loss_fn(state, *self.batch_to_args(batch)))
+            if not self.criterion_mean_reduction:
+                loss /= max(len(batch[0]), 1)
+            losses.append(loss)
         if events and losses:
             events.logger("", epoch)(self.key, float(np.mean(losses)), "scalar/loss")
 
@@ -306,7 +325,7 @@ class ScoreValidation:
         return self._cfg
 
     def __call__(self, state, epoch, events):
-        if self.frequency and epoch % self.frequency != 0:
+        if not should_validate(self.frequency, epoch):
             return
         from gandtr_tpu.eval.retrieval import (ShapeCachedExtractor,
                                                evaluate_dataset)

@@ -260,7 +260,8 @@ def build_gan_experiment(scenario, sample_hw=256, batch_size=None,
                                   for n in names])
                 validations.append(VisualValidation(
                     models["generator_X"].module, imgs,
-                    mean_std=vdata.get("mean_std", [[0.5] * 3, [0.5] * 3])))
+                    mean_std=vdata.get("mean_std", [[0.5] * 3, [0.5] * 3]),
+                    frequency=vis_cfg.get("frequency", 1)))
         except Exception as exc:
             warnings.warn("visual validation disabled: %s" % exc)
 

@@ -249,8 +249,12 @@ def build_finetune_experiment(params, directory=None, db=None, images=None):
 
             validations.append(LossValidation(
                 val_loss, vloader,
-                frequency=int(val_section.get("frequency", 5)),
-                batch_to_args=lambda b: tuple(jnp.asarray(x) for x in b)))
+                frequency=val_section.get("frequency", 5),
+                batch_to_args=lambda b: tuple(jnp.asarray(x) for x in b),
+                # contrastive is a sum-reduction criterion: the reference
+                # batch-normalizes before logging (validation.py:99-101);
+                # our val loader is 1 tuple/batch so this divides by 1
+                criterion_mean_reduction=False))
         except Exception as exc:
             warnings.warn("finetune validation disabled: %s" % exc)
 
