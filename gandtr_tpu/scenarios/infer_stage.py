@@ -30,10 +30,18 @@ class RgbImageSaver:
     `stretch_by` mirrors imgtools._tensor_to_image (imgtools.py:20-29):
     "meanstd" denormalizes with mean/std; "auto" min-max stretches; "none"
     saves raw; a number n denormalizes then maps to [1/2n-ish] contrast.
+
+    `transforms` is the dataset's transform DSL string; like the reference's
+    imgtools (imgtools.py:5-11, 31-60) the sink scans it for colorspace
+    markers (tolab/toluv/tolsh) and channel modes (chan1/chan42/add_meanstd)
+    and undoes them: denormalized LAB/LUV/LSH values are range-clipped and
+    converted back to RGB; chan42 saves concat(input[..., 3:], output);
+    add_meanstd saves output channel 0 as grayscale. In a colorspace branch
+    the reference ignores stretch_by — so do we.
     """
 
     def __init__(self, directory, mean_std, structure=None, append=False,
-                 workers=6, stretch_by="meanstd"):
+                 workers=6, stretch_by="meanstd", transforms=""):
         self.directory = resolve_path(directory)
         # float64 like the reference's python-list mean/std, which promotes
         # the f32 image on multiply (imgtools.py:24) — keeps truncation ties
@@ -43,6 +51,19 @@ class RgbImageSaver:
         self.structure = structure
         self.append = append
         self.stretch_by = stretch_by
+        self.transforms = transforms or ""
+        # imgtools._transforms_to_colorspace (imgtools.py:5-11): legacy raw
+        # colorspace markers, undone with the reference's range-clips
+        self.colorspace = next((c for c in ("lab", "luv", "lsh")
+                                if "to" + c in self.transforms), None)
+        # the LIVE registry form `tospace:X` produces NORMALIZED colorspace
+        # values (channel_transforms.py:82-89 -> rgb2normspace); the reference
+        # imgtools never learned to undo it — we do, via normspace2rgb
+        self.normspace = None
+        for piece in self.transforms.split("|"):
+            piece = piece.strip()
+            if piece.startswith("tospace:"):
+                self.normspace = piece.split(":", 1)[1].strip()
         os.makedirs(self.directory, exist_ok=True)
         self.pool = ThreadPoolExecutor(workers)
         self.futures = []
@@ -75,29 +96,106 @@ class RgbImageSaver:
             return names
         return [n for n in names if not os.path.exists(self.target_path(n))]
 
+    @property
+    def needs_input(self):
+        """chan42/add_meanstd mix the (normalized) INPUT into the saved image
+        (imgtools.get_image, imgtools.py:63-71)."""
+        return "chan42" in self.transforms or "add_meanstd" in self.transforms
+
     def _to_uint8(self, arr):
         """imgtools._tensor_to_image stretch semantics (imgtools.py:20-29),
         NHWC instead of the reference's CHW; "auto" stays f32 (the reference's
         in-place ops), the mean/std paths promote to f64 (list multiply)."""
+        if self.colorspace:
+            return self._colorspace_to_uint8(arr)
+        if self.normspace and self.normspace not in ("rgb", "gray"):
+            return self._normspace_to_uint8(arr)
         img = np.asarray(arr, np.float32)
+        if img.shape[-1] == 1:  # grayscale squeeze (imgtools.py:18)
+            img = img[..., 0]
+        elif img.shape[-1] > 3:
+            img = img[..., :3]
         s = self.stretch_by
+        c = 1 if img.ndim == 2 else img.shape[-1]
         if s == "auto":
             img = img - np.min(img)
             img = img / np.max(img)
         elif s == "meanstd":
-            img = img * self.std + self.mean
+            img = img * self.std[:c] + self.mean[:c]
         elif s != "none":
-            img = img * self.std + self.mean
+            img = img * self.std[:c] + self.mean[:c]
             img = img / float(s)
             img = img + 1.0 / 2.0 / float(s)
         return np.clip(img * 255, 0, 255).astype(np.uint8)
 
-    def add(self, name, image_nhwc):
+    def _normspace_to_uint8(self, arr):
+        """Undo the live `tospace:X` transform: mean/std denormalize to the
+        normalized colorspace, invert with ops.colorspace.normspace2rgb, clip
+        to [0,1], *255 uint8. stretch_by is ignored like the reference's
+        colorspace branch."""
+        from gandtr_tpu.ops import colorspace as cs
+        img = np.asarray(arr, np.float32)
+        c = img.shape[-1]
+        img = img[..., :3] * self.std[:min(c, 3)] + self.mean[:min(c, 3)]
+        rgb = np.asarray(cs.normspace2rgb(jnp.asarray(img, jnp.float32),
+                                          self.normspace))
+        return (np.clip(rgb, 0.0, 1.0) * 255).astype(np.uint8)
+
+    def _colorspace_to_uint8(self, arr):
+        """Colorspace-undo branch (imgtools.py:31-60): zero-pad chan1 to 3
+        channels, denormalize, clip to the space's valid range, convert back
+        to RGB with the cv2-float-parity converters in ops.colorspace, and
+        (chan1) reduce to grayscale. stretch_by is ignored, matching the
+        reference. uint8 cast is unclipped like imgtools.py:59 — safe because
+        LAB/LUV converters saturate to [0,1] (cv2 parity) and clipped HLS
+        inputs produce in-range RGB."""
+        from gandtr_tpu.ops import colorspace as cs
+        img = np.asarray(arr, np.float32)
+        mean, std = self.mean, self.std
+        chan1 = "chan1" in self.transforms  # plain substring, imgtools.py:31
+        if chan1:  # imgtools.py:31-33
+            img = np.concatenate([img, np.zeros_like(img), np.zeros_like(img)],
+                                 axis=-1)
+            mean = np.array([mean[0], 0.0, 0.0])
+            std = np.array([std[0], 1.0, 1.0])
+        img = img[..., :3] * std[:3] + mean[:3]
+        space = self.colorspace
+        if space == "lab":  # imgtools.py:36-38
+            img[..., 0] = np.clip(img[..., 0], 0, 100)
+            img[..., 1:] = np.clip(img[..., 1:], -127, 127)
+        elif space == "luv":  # imgtools.py:39-42
+            img[..., 0] = np.clip(img[..., 0], 0, 100)
+            img[..., 1] = np.clip(img[..., 1], -134, 220)
+            img[..., 2] = np.clip(img[..., 2], -140, 122)
+        elif space == "lsh":  # imgtools.py:43-48: [l,s,h] -> HLS [h,l,s]
+            img = np.stack([np.clip(img[..., 2], 0, 360),
+                            np.clip(img[..., 0], 0, 1),
+                            np.clip(img[..., 1], 0, 1)], axis=-1)
+        fn = {"lab": cs.lab_to_rgb, "luv": cs.luv_to_rgb,
+              "lsh": cs.hls_to_rgb}[space]
+        rgb = np.asarray(fn(jnp.asarray(img, jnp.float32)))
+        if space in ("lab", "luv"):  # cv2 saturates LAB2RGB/LUV2RGB output
+            rgb = np.clip(rgb, 0.0, 1.0)
+        if chan1:  # imgtools.py:57-58
+            rgb = np.mean(rgb, axis=-1)
+        return (rgb * 255).astype(np.uint8)
+
+    def add(self, name, image_nhwc, input_nhwc=None):
+        out = np.asarray(image_nhwc)
+        if input_nhwc is not None:  # imgtools.get_image (imgtools.py:66-69)
+            inp = np.asarray(input_nhwc)
+            if "chan42" in self.transforms:
+                out = np.concatenate([inp[..., 3:], out], axis=-1)
+            elif "add_meanstd" in self.transforms:
+                out = out[..., :1]
+
         def write(n, arr):
             if arr.dtype != np.uint8:  # device-side post already denormalized
                 arr = self._to_uint8(arr)
+            elif arr.ndim == 3 and arr.shape[-1] == 1:
+                arr = arr[..., 0]
             Image.fromarray(arr).save(self.target_path(n))
-        self.futures.append(self.pool.submit(write, name, np.asarray(image_nhwc)))
+        self.futures.append(self.pool.submit(write, name, out))
 
     def close(self):
         for f in self.futures:
@@ -186,7 +284,14 @@ def infer(params, data):
         sink = RgbImageSaver(out_cfg.pop("directory"), mean_std,
                              structure=out_cfg.pop("structure", None),
                              append=bool(out_cfg.pop("append", False)),
-                             stretch_by=out_cfg.pop("stretch_by", "meanstd"))
+                             stretch_by=out_cfg.pop("stretch_by", "meanstd"),
+                             transforms=tf_str)
+        if sink.needs_input and device_pre is not None:
+            # chan42/add_meanstd sinks consume the NORMALIZED input
+            # (imgtools.get_image) — keep the full transform on host so the
+            # batched arrays are what the sink expects
+            transforms = initialize_transforms(tf_str, mean_std)
+            device_pre = None
     else:
         sink = EmbeddingOutput(out_cfg.pop("dimensions", 512))
 
@@ -201,6 +306,8 @@ def infer(params, data):
     # reference artifacts — hence off by default.
     device_post = bool(out_type == "image" and
                        sink.stretch_by == "meanstd" and
+                       sink.colorspace is None and not sink.needs_input and
+                       sink.normspace in (None, "rgb", "gray") and
                        data_cfg.get("device_postprocess", False))
 
     def full_forward(v, x):
@@ -226,8 +333,12 @@ def infer(params, data):
         if key not in jit_cache:
             jit_cache[key] = jax.jit(full_forward)
         out = np.asarray(jit_cache[key](variables, x))
+        mix = out_type == "image" and sink.needs_input
         for i in range(n):
-            sink.add(bucket_names[i], out[i])
+            if mix:
+                sink.add(bucket_names[i], out[i], input_nhwc=bucket_arrs[i])
+            else:
+                sink.add(bucket_names[i], out[i])
 
     image_size = data_cfg.get("image_size")
 
