@@ -186,6 +186,70 @@ def _svg_histogram(hists, width=420, height=120):
             + "</svg>")
 
 
+#: reference plots.py:29 — percentile levels of the distribution fan
+FAN_PERCENTILES = (0, 0.07, 0.16, 0.31, 0.5, 0.69, 0.84, 0.93, 1)
+
+
+def _hist_percentiles(centers, counts, qs=FAN_PERCENTILES):
+    """Percentile values of a (centers, counts) histogram via the CDF."""
+    counts = np.asarray(counts, np.float64)
+    total = counts.sum()
+    if total == 0 or not len(counts):
+        return [0.0] * len(qs)
+    cum = np.cumsum(counts)
+    idx = np.searchsorted(cum, np.asarray(qs) * total)
+    return [float(centers[min(i, len(counts) - 1)]) for i in idx]
+
+
+def _svg_percentile_fan(epochs_hists, width=420, height=120):
+    """{epoch: {subkey: (centers, counts)}} -> SVG percentile fan over epochs
+    per subkey: nested bands between symmetric percentile pairs plus a bold
+    median line — the dependency-free analog of the reference's
+    plot_distribution (plots.py:28-68, matplotlib fill_between)."""
+    eps = sorted(epochs_hists)
+    subkeys = sorted({s for e in eps for s in epochs_hists[e]})
+    panels, y0 = [], 0
+    band_fill = "rgb(255,165,115)"   # plots.py:30 CURVE1_COLOR
+    line_col = "rgb(226,115,70)"     # plots.py:31 CURVE2_COLOR ("bold")
+    for subkey in subkeys:
+        series = []  # per epoch: percentile vector
+        for e in eps:
+            if subkey not in epochs_hists[e]:
+                series.append(None)
+                continue
+            series.append(_hist_percentiles(*epochs_hists[e][subkey]))
+        pts = [(i, p) for i, p in enumerate(series) if p is not None]
+        if not pts:
+            continue
+        flat = [v for _, p in pts for v in p]
+        lo, hi = min(flat), max(flat)
+        span = (hi - lo) or 1.0
+        nx = max(len(eps) - 1, 1)
+
+        def xy(i, v):
+            return ("%.1f,%.1f" % (10 + i * (width - 20) / nx,
+                                   y0 + height - 14
+                                   - (v - lo) * (height - 30) / span))
+
+        shapes = []
+        nq = len(FAN_PERCENTILES)
+        for b in range(nq // 2):  # nested bands: (0,8),(1,7),(2,6),(3,5)
+            top = " ".join(xy(i, p[nq - 1 - b]) for i, p in pts)
+            bot = " ".join(xy(i, p[b]) for i, p in reversed(pts))
+            shapes.append(f'<polygon points="{top} {bot}" fill="{band_fill}" '
+                          f'fill-opacity="0.25" stroke="none"/>')
+        median = " ".join(xy(i, p[nq // 2]) for i, p in pts)
+        shapes.append(f'<polyline points="{median}" fill="none" '
+                      f'stroke="{line_col}" stroke-width="1.5"/>')
+        label = "%s  [%.3g, %.3g]" % (subkey, lo, hi)
+        panels.append(f'<g>{"".join(shapes)}<text x="12" y="{y0 + 12}" '
+                      f'font-size="10">{label}</text></g>')
+        y0 += height
+    return (f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+            f'height="{y0}" style="background:#fafafa">' + "".join(panels)
+            + "</svg>")
+
+
 class EventBroker:
     """Facade (eventprocessor.py:680-752): fan out live events to streamers,
     accumulate per-epoch aggregates, persist history as JSON. weight/* events

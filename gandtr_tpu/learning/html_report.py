@@ -66,17 +66,22 @@ class HtmlReport:
         # SVG is inlined, older epochs stay reachable under blobs/
         dists = ""
         if histograms:
-            from gandtr_tpu.learning.events import _svg_histogram
+            from gandtr_tpu.learning.events import (_svg_histogram,
+                                                    _svg_percentile_fan)
             blocks = []
             for key in sorted(histograms):
                 epochs = histograms[key]
                 if not epochs:
                     continue
                 last = max(epochs)
+                # 2+ epochs: percentile fan over epochs (reference
+                # plots.plot_distribution); single epoch: plain histogram
+                svg = (_svg_percentile_fan(epochs) if len(epochs) > 1
+                       else _svg_histogram(epochs[last]))
                 blocks.append(
                     f"<div class='metric'><h3>{html.escape(key)} "
                     f"<small>epoch {last} ({len(epochs)} epochs)</small></h3>"
-                    + _svg_histogram(epochs[last]) + "</div>")
+                    + svg + "</div>")
             if blocks:
                 dists = "<h2>Distributions</h2>" + "".join(blocks)
 

@@ -75,10 +75,15 @@ class Training:
     """TrainValLearning equivalent: loop epochs with schedules, validation,
     events, checkpoints, resume."""
 
+    #: reference supervised_epoch.py:13 — traindata image samples are logged
+    #: every 5th epoch (plus the first)
+    LOG_TRAINDATA_SAMPLE_EVERY = 5
+
     def __init__(self, *, step_fn, loader, epochs, seed=0,
                  optimizers_base_lr=None, schedules=None, events=None,
                  checkpoints=None, validations=(), frozen=(),
-                 batch_to_args=None, state_hook=None, profile_dir=None):
+                 batch_to_args=None, state_hook=None, profile_dir=None,
+                 mean_std=None):
         self.loop = EpochLoop(step_fn, loader, events,
                               batch_to_args=batch_to_args)
         self.epochs = epochs
@@ -94,6 +99,7 @@ class Training:
         # the SECOND epoch (first-epoch compiles would drown the timeline) —
         # the TPU-native analog of the reference's StopWatch logs (§5.1)
         self.profile_dir = profile_dir
+        self.mean_std = mean_std or ([0.5] * 3, [0.5] * 3)
 
     def _apply_schedules(self, state, epoch):
         """Inject this epoch's LR factor. Handles both state flavors: GAN
@@ -134,6 +140,9 @@ class Training:
 
             if self.events:
                 self._log_weight_norms(state, epoch)
+                if debug and (epoch == 1 or
+                              epoch % self.LOG_TRAINDATA_SAMPLE_EVERY == 0):
+                    self._log_traindata_sample(debug, epoch)
 
             for val in self.validations:
                 val(state, epoch, self.events)
@@ -183,6 +192,39 @@ class Training:
                    {jax.tree_util.keystr(path, simple=True, separator="."):
                     np.asarray(leaf) for path, leaf in leaves},
                    "weight/param")
+
+    def _log_traindata_sample(self, debug, epoch):
+        """Denormalized sample images from the epoch's last debug dict as
+        image blobs — reference supervised_epoch.py:116-156,194-199: key
+        `data/<label>/image0.rgb` for the first 3 channels plus
+        `.../image0.chanK` grayscale for every extra channel; images with
+        fewer than 3 channels log each channel gray. A 1-channel image under
+        a 3-channel mean/std is logged raw (mean 0/std 1), matching the
+        reference's grayscale override (supervised_epoch.py:136-139). Skips
+        non-arrays and tiny maps (<20px), like the reference."""
+        logger = self.events.logger("data", epoch)
+        mean = np.asarray(self.mean_std[0], np.float32)
+        std = np.asarray(self.mean_std[1], np.float32)
+        for label, img in debug.items():
+            img = np.asarray(jax.device_get(img))
+            if img.ndim == 4:
+                img = img[0]
+            if img.ndim != 3 or min(img.shape[:2]) < 20:
+                continue
+            c = img.shape[-1]
+            if c != 1 and c != len(mean) and c < 3:
+                continue
+            m, s = mean, std
+            if c == 1 and len(mean) > 1:
+                m, s = np.zeros(1, np.float32), np.ones(1, np.float32)
+            if c >= 3:
+                logger("%s/image0.rgb" % label,
+                       np.clip(img[..., :3] * s[:3] + m[:3], 0, 1), "blob")
+            for k in range(3 if c >= 3 else 0, c):
+                mk = m[k] if k < len(m) else 0.0
+                sk = s[k] if k < len(s) else 1.0
+                logger("%s/image0.chan%d" % (label, k + 1),
+                       np.clip(img[..., k] * sk + mk, 0, 1), "blob")
 
     def resume_or_start(self, state, templates=None):
         """Epoch-granular resume (learning.py:40-59): reload latest epoch's

@@ -135,7 +135,19 @@ def build_gan_experiment(scenario, sample_hw=256, batch_size=None,
 
     # optimizers + schedules
     opt_cfg = dict(train_cfg.get("optimizer", {}))
-    opt_cfg.pop("composition", None)
+    # The reference's OptimizerAlternation round-robin step()
+    # (optimizer_compositions.py:39-47) is bypassed by its GAN epochs, which
+    # index optimizers directly and step D/G in-step every batch
+    # (gan_epochs.py:88-107) — our jitted steps are golden-parity with that.
+    # alternate_iteration is therefore only meaningful as 1 (every shipped
+    # reference config); refuse other values rather than silently diverging.
+    composition = dict(opt_cfg.pop("composition", None) or {})
+    alt = composition.get("alternate_iteration", 1)
+    if alt not in (None, 0, 1):
+        raise NotImplementedError(
+            "optimizer composition alternate_iteration=%r: only 1 (in-step "
+            "D->G alternation, as in every reference iccv23 config) is "
+            "supported by the jitted GAN steps" % (alt,))
     optimizers, base_lr = {}, {}
     for name, cfg in opt_cfg.items():
         if cfg is None:
@@ -273,7 +285,9 @@ def build_gan_experiment(scenario, sample_hw=256, batch_size=None,
             optimizers_base_lr=base_lr, schedules=schedules, events=events,
             checkpoints=checkpoints, frozen=frozen, validations=validations,
             batch_to_args=lambda b: (jnp.asarray(b[0]), jnp.asarray(b[1])),
-            profile_dir=out_cfg.get("profile"))
+            profile_dir=out_cfg.get("profile"),
+            mean_std=(data_cfg.get("train") or {}).get(
+                "mean_std", models["generator_X"].data_params.get("mean_std")))
 
     return {"models": models, "variables": variables, "optimizers": optimizers,
             "state": state, "step": step, "training": training,

@@ -129,3 +129,42 @@ class TestReportSections:
         hists = broker.histograms["train/learning/time_data"][1]
         centers, counts = hists["iterations"]
         assert counts.sum() == 10
+
+class TestPercentileFan:
+    def test_hist_percentiles(self):
+        from gandtr_tpu.learning.events import _hist_percentiles
+        # uniform histogram over [0, 199]: median at ~center, extremes at ends
+        centers = np.arange(200, dtype=float)
+        counts = np.ones(200)
+        qs = _hist_percentiles(centers, counts)
+        assert qs[0] == 0.0 and qs[-1] == 199.0
+        assert abs(qs[4] - 99.0) <= 1.0  # median
+        assert qs == sorted(qs)  # monotone
+        # empty histogram degrades to zeros
+        assert _hist_percentiles(centers, np.zeros(200)) == [0.0] * 9
+
+    def test_fan_svg_over_epochs(self):
+        """>=2 epochs of histograms render nested percentile bands + a median
+        line per subkey (reference plots.plot_distribution semantics)."""
+        from gandtr_tpu.learning.events import (_svg_percentile_fan,
+                                                compute_histogram)
+        rng = np.random.RandomState(0)
+        epochs = {e: {"conv.kernel": compute_histogram(rng.randn(500) * e)}
+                  for e in (1, 2, 3)}
+        svg = _svg_percentile_fan(epochs)
+        assert svg.count("<polygon") == 4  # nested bands (0,8),(1,7),(2,6),(3,5)
+        assert svg.count("<polyline") == 1  # bold median
+        assert "conv.kernel" in svg
+
+    def test_report_uses_fan_for_multi_epoch(self, tmp_path):
+        from gandtr_tpu.learning.html_report import HtmlReport
+        from gandtr_tpu.learning.events import compute_histogram
+        rng = np.random.RandomState(1)
+        report = HtmlReport(str(tmp_path))
+        history = [{"epoch": e, "metrics": {"loss": 1.0 / e}} for e in (1, 2)]
+        hists = {"w/params": {e: {"k": compute_histogram(rng.randn(100))}
+                              for e in (1, 2)}}
+        report.close_epoch(2, history=history, histograms=hists)
+        html_text = (tmp_path / "epochs" / "htmlreport" / "index.html").read_text()
+        assert "polygon" in html_text  # fan, not plain histogram
+        assert "Distributions" in html_text

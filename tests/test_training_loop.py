@@ -100,6 +100,11 @@ def test_tiny_gan_training_with_resume(image_dir, tmp_path):
     # blobs from visual validation
     blobs = os.listdir(os.path.join(str(tmp_path), "epochs", "blobs"))
     assert blobs
+    # traindata sample blobs (reference supervised_epoch.py:194-199: epoch 1
+    # + every LOG_TRAINDATA_SAMPLE_EVERY): hedgan debug dict -> rgb samples
+    samples = [b for b in blobs if b.startswith("data_")]
+    assert any("image0.rgb_epoch_01" in b for b in samples), blobs
+    assert any("fake_Y" in b for b in samples), samples
 
     # resume: fresh state, reload epoch 2
     state2 = gan_steps.make_gan_state(variables, optimizers)
