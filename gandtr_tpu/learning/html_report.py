@@ -51,15 +51,31 @@ class HtmlReport:
                 f"<div class='metric'><h3>{html.escape(key)} "
                 f"<small>last {series[-1]:.5g}</small></h3>{_svg_curve(series)}</div>")
 
+        # samples grouped per key with per-epoch captions (the reference
+        # renders "Epoch N" blocks per blob key, eventprocessor.py:595-620);
+        # per key the latest 6 epochs are shown
         blob_dir = os.path.join(self.directory, "epochs", "blobs")
         thumbs = ""
         if os.path.isdir(blob_dir):
-            imgs = [n for n in sorted(os.listdir(blob_dir))
-                    if n.lower().endswith((".jpg", ".png"))][-24:]
-            thumbs = "".join(
-                f"<figure><img src='../blobs/{html.escape(n)}' width='128'>"
-                f"<figcaption>{html.escape(n)}</figcaption></figure>"
-                for n in imgs)
+            groups = {}
+            for n in sorted(os.listdir(blob_dir)):
+                if not n.lower().endswith((".jpg", ".png")):
+                    continue
+                key, sep, ep = n.rsplit(".", 1)[0].rpartition("_epoch_")
+                if not sep:  # free-form blob name: its own group, full label
+                    key, ep = n, n
+                groups.setdefault(key, []).append((ep, n))
+            blocks = []
+            for key in sorted(groups):
+                figs = "".join(
+                    f"<figure><img src='../blobs/{html.escape(n)}' "
+                    f"width='128'><figcaption>"
+                    f"{html.escape('epoch ' + ep if ep != n else n)}"
+                    f"</figcaption></figure>"
+                    for ep, n in groups[key][-6:])
+                blocks.append(f"<div class='metric'><h3>{html.escape(key)}"
+                              f"</h3>{figs}</div>")
+            thumbs = "".join(blocks)
 
         # per-epoch weight/grad distributions (reference renders histogram
         # sections per key, eventprocessor.py:640-654); the latest epoch's
