@@ -83,7 +83,7 @@ class Training:
                  optimizers_base_lr=None, schedules=None, events=None,
                  checkpoints=None, validations=(), frozen=(),
                  batch_to_args=None, state_hook=None, profile_dir=None,
-                 mean_std=None):
+                 mean_std=None, config_snapshot=None):
         self.loop = EpochLoop(step_fn, loader, events,
                               batch_to_args=batch_to_args)
         self.epochs = epochs
@@ -100,6 +100,9 @@ class Training:
         # the TPU-native analog of the reference's StopWatch logs (§5.1)
         self.profile_dir = profile_dir
         self.mean_std = mean_std or ([0.5] * 3, [0.5] * 3)
+        # validation/dataset config snapshot persisted with each checkpoint;
+        # resume asserts it equals the current config (learning.py:46-50)
+        self.config_snapshot = config_snapshot
 
     def _apply_schedules(self, state, epoch):
         """Inject this epoch's LR factor. Handles both state flavors: GAN
@@ -160,6 +163,7 @@ class Training:
                     epoch, dict(state.variables),
                     train_state=lambda: {
                         "epoch": epoch,
+                        "config": self.config_snapshot,
                         "events": self.events.state_dict() if self.events else None,
                         # optimizer moments / replay pools / rng / step — the
                         # reference restores optimizer state on resume
@@ -235,6 +239,14 @@ class Training:
         epoch, train_meta = self.checkpoints.load_latest_epoch()
         if epoch is None:
             return state, 1
+        # the reference refuses to resume under a changed validation/dataset
+        # config (learning.py:46-50) — silent drift would corrupt the
+        # experiment's comparability
+        saved_cfg = (train_meta or {}).get("config")
+        if saved_cfg is not None and self.config_snapshot is not None:
+            assert saved_cfg == self.config_snapshot, (
+                "resume config mismatch:\ncheckpoint: %r\ncurrent:    %r"
+                % (saved_cfg, self.config_snapshot))
         variables = {
             name: self.checkpoints.load_net(name, epoch, state.variables[name])
             for name in state.variables}

@@ -92,6 +92,12 @@ def build_gan_experiment(scenario, sample_hw=256, batch_size=None,
     learn_cfg = scenario["learning"]
     train_cfg = dict(learn_cfg["training"])
     data_cfg = data_override or scenario.get("data", {})
+    # resume safety (reference learning.py:46-50 + 63-70): the checkpointed
+    # validation/dataset config must equal the current one — snapshot before
+    # the builders mutate anything
+    config_snapshot = copy.deepcopy({
+        "validation": learn_cfg.get("validation"),
+        "datasets": scenario.get("data")})
 
     models, init_specs = build_model_set(net_cfg)
 
@@ -287,7 +293,8 @@ def build_gan_experiment(scenario, sample_hw=256, batch_size=None,
             batch_to_args=lambda b: (jnp.asarray(b[0]), jnp.asarray(b[1])),
             profile_dir=out_cfg.get("profile"),
             mean_std=(data_cfg.get("train") or {}).get(
-                "mean_std", models["generator_X"].data_params.get("mean_std")))
+                "mean_std", models["generator_X"].data_params.get("mean_std")),
+            config_snapshot=config_snapshot)
 
     return {"models": models, "variables": variables, "optimizers": optimizers,
             "state": state, "step": step, "training": training,

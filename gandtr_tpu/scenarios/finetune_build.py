@@ -54,6 +54,10 @@ def build_finetune_experiment(params, directory=None, db=None, images=None):
     learn_cfg = params["learning"]
     train_cfg = dict(learn_cfg["training"])
     data_cfg = params.get("data", {})
+    # resume safety snapshot (reference learning.py:46-50 + 63-70)
+    config_snapshot = copy.deepcopy({
+        "validation": learn_cfg.get("validation"),
+        "datasets": params.get("data")})
 
     # --- networks: augment (frozen generator) + embed (GeM) ---
     seq = [x.strip() for x in net_cfg.get("sequence", "augment,embed").split(",")]
@@ -276,7 +280,8 @@ def build_finetune_experiment(params, directory=None, db=None, images=None):
             events=events, checkpoints=checkpoints, frozen=("augment",),
             validations=validations,
             batch_to_args=lambda b: tuple(jnp.asarray(x) for x in b),
-            profile_dir=out_cfg.get("profile"))
+            profile_dir=out_cfg.get("profile"),
+            config_snapshot=config_snapshot)
         # mining must see the latest weights each epoch (reference re-mines
         # with the current network, traindataset.py:295-303)
         training.state_hook = lambda s, epoch, dbg: \

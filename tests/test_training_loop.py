@@ -228,3 +228,50 @@ def test_gamma_schedule_matches_torch_exponential_lr():
     for e in range(5):
         assert opt.param_groups[0]["lr"] == pytest.approx(factor(e))
         sched.step()
+
+
+class TestResumeConfigAssert:
+    """Reference learning.py:46-50: resuming under a changed validation or
+    dataset config must fail loudly, not silently continue."""
+
+    def _train(self, tmp_path, snapshot):
+        from gandtr_tpu.learning.training import Training
+        from gandtr_tpu.learning.checkpoints import Checkpoints
+
+        class FakeState:
+            variables = {"gen": {"params": {"w": np.zeros(3)}}}
+
+            def replace(self, **kw):
+                new = FakeState()
+                for k, v in kw.items():
+                    setattr(new, k, v)
+                return new
+
+        class Loader(list):
+            dataset = object()
+
+        def step_fn(state, batch):
+            return state, {"total": 0.0}
+
+        t = Training(step_fn=step_fn, loader=Loader([(np.zeros(1),)]),
+                     epochs=1, config_snapshot=snapshot,
+                     checkpoints=Checkpoints(str(tmp_path), store_every=1,
+                                             checkpoint_every=1))
+        return t, FakeState()
+
+    def test_same_config_resumes(self, tmp_path):
+        snap = {"validation": {"frequency": 5}, "datasets": {"d": 1}}
+        t, state = self._train(tmp_path, snap)
+        t.run(state)
+        t2, state2 = self._train(tmp_path, dict(snap))
+        _, start = t2.resume_or_start(state2)
+        assert start == 2
+
+    def test_changed_config_refuses(self, tmp_path):
+        t, state = self._train(tmp_path, {"validation": {"frequency": 5},
+                                          "datasets": {"d": 1}})
+        t.run(state)
+        t2, state2 = self._train(tmp_path, {"validation": {"frequency": 1},
+                                            "datasets": {"d": 1}})
+        with pytest.raises(AssertionError, match="resume config mismatch"):
+            t2.resume_or_start(state2)
