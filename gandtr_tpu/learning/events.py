@@ -295,13 +295,17 @@ class EventBroker:
             self._save_blob(epoch, key, value)
 
     def _save_blob(self, epoch, key, value):
+        base = os.path.join(self.directory, "epochs", "blobs",
+                            "%s_epoch_%02d" % (key.replace("/", "_"), epoch))
+        if isinstance(value, str):  # text blob (reference dtype "text",
+            with open(base + ".txt", "w") as f:  # supervised_epoch.py:119-121)
+                f.write(value)
+            return
         from PIL import Image
-        path = os.path.join(self.directory, "epochs", "blobs",
-                            "%s_epoch_%02d.jpg" % (key.replace("/", "_"), epoch))
         arr = np.asarray(value)
         if arr.dtype != np.uint8:
             arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
-        Image.fromarray(arr).save(path)
+        Image.fromarray(arr).save(base + ".jpg")
 
     def _save_heatmap(self, epoch, key, value):
         """Render 2-D maps in [0, 1] to colormapped PNGs (Reds for loss keys,

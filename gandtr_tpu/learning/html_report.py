@@ -59,20 +59,26 @@ class HtmlReport:
         if os.path.isdir(blob_dir):
             groups = {}
             for n in sorted(os.listdir(blob_dir)):
-                if not n.lower().endswith((".jpg", ".png")):
+                if not n.lower().endswith((".jpg", ".png", ".txt")):
                     continue
                 key, sep, ep = n.rsplit(".", 1)[0].rpartition("_epoch_")
                 if not sep:  # free-form blob name: its own group, full label
                     key, ep = n, n
                 groups.setdefault(key, []).append((ep, n))
+
+            def _fig(ep, n):
+                cap = html.escape("epoch " + ep if ep != n else n)
+                if n.lower().endswith(".txt"):  # text blob -> link (the
+                    # reference renders .txt blobs as link divs,
+                    # eventprocessor.py:607-609)
+                    return (f"<figure><a href='../blobs/{html.escape(n)}'>"
+                            f"txt</a><figcaption>{cap}</figcaption></figure>")
+                return (f"<figure><img src='../blobs/{html.escape(n)}' "
+                        f"width='128'><figcaption>{cap}</figcaption></figure>")
+
             blocks = []
             for key in sorted(groups):
-                figs = "".join(
-                    f"<figure><img src='../blobs/{html.escape(n)}' "
-                    f"width='128'><figcaption>"
-                    f"{html.escape('epoch ' + ep if ep != n else n)}"
-                    f"</figcaption></figure>"
-                    for ep, n in groups[key][-6:])
+                figs = "".join(_fig(ep, n) for ep, n in groups[key][-6:])
                 blocks.append(f"<div class='metric'><h3>{html.escape(key)}"
                               f"</h3>{figs}</div>")
             thumbs = "".join(blocks)

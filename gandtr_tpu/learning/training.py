@@ -210,6 +210,11 @@ class Training:
         mean = np.asarray(self.mean_std[0], np.float32)
         std = np.asarray(self.mean_std[1], np.float32)
         for label, img in debug.items():
+            if isinstance(img, dict):  # text entries, e.g. image labels
+                for key, value in img.items():  # (supervised_epoch.py:119-121)
+                    data = np.asarray(jax.device_get(value)).tolist()
+                    logger("%s/%s" % (label, key), str(data), "blob")
+                continue
             img = np.asarray(jax.device_get(img))
             if img.ndim == 4:
                 img = img[0]

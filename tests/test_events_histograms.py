@@ -168,3 +168,29 @@ class TestPercentileFan:
         html_text = (tmp_path / "epochs" / "htmlreport" / "index.html").read_text()
         assert "polygon" in html_text  # fan, not plain histogram
         assert "Distributions" in html_text
+
+class TestTextBlobs:
+    def test_text_blob_saved_and_reported(self, tmp_path):
+        """String blob values become .txt files (reference 'text' dtype,
+        supervised_epoch.py:119-121) and the report links them."""
+        from gandtr_tpu.learning.html_report import HtmlReport
+        broker = EventBroker(directory=str(tmp_path))
+        log = broker.logger("data", 1)
+        log("sample/labels", "[1, 2, 3]", "blob")
+        txt = tmp_path / "epochs" / "blobs" / "data_sample_labels_epoch_01.txt"
+        assert txt.read_text() == "[1, 2, 3]"
+        rep = HtmlReport(str(tmp_path))
+        rep.close_epoch(1, history=[{"metrics": {"loss": 1.0}}])
+        doc = (tmp_path / "epochs" / "htmlreport" / "index.html").read_text()
+        assert "data_sample_labels_epoch_01.txt" in doc and ">txt</a>" in doc
+
+    def test_dict_debug_entry_logged_as_text(self, tmp_path):
+        from gandtr_tpu.learning.training import Training
+
+        class S:
+            variables = {}
+        t = Training(step_fn=lambda s, b: (s, {}), loader=[], epochs=1,
+                     events=EventBroker(directory=str(tmp_path)))
+        t._log_traindata_sample({"meta": {"labels": np.array([1, 2])}}, 1)
+        txt = tmp_path / "epochs" / "blobs" / "data_meta_labels_epoch_01.txt"
+        assert txt.read_text() == "[1, 2]"
