@@ -121,9 +121,12 @@ def build_hedgan_step(models, optimizers, weights):
             adv, _ = L.discriminator_loss(pred_fake, True, L.mse_loss)
             g_gan = w_adv * adv
             g_hed = w_edge * L.l1_loss(fake_E, real_E)
-            return g_gan + g_hed, (g_gan, g_hed, d_bs2)
+            # fake_E's last sample rides the aux for the debug blobs
+            # (edges_epochs.py:36-37) — reused from the loss forward, free
+            return g_gan + g_hed, (g_gan, g_hed, d_bs2,
+                                   jax.lax.stop_gradient(fake_E[-1]))
 
-        (g_loss, (g_gan, g_hed, d_bs2)), dfy = jax.value_and_grad(
+        (g_loss, (g_gan, g_hed, d_bs2, fake_E_dbg)), dfy = jax.value_and_grad(
             g_loss_from_fy, has_aux=True)(fake_Y)
         (g_grads,) = g_vjp(dfy)
         g_params, g_opt = _update(optimizers["generator_X"],
@@ -136,7 +139,9 @@ def build_hedgan_step(models, optimizers, weights):
 
         metrics = {"total": g_loss + d_loss, "D_real": d_lr, "D_fake": d_lf,
                    "G_gan": g_gan, "G_hed": g_hed}
-        debug = {"real_X": real_X[-1], "real_Y": real_Y[-1], "fake_Y": fake_Y_sg[-1]}
+        debug = {"real_X": real_X[-1], "real_Y": real_Y[-1],
+                 "fake_Y": fake_Y_sg[-1], "real_E": real_E[-1],
+                 "fake_E": fake_E_dbg}
         new_state = GanState(
             variables=variables,
             opt_states={**state.opt_states, "discriminator_Y": d_opt,
@@ -216,9 +221,11 @@ def build_hedngan_step(models, optimizers, weights):
             adv, _ = L.discriminator_loss(pred_fake, True, L.mse_loss)
             g_gan = w_adv * adv
             g_hed = w_edge * L.l1_loss(fake_E, real_E)
-            return g_gan + g_hed, (g_gan, g_hed, d_bs2)
+            # last fake edge map for the debug blobs (edges_epochs.py:36-37)
+            return g_gan + g_hed, (g_gan, g_hed, d_bs2,
+                                   jax.lax.stop_gradient(fake_E[-1]))
 
-        (g_loss, (g_gan, g_hed, d_bs2)), dfy = jax.value_and_grad(
+        (g_loss, (g_gan, g_hed, d_bs2, fake_E_dbg)), dfy = jax.value_and_grad(
             g_loss_from_fy, has_aux=True)(fake_Y)
         (g_grads,) = g_vjp(dfy)
         g_params, g_opt = _update(optimizers["generator_X"],
@@ -232,7 +239,9 @@ def build_hedngan_step(models, optimizers, weights):
         metrics = {"total": g_loss + d_loss, "D_real": d_lr, "D_fake": d_lf,
                    "G_gan": g_gan, "G_hed": g_hed, "E_real": e_real,
                    "E_fake": e_fake}
-        debug = {"real_X": real_X[-1], "real_Y": real_Y[-1], "fake_Y": fake_Y_sg[-1]}
+        debug = {"real_X": real_X[-1], "real_Y": real_Y[-1],
+                 "fake_Y": fake_Y_sg[-1], "real_E": real_E[-1],
+                 "fake_E": fake_E_dbg}
         new_state = GanState(
             variables=variables,
             opt_states={**state.opt_states, "discriminator_Y": d_opt,
