@@ -282,7 +282,8 @@ class VisualValidation:
     (reference optim/score/visual.py:12-91)."""
 
     def __init__(self, model, images, mean_std=((0.5,) * 3, (0.5,) * 3),
-                 net_name="generator_X", key="val/visual", frequency=1):
+                 net_name="generator_X", key="val/visual", frequency=1,
+                 names=None):
         self.model = model
         self.images = images  # (N, H, W, C) normalized
         self.mean = np.asarray(mean_std[0])
@@ -290,6 +291,10 @@ class VisualValidation:
         self.net_name = net_name
         self.key = key
         self.frequency = frequency
+        # image-stem keys like the reference (visual.py:68-76: blobs are
+        # logged per extension-less file name); indices when unnamed
+        self.names = ([n.rsplit("/", 1)[-1].rsplit(".", 1)[0] for n in names]
+                      if names else None)
         self._jit = None
 
     def __call__(self, state, epoch, events):
@@ -301,7 +306,9 @@ class VisualValidation:
         logger = events.logger("", epoch)
         for i, img in enumerate(out):
             rgb = np.clip(img * self.std + self.mean, 0, 1)
-            logger(f"{self.key}_{i}", rgb, "blob")
+            label = self.names[i] if self.names and i < len(self.names) \
+                else str(i)
+            logger(f"{self.key}/{label}", rgb, "blob")
 
 
 class LossValidation:

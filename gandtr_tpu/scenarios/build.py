@@ -279,7 +279,7 @@ def build_gan_experiment(scenario, sample_hw=256, batch_size=None,
                 validations.append(VisualValidation(
                     models["generator_X"].module, imgs,
                     mean_std=vdata.get("mean_std", [[0.5] * 3, [0.5] * 3]),
-                    frequency=vis_cfg.get("frequency", 1)))
+                    frequency=vis_cfg.get("frequency", 1), names=names))
         except Exception as exc:
             warnings.warn("visual validation disabled: %s" % exc)
 
