@@ -294,9 +294,18 @@ class EventBroker:
         elif dtype == "blob" and self.directory is not None:
             self._save_blob(epoch, key, value)
 
+    @staticmethod
+    def _epoch_tag(epoch):
+        """'%02d' for ints; the validate stage passes epoch=None (validate
+        once, outside training) which becomes 'val'."""
+        if isinstance(epoch, (int, np.integer)):
+            return "%02d" % epoch
+        return "val" if epoch is None else str(epoch)
+
     def _save_blob(self, epoch, key, value):
         base = os.path.join(self.directory, "epochs", "blobs",
-                            "%s_epoch_%02d" % (key.replace("/", "_"), epoch))
+                            "%s_epoch_%s" % (key.replace("/", "_"),
+                                             self._epoch_tag(epoch)))
         if isinstance(value, str):  # text blob (reference dtype "text",
             with open(base + ".txt", "w") as f:  # supervised_epoch.py:119-121)
                 f.write(value)
@@ -320,7 +329,8 @@ class EventBroker:
             name = "_".join(x for x in (key.replace("/", "_"),
                                         subkey.replace("/", "_")) if x)
             path = os.path.join(self.directory, "epochs", "blobs",
-                                "%s_epoch_%02d.png" % (name, epoch))
+                                "%s_epoch_%s.png" % (name,
+                                                     self._epoch_tag(epoch)))
             Image.fromarray(rgb).save(path)
 
     def close_epoch(self, epoch):

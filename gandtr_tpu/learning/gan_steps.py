@@ -239,9 +239,14 @@ def build_hedngan_step(models, optimizers, weights):
         metrics = {"total": g_loss + d_loss, "D_real": d_lr, "D_fake": d_lf,
                    "G_gan": g_gan, "G_hed": g_hed, "E_real": e_real,
                    "E_fake": e_fake}
+        # real_E_check = UPDATED student on real_X (edges_epochs.py:89,104):
+        # the student-vs-teacher drift blob; last sample only (one 1-image
+        # HED forward per step — negligible next to the batch G/D/E passes)
+        real_E_check = jax.lax.stop_gradient(
+            H_s.apply(variables["detector"], real_X[-1:], train=False)[0])
         debug = {"real_X": real_X[-1], "real_Y": real_Y[-1],
                  "fake_Y": fake_Y_sg[-1], "real_E": real_E[-1],
-                 "fake_E": fake_E_dbg}
+                 "fake_E": fake_E_dbg, "real_E_check": real_E_check}
         new_state = GanState(
             variables=variables,
             opt_states={**state.opt_states, "discriminator_Y": d_opt,

@@ -65,6 +65,11 @@ class HtmlReport:
                 if not sep:  # free-form blob name: its own group, full label
                     key, ep = n, n
                 groups.setdefault(key, []).append((ep, n))
+            # numeric epoch order — lexicographic puts epoch 100 between
+            # 10 and 11 and hides the FINAL epoch from [-6:]
+            for items in groups.values():
+                items.sort(key=lambda t: (int(t[0]) if t[0].isdigit()
+                                          else -1, t[0]))
 
             def _fig(ep, n):
                 cap = html.escape("epoch " + ep if ep != n else n)

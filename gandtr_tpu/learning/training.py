@@ -221,7 +221,9 @@ class Training:
             if img.ndim != 3 or min(img.shape[:2]) < 20:
                 continue
             c = img.shape[-1]
-            if c != 1 and c != len(mean) and c < 3:
+            # reference gate (supervised_epoch.py:130-134): only 1-channel or
+            # exactly-len(mean_std) images are loggable
+            if c != 1 and c != len(mean):
                 continue
             m, s = mean, std
             if c == 1 and len(mean) > 1:
@@ -230,10 +232,8 @@ class Training:
                 logger("%s/image0.rgb" % label,
                        np.clip(img[..., :3] * s[:3] + m[:3], 0, 1), "blob")
             for k in range(3 if c >= 3 else 0, c):
-                mk = m[k] if k < len(m) else 0.0
-                sk = s[k] if k < len(s) else 1.0
                 logger("%s/image0.chan%d" % (label, k + 1),
-                       np.clip(img[..., k] * sk + mk, 0, 1), "blob")
+                       np.clip(img[..., k] * s[k] + m[k], 0, 1), "blob")
 
     def resume_or_start(self, state, templates=None):
         """Epoch-granular resume (learning.py:40-59): reload latest epoch's
@@ -302,7 +302,17 @@ class VisualValidation:
             return
         if self._jit is None:
             self._jit = jax.jit(lambda v, x: self.model.apply(v, x, train=False))
-        out = np.asarray(self._jit(state.variables[self.net_name], self.images))
+        # `images` is a stacked (N,H,W,C) array when shapes agree, or a list
+        # of (H,W,C) arrays — the reference loads val images at batch_size=1
+        # precisely because aspect-preserving downscale yields mixed shapes
+        # (visual.py:53); per-shape jit cache like the infer stage
+        if isinstance(self.images, (list, tuple)):
+            out = [np.asarray(self._jit(state.variables[self.net_name],
+                                        img[None]))[0]
+                   for img in self.images]
+        else:
+            out = np.asarray(self._jit(state.variables[self.net_name],
+                                       self.images))
         logger = events.logger("", epoch)
         for i, img in enumerate(out):
             rgb = np.clip(img * self.std + self.mean, 0, 1)

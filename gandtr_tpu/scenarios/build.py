@@ -93,11 +93,11 @@ def build_gan_experiment(scenario, sample_hw=256, batch_size=None,
     train_cfg = dict(learn_cfg["training"])
     data_cfg = data_override or scenario.get("data", {})
     # resume safety (reference learning.py:46-50 + 63-70): the checkpointed
-    # validation/dataset config must equal the current one — snapshot before
-    # the builders mutate anything
+    # validation/dataset config must equal the current one — snapshot the
+    # EFFECTIVE data config (data_override included) before builders mutate
     config_snapshot = copy.deepcopy({
         "validation": learn_cfg.get("validation"),
-        "datasets": scenario.get("data")})
+        "datasets": data_cfg})
 
     models, init_specs = build_model_set(net_cfg)
 
@@ -274,8 +274,13 @@ def build_gan_experiment(scenario, sample_hw=256, batch_size=None,
             if names:
                 tfm = _it(vdata.get("transforms", "pil2np | totensor | normalize"),
                           vdata.get("mean_std", [[0.5] * 3, [0.5] * 3]))
-                imgs = jnp.stack([jnp.asarray(tfm(_imread(_os.path.join(vdir, n))))
-                                  for n in names])
+                arrs = [jnp.asarray(tfm(_imread(_os.path.join(vdir, n))))
+                        for n in names]
+                # aspect-preserving transforms (downscale:362) yield mixed
+                # shapes — keep a list then; VisualValidation forwards
+                # per-image like the reference's batch_size=1 loader
+                imgs = (jnp.stack(arrs)
+                        if len({a.shape for a in arrs}) == 1 else arrs)
                 validations.append(VisualValidation(
                     models["generator_X"].module, imgs,
                     mean_std=vdata.get("mean_std", [[0.5] * 3, [0.5] * 3]),

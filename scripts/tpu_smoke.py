@@ -119,7 +119,8 @@ def gan_step_runs():
     state, metrics, debug = step(state, xa, xb)
     metrics = jax.device_get(metrics)
     assert all(np.isfinite(v) for v in metrics.values()), metrics
-    assert set(debug) == {"real_X", "real_Y", "fake_Y", "real_E", "fake_E"}
+    assert set(debug) == {"real_X", "real_Y", "fake_Y", "real_E", "fake_E",
+                          "real_E_check"}
 
 
 def main():

@@ -194,3 +194,62 @@ class TestTextBlobs:
         t._log_traindata_sample({"meta": {"labels": np.array([1, 2])}}, 1)
         txt = tmp_path / "epochs" / "blobs" / "data_meta_labels_epoch_01.txt"
         assert txt.read_text() == "[1, 2]"
+
+class TestReviewFixes:
+    def test_blob_epoch_tag_none_and_large(self, tmp_path):
+        """epoch=None (validate stage) must not crash blob saving; epoch 100
+        formats plainly."""
+        broker = EventBroker(directory=str(tmp_path))
+        broker.logger("val", None)("x", np.zeros((8, 8, 3)), "blob")
+        broker.logger("val", 100)("x", np.zeros((8, 8, 3)), "blob")
+        blobs = sorted(os.listdir(tmp_path / "epochs" / "blobs"))
+        assert "val_x_epoch_val.jpg" in blobs and "val_x_epoch_100.jpg" in blobs
+
+    def test_report_numeric_epoch_order(self, tmp_path):
+        """Epoch 100 must appear in the last-6 window (lexicographic order
+        would bury it between 10 and 11)."""
+        from PIL import Image
+        from gandtr_tpu.learning.html_report import HtmlReport
+        blob_dir = tmp_path / "epochs" / "blobs"
+        blob_dir.mkdir(parents=True)
+        for e in list(range(1, 12)) + [100]:
+            Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(
+                blob_dir / ("k_epoch_%02d.jpg" % e))
+        rep = HtmlReport(str(tmp_path))
+        rep.close_epoch(100, history=[{"metrics": {"l": 1.0}}])
+        doc = (tmp_path / "epochs" / "htmlreport" / "index.html").read_text()
+        assert "k_epoch_100.jpg" in doc
+        assert "epoch 100" in doc
+
+    def test_traindata_gate_skips_mismatched_channels(self, tmp_path):
+        """Reference supervised_epoch.py:130-134: a 4-channel sample under a
+        3-channel mean_std is NOT logged."""
+        from gandtr_tpu.learning.training import Training
+        broker = EventBroker(directory=str(tmp_path))
+        t = Training(step_fn=lambda s, b: (s, {}), loader=[], epochs=1,
+                     events=broker)
+        t._log_traindata_sample({"x": np.zeros((32, 32, 4))}, 1)
+        assert not os.listdir(tmp_path / "epochs" / "blobs")
+
+    def test_visual_validation_mixed_shapes(self, tmp_path):
+        """Aspect-preserving downscale yields mixed val shapes; the validation
+        forwards per-image instead of dying in jnp.stack."""
+        import jax.numpy as jnp
+        import flax.linen as nn
+        from gandtr_tpu.learning.training import VisualValidation
+
+        class Identity(nn.Module):
+            @nn.compact
+            def __call__(self, x, train=False):
+                return x
+
+        broker = EventBroker(directory=str(tmp_path))
+        imgs = [jnp.zeros((24, 32, 3)), jnp.zeros((32, 24, 3))]
+        vv = VisualValidation(Identity(), imgs, names=["a.jpg", "b.jpg"])
+
+        class S:
+            variables = {"generator_X": {}}
+        vv(S(), 1, broker)
+        blobs = sorted(os.listdir(tmp_path / "epochs" / "blobs"))
+        assert "val_visual_a_epoch_01.jpg" in blobs
+        assert "val_visual_b_epoch_01.jpg" in blobs
