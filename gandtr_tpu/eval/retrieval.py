@@ -110,7 +110,8 @@ class ShapeCachedExtractor:
         self.forward = forward
         self.variables = variables
         self.shape_bucket = shape_bucket
-        self.devices = list(devices) if devices and len(devices) > 1 else None
+        # honor a single-device list too (pin extraction to one chip)
+        self.devices = list(devices) if devices else None
         self._dev_variables = {}
         self._rr = 0
         self._cache = {}
@@ -255,11 +256,22 @@ def extract_vectors(extractor, image_paths, image_size, transform, bbxs=None,
 
     group_key = getattr(extractor, "group_key", lambda a: a.shape)
     buffers = {}
+    buffered = 0
+    # heterogeneous shapes (aspect-preserving resize w/o shape_bucket) would
+    # otherwise buffer nearly the whole dataset in host f32 — cap the total
+    # and flush the fullest group as a partial batch when the cap is hit
+    max_buffered = max(batch_size * 8, 64)
     for i, arr in _prefetched(n, load, depth=max(prefetch, batch_size)):
         key = group_key(arr)
         buffers.setdefault(key, []).append((i, arr))
+        buffered += 1
         if len(buffers[key]) >= batch_size:
+            buffered -= len(buffers[key])
             flush(buffers.pop(key))
+        elif buffered >= max_buffered:
+            fullest = max(buffers, key=lambda k: len(buffers[k]))
+            buffered -= len(buffers[fullest])
+            flush(buffers.pop(fullest))
     for batch in buffers.values():
         flush(batch)
     print("")

@@ -65,7 +65,9 @@ def _load():
                 ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
                 ctypes.c_int, ctypes.POINTER(ctypes.c_int)]
             lib.gandtr_pool_decode_batch.restype = None
-            assert lib.gandtr_native_abi_version() == 1
+            if lib.gandtr_native_abi_version() != 1:
+                raise RuntimeError("stale gandtr_native .so: ABI %d != 1 — rebuild (make -C gandtr_tpu/native)"
+                                   % lib.gandtr_native_abi_version())
             _lib = lib
         except Exception as exc:  # missing toolchain/headers: PIL fallback
             _build_err = exc
@@ -123,24 +125,36 @@ class DecodePool:
         n = int(n_threads or min(16, os.cpu_count() or 4))
         self._pool = lib.gandtr_pool_create(n)
         self.n_threads = n
+        # close()/decode_batch handle discipline: close waits for in-flight
+        # batches and exactly one caller destroys the C++ pool
+        self._cv = threading.Condition()
+        self._inflight = 0
 
     def decode_batch(self, paths, scale_longest=0):
         """Decode paths concurrently; returns a list of (H, W, 3) uint8
         arrays with None at failed positions (reference `ignore_errors`
         degradation, genericdataset.py:74-81)."""
-        if self._pool is None:
-            raise RuntimeError("pool closed")
         n = len(paths)
         if n == 0:
             return []
-        lib = self._lib
-        c_paths = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in paths])
-        outs = (ctypes.POINTER(ctypes.c_ubyte) * n)()
-        hs = (ctypes.c_int * n)()
-        ws = (ctypes.c_int * n)()
-        rcs = (ctypes.c_int * n)()
-        lib.gandtr_pool_decode_batch(self._pool, c_paths, n, outs, hs, ws,
-                                     int(scale_longest), rcs)
+        with self._cv:
+            if self._pool is None:
+                raise RuntimeError("pool closed")
+            self._inflight += 1
+            pool = self._pool
+        try:
+            lib = self._lib
+            c_paths = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in paths])
+            outs = (ctypes.POINTER(ctypes.c_ubyte) * n)()
+            hs = (ctypes.c_int * n)()
+            ws = (ctypes.c_int * n)()
+            rcs = (ctypes.c_int * n)()
+            lib.gandtr_pool_decode_batch(pool, c_paths, n, outs, hs, ws,
+                                         int(scale_longest), rcs)
+        finally:
+            with self._cv:
+                self._inflight -= 1
+                self._cv.notify_all()
         results = []
         for i in range(n):
             if rcs[i] == OK and outs[i]:
@@ -150,9 +164,13 @@ class DecodePool:
         return results
 
     def close(self):
-        if self._pool is not None:
-            self._lib.gandtr_pool_destroy(self._pool)
-            self._pool = None
+        with self._cv:
+            if self._pool is None:
+                return
+            pool, self._pool = self._pool, None  # one closer wins
+            while self._inflight:
+                self._cv.wait()
+        self._lib.gandtr_pool_destroy(pool)
 
     def __enter__(self):
         return self

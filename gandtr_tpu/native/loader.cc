@@ -215,6 +215,10 @@ int gandtr_decode(const char* path, uint8_t** out, int* h, int* w,
 void gandtr_free(uint8_t* buf) { free(buf); }
 
 // ----------------------------------------------------------------- work pool
+struct BatchState {
+  int remaining;  // guarded by Pool::mu
+};
+
 struct DecodeTask {
   const char* path;
   uint8_t** out;
@@ -222,6 +226,7 @@ struct DecodeTask {
   int* w;
   int scale_longest;
   int* rc;
+  BatchState* batch;
 };
 
 struct Pool {
@@ -229,8 +234,7 @@ struct Pool {
   std::queue<DecodeTask> queue;
   std::mutex mu;
   std::condition_variable cv;       // workers wait for tasks
-  std::condition_variable done_cv;  // the batch call waits for drain
-  int outstanding = 0;
+  std::condition_variable done_cv;  // batch calls wait for THEIR tasks
   bool stop = false;
 
   explicit Pool(int n) {
@@ -261,20 +265,26 @@ struct Pool {
                                task.scale_longest);
       {
         std::lock_guard<std::mutex> lk(mu);
-        if (--outstanding == 0) done_cv.notify_all();
+        // per-batch counter: concurrent run_batch callers on a shared pool
+        // each wake when THEIR tasks drain, not when the whole queue does
+        if (--task.batch->remaining == 0) done_cv.notify_all();
       }
     }
   }
 
-  void run_batch(const DecodeTask* tasks, int n) {
+  void run_batch(DecodeTask* tasks, int n) {
+    BatchState batch{n};  // outlives the wait below, so queue copies of the
+                          // pointer stay valid for the workers
     {
       std::lock_guard<std::mutex> lk(mu);
-      for (int i = 0; i < n; ++i) queue.push(tasks[i]);
-      outstanding += n;
+      for (int i = 0; i < n; ++i) {
+        tasks[i].batch = &batch;
+        queue.push(tasks[i]);
+      }
     }
     cv.notify_all();
     std::unique_lock<std::mutex> lk(mu);
-    done_cv.wait(lk, [this] { return outstanding == 0; });
+    done_cv.wait(lk, [&batch] { return batch.remaining == 0; });
   }
 };
 

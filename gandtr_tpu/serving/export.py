@@ -265,7 +265,9 @@ class Servable:
         h, w = self.meta["image_hw"]
         if x.ndim == 3:
             x = x[None]
-        assert x.shape[1:] == (h, w, 3), (x.shape, self.meta["image_hw"])
+        if x.shape[1:] != (h, w, 3):
+            raise ValueError("input shape %s != (N, %d, %d, 3)"
+                             % (x.shape, h, w))
         want_mask = self.meta["with_mask"]
         if want_mask:
             if masks is None:

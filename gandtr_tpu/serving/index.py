@@ -94,7 +94,9 @@ class RetrievalIndex:
         descriptors = np.ascontiguousarray(descriptors, np.float32)
         if descriptors.ndim == 1:
             descriptors = descriptors[None]
-        assert descriptors.shape == (len(names), self.dim), descriptors.shape
+        if descriptors.shape != (len(names), self.dim):
+            raise ValueError("descriptors shape %s != (%d, %d)"
+                             % (descriptors.shape, len(names), self.dim))
         with self._lock:
             self.names.extend(str(n) for n in names)
             self._vecs.append(descriptors)
@@ -130,7 +132,9 @@ class RetrievalIndex:
         q = np.asarray(qvecs, np.float32)
         if q.ndim == 1:
             q = q[None]
-        assert q.shape[1] == self.dim, q.shape
+        if q.shape[1] != self.dim:
+            raise ValueError("query dim %d != index dim %d"
+                             % (q.shape[1], self.dim))
         with self._lock:  # snapshot a consistent (names, shards) view
             if self._shards is None:
                 self._build_shards()

@@ -31,8 +31,10 @@ def train_product_quantizer(train_vecs, m, ksub=256, iters=25, seed=0):
     (m, ksub, dsub) float32 codebooks. Empty clusters keep their centroid."""
     X = np.ascontiguousarray(train_vecs, np.float32)
     n, d = X.shape
-    assert d % m == 0, "dim %d not divisible by m=%d" % (d, m)
-    assert ksub <= 256, "codes are uint8: ksub must be <= 256"
+    if d % m:
+        raise ValueError("dim %d not divisible by m=%d" % (d, m))
+    if ksub > 256:
+        raise ValueError("codes are uint8: ksub must be <= 256")
     ksub = min(ksub, n)
     rng = np.random.RandomState(seed)
     Xs = X.reshape(n, m, d // m).transpose(1, 0, 2)  # (m, n, dsub)
@@ -117,7 +119,9 @@ class PQRetrievalIndex:
     def __init__(self, dim, m=16, ksub=256, devices=None, rerank=0,
                  codebooks=None, rotation=None):
         self.dim, self.m, self.ksub = int(dim), int(m), int(ksub)
-        assert self.dim % self.m == 0
+        if self.dim % self.m:
+            raise ValueError("dim %d not divisible by m=%d"
+                             % (self.dim, self.m))
         self.rerank = int(rerank)
         self.devices = list(devices) if devices else [None]
         self.codebooks = None if codebooks is None else \
@@ -144,22 +148,27 @@ class PQRetrievalIndex:
         Refitting after add() would silently pair old-codebook codes with the
         new codebooks: with rerank (exact rows kept) the rows re-encode here;
         without, refuse."""
+        # validate BEFORE training or mutating: a caller that catches the
+        # error must be left with the old, still-consistent index
+        if self._codes and not self.rerank:
+            raise RuntimeError(
+                "fit() after add() without rerank: existing codes "
+                "cannot be re-encoded (exact rows not kept) — fit "
+                "before add, or use rerank>0")
         if opq_iters:
-            self.rotation, self.codebooks = train_opq_rotation(
+            rotation, codebooks = train_opq_rotation(
                 train_vecs, self.m, self.ksub, opq_iters=opq_iters,
                 kmeans_iters=max(iters // 3, 5), seed=seed)
         else:
-            self.codebooks = train_product_quantizer(
+            rotation, codebooks = self.rotation, train_product_quantizer(
                 train_vecs, self.m, self.ksub, iters=iters, seed=seed)
-        self._C_enc = None
         with self._lock:
+            # swap under the lock so a concurrent query()/add() never pairs
+            # old codes with new codebooks
+            self.rotation, self.codebooks = rotation, codebooks
+            self._C_enc = None
             self._shards = None
             if self._codes:
-                if not self.rerank:
-                    raise RuntimeError(
-                        "fit() after add() without rerank: existing codes "
-                        "cannot be re-encoded (exact rows not kept) — fit "
-                        "before add, or use rerank>0")
                 rows = np.concatenate(self._exact, 0)
                 self._codes = [self._encode(self._rotate(rows))]
                 self._exact = [rows]
@@ -175,13 +184,18 @@ class PQRetrievalIndex:
         return encode_chunked(self._C_enc, X, self.m).astype(np.uint8)
 
     def add(self, names, descriptors):
-        assert self.codebooks is not None, "fit() or pass codebooks= first"
+        if self.codebooks is None:
+            raise ValueError("fit() or pass codebooks= first")
         X = np.ascontiguousarray(descriptors, np.float32)
         if X.ndim == 1:
             X = X[None]
-        assert X.shape == (len(names), self.dim), X.shape
-        codes = self._encode(self._rotate(X))  # exact rows stay UNROTATED
+        if X.shape != (len(names), self.dim):
+            raise ValueError("descriptors shape %s != (%d, %d)"
+                             % (X.shape, len(names), self.dim))
         with self._lock:
+            # encode under the lock: a fit() swapping codebooks mid-add must
+            # not let codes from the OLD codebooks append after its re-encode
+            codes = self._encode(self._rotate(X))  # exact rows stay UNROTATED
             self.names.extend(str(n) for n in names)
             self._codes.append(codes)
             if self.rerank:
@@ -230,7 +244,9 @@ class PQRetrievalIndex:
         q = np.asarray(qvecs, np.float32)
         if q.ndim == 1:
             q = q[None]
-        assert q.shape[1] == self.dim, q.shape
+        if q.shape[1] != self.dim:
+            raise ValueError("query dim %d != index dim %d"
+                             % (q.shape[1], self.dim))
         with self._lock:
             if self._shards is None:
                 self._build_shards()
@@ -301,7 +317,9 @@ class PQRetrievalIndex:
                 idx.names = [str(n) for n in z["names"]]
                 idx._codes = [codes]
                 if rerank:
-                    assert z["exact"].shape[0] == codes.shape[0], \
-                        "index was saved without exact rows; rerank impossible"
+                    if z["exact"].shape[0] != codes.shape[0]:
+                        raise ValueError(
+                            "index was saved without exact rows; "
+                            "rerank impossible")
                     idx._exact = [z["exact"]]
         return idx

@@ -137,3 +137,38 @@ class TestSharedPool:
         assert not t.is_alive(), "shared_pool() deadlocked"
         assert all(a is not None for a in result["arrs"])
         assert native.shared_pool() is native.shared_pool()
+
+
+def test_pool_concurrent_batches_and_close(images):
+    """Concurrent decode_batch calls on one pool return correct results
+    (per-batch completion, loader.cc BatchState), and close() waits for
+    in-flight batches instead of destroying the pool under them."""
+    import threading
+    paths = images
+    pool = native.DecodePool(n_threads=2)
+    refs = pool.decode_batch(paths)  # single-caller baseline
+    errors = []
+
+    def work():
+        try:
+            for _ in range(3):
+                out = pool.decode_batch(paths)
+                for o, r in zip(out, refs):
+                    np.testing.assert_array_equal(o, r)
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = [threading.Thread(target=work) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    # double close from two threads: exactly one destroys, none crash
+    closers = [threading.Thread(target=pool.close) for _ in range(2)]
+    for t in closers:
+        t.start()
+    for t in closers:
+        t.join()
+    with pytest.raises(RuntimeError, match="pool closed"):
+        pool.decode_batch(paths)
