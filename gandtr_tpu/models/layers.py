@@ -62,7 +62,9 @@ class _RawConv(nn.Module):
             x = x[None]
         y = None
         if self.reflect_pad:
-            y = fastconv.dispatch_conv_reflect(x, kernel, self.reflect_pad)
+            y = fastconv.dispatch_conv_reflect(x, kernel, self.reflect_pad,
+                                               stride=self.stride,
+                                               dilation=self.dilation)
             if y is None:
                 x = pad2d(x, self.reflect_pad, "reflect")
         if y is None and x.ndim == 4 and self.dilation == 1:

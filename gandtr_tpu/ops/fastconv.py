@@ -48,6 +48,11 @@ def reflect_pad(x, pad):
     """
     t, b, l, r = pad
     B, H, W, C = x.shape
+    if max(t, b) >= H or max(l, r) >= W:
+        # numpy/torch 'reflect' requires pad < dim; the strip updates below
+        # would silently leave zero rows instead
+        raise ValueError("reflect pad %r too wide for (%d, %d)"
+                         % (pad, H, W))
     y = jnp.pad(x, ((0, 0), (t, b), (l, r), (0, 0)))
     if t:
         strip = jnp.flip(x[:, 1:1 + t], axis=1)
@@ -371,10 +376,11 @@ def conv_reflect_few_out_additive(x, kernel, p, s):
     return out
 
 
-def dispatch_conv_reflect(x, kernel, p):
+def dispatch_conv_reflect(x, kernel, p, stride=1, dilation=1):
     """Fast path for Conv(pad_mode='reflect', stride 1, K == 2p+1) with few
-    output channels; None -> pad + normal dispatch."""
-    if not ENABLED or x.ndim != 4:
+    output channels; None -> pad + normal dispatch. The rewrite computes a
+    stride-1 undilated conv, so other configurations must fall through."""
+    if not ENABLED or x.ndim != 4 or stride != 1 or dilation != 1:
         return None
     K, _, C, Co = kernel.shape
     if K != 2 * p + 1 or Co >= 32:

@@ -6,6 +6,7 @@ wrapper.py:224-233) whose numerics feed published mAPs.
 jax.image.resize antialias behaviour differs from torch on downscaling, hence
 this explicit gather-based implementation. NHWC layout.
 """
+import numpy as np
 import jax.numpy as jnp
 
 
@@ -45,8 +46,15 @@ def scale_resize(x, scale):
 
 
 def nearest_resize(x, out_h, out_w):
-    """torch F.interpolate(mode='nearest'): src = floor(dst * in/out)."""
+    """torch F.interpolate(mode='nearest'): src = floorf(dst * in/out) —
+    computed in FLOAT32 like torch's nearest_neighbor_compute_source_index
+    (exact integer floor differs by one where the f32 product rounds across
+    an integer boundary)."""
     N, H, W, C = x.shape
-    ys = jnp.clip((jnp.arange(out_h) * H // out_h), 0, H - 1)
-    xs = jnp.clip((jnp.arange(out_w) * W // out_w), 0, W - 1)
-    return x[:, ys, :, :][:, :, xs, :]
+
+    def src(out_n, in_n):
+        scale = np.float32(in_n) / np.float32(out_n)
+        idx = np.floor(np.arange(out_n, dtype=np.float32) * scale)
+        return jnp.asarray(np.clip(idx.astype(np.int64), 0, in_n - 1))
+
+    return x[:, src(out_h, H), :, :][:, :, src(out_w, W), :]

@@ -40,17 +40,15 @@ def replicate_tree(mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
-def data_parallel_step(step_fn, mesh, axis="data", num_batch_args=2):
+def data_parallel_step(step_fn, mesh, axis="data", num_batch_args=None):
     """Wrap a `(state, *batches) -> (state, ...)` step for the mesh: state
-    replicated, batch args sharded on their leading dim. XLA all-reduces the
-    gradients (GSPMD) — no explicit collectives needed."""
+    replicated, EVERY batch arg sharded on its leading dim (the explicit
+    device_puts below establish the shardings; `num_batch_args` is accepted
+    for caller symmetry but unused). XLA all-reduces the gradients (GSPMD) —
+    no explicit collectives needed."""
+    del num_batch_args
     rep = replicated(mesh)
     bsh = batch_sharding(mesh, axis)
-
-    def in_shardings(state_example):
-        state_sh = jax.tree_util.tree_map(lambda _: rep, state_example)
-        return (state_sh,) + (bsh,) * num_batch_args
-
     jitted = jax.jit(step_fn)
 
     def wrapped(state, *batches):

@@ -18,6 +18,8 @@ def unnormalize(img, mean_std=((0.5, 0.5, 0.5), (0.5, 0.5, 0.5)),
     img = np.asarray(img, np.float32)
     if img.ndim == 2:
         img = img[..., None]
+    if img.shape[-1] > 3:  # composites: first 3 channels (imgtools.py:18,35)
+        img = img[..., :3]
     c = img.shape[-1]
     img = img * std[:c] + mean[:c]
     if stretch == "minmax":

@@ -11,7 +11,16 @@ import re
 import urllib.request
 
 
-DEFAULT_RULES = [("^", os.environ.get("GANDTR_ROOT", os.environ.get("CIRTORCH_ROOT", "")))]
+def _default_rules():
+    """Read $GANDTR_ROOT at CALL time like the reference expands
+    $CIRTORCH_ROOT per call (path_resolver.py:54) — setting the env var after
+    import must take effect."""
+    return [("^", os.environ.get("GANDTR_ROOT",
+                                 os.environ.get("CIRTORCH_ROOT", "")))]
+
+
+#: legacy alias — snapshotted rules; prefer passing rules= or the env var
+DEFAULT_RULES = _default_rules()
 CACHE_DIR = os.path.expanduser(os.environ.get(
     "GANDTR_CACHE", "~/.cache/gandtr_tpu"))
 
@@ -24,7 +33,7 @@ def resolve_path(path, rules=None):
     path = os.path.expandvars(path)
     if path.startswith(("http://", "https://")) or os.path.isabs(path):
         return path
-    for pattern, repl in (rules or DEFAULT_RULES):
+    for pattern, repl in (rules if rules is not None else _default_rules()):
         if re.search(pattern, path):
             return re.sub(pattern, repl.rstrip("/") + "/" if repl else "", path)
     return path
@@ -38,9 +47,25 @@ def sha256_of(path):
     return h.hexdigest()
 
 
+def embedded_sha_prefix(name):
+    """The reference's filename-hash convention (fs_driver.py:101-107):
+    'name-<sha256 hex prefix, >=8 chars>.ext' -> the prefix, else None."""
+    m = re.search(r".*-([a-f0-9]{8,})\.[a-zA-Z0-9]{2,}$", name)
+    return m.group(1) if m else None
+
+
 def fetch(path_or_url, sha256=None, cache_dir=None):
-    """Return a local path for a file or URL; downloads into the cache with
-    optional sha256 validation (fs_driver.py:101-122 semantics)."""
+    """Return a local path for a file or URL; downloads into the cache.
+
+    Validation (fs_driver.py:101-122 semantics): an explicit `sha256=`
+    full-hash check, plus the reference's automatic filename-embedded check —
+    'name-<sha prefix>.ext' URLs validate the content on EVERY fetch (cache
+    hits included), so a corrupted or colliding cache entry fails loudly.
+
+    The cache is keyed by basename (torch-hub convention, and what lets a
+    zero-egress host pre-seed ~/.cache/gandtr_tpu); hash-suffixed names are
+    therefore collision-proof, plain names are the caller's responsibility.
+    """
     if not path_or_url.startswith(("http://", "https://")):
         return path_or_url
     cache_dir = cache_dir or CACHE_DIR
@@ -51,9 +76,17 @@ def fetch(path_or_url, sha256=None, cache_dir=None):
         tmp = local + ".tmp"
         urllib.request.urlretrieve(path_or_url, tmp)
         os.replace(tmp, local)
-    if sha256 and sha256_of(local) != sha256:
+    digest = None
+    prefix = embedded_sha_prefix(fname)
+    if sha256 or prefix:
+        digest = sha256_of(local)
+    if sha256 and digest != sha256:
         os.remove(local)
         raise IOError("sha256 mismatch for %s" % path_or_url)
+    if prefix and digest[:len(prefix)] != prefix:
+        os.remove(local)
+        raise IOError("content hash %s... does not match the name-embedded "
+                      "prefix %s (%s)" % (digest[:12], prefix, path_or_url))
     return local
 
 

@@ -92,8 +92,10 @@ def convert_torch_state(flax_variables, torch_state, key_map=None, strict=True,
     paths. Use 1.0 wherever a published full checkpoint is loaded (hub,
     scenario eval) so layout drift fails loudly instead of producing
     random-weight outputs."""
-    import copy
-    out = copy.deepcopy({k: _to_mutable(v) for k, v in flax_variables.items()})
+    # _to_mutable rebuilds the dict SKELETON (what _set mutates); the leaf
+    # arrays are either replaced below or harmlessly alias the init arrays —
+    # deepcopying them doubled host memory on VGG/ResNet imports for nothing
+    out = {k: _to_mutable(v) for k, v in flax_variables.items()}
     used = set()
     total = 0
     matched = 0
