@@ -8,6 +8,7 @@ masks and md5 augmentation gates (TupleEpochDataset) — the static-shape feed
 for the jitted fine-tune step.
 """
 import os
+import re
 
 import numpy as np
 
@@ -112,7 +113,10 @@ class TupleEpochDataset:
                                      tuple_labels):
             imgs.append(im)
             masks.append(m)
-            pmask.append(lbl.startswith(self.augment_label) and
+            # regex MATCH like everywhere else the label gate appears
+            # (reference wrapper.py:124, finetune_build, CirRatioPassThrough)
+            # — startswith broke regex labels like 'anc|pos'
+            pmask.append(bool(re.match(self.augment_label, lbl)) and
                          cir_hash_passthrough(metadata_name(self.images[idx]),
                                               self.augment_ratio))
         return (np.stack(imgs), np.stack(masks), labels,

@@ -124,6 +124,11 @@ class TuplesMiner:
         assert mark_easy is None or (self.diverse and 0 <= self.mark_easy <= 1)
         if self.diverse:
             self.qpool_size = min(qpool_size, len(db["qidxs"]))
+            # reference fail-fast (cirtorch_datasets.py:69): selecting more
+            # diverse queries than the pool holds would re-pick duplicates
+            if self.qsize > self.qpool_size:
+                raise ValueError("query_size %d > qpool_size %d"
+                                 % (self.qsize, self.qpool_size))
             self.similar_exclude = similar_exclude
             self.similar_include = similar_include
 
@@ -166,7 +171,12 @@ class TuplesMiner:
             idxs2qpool = self._randperm(len(self.db["qidxs"]), self.qsize)
             qidxs = [self.db["qidxs"][i] for i in idxs2qpool]
             pidxs = [self.db["pidxs"][i] for i in idxs2qpool]
-            qvecs = np.asarray(self._extract(extract_fn, qidxs, "anc-mine"))
+            if self.nnum:
+                # positives-only mode skips the anchor extraction entirely
+                # (traindataset.py:281-293 returns dummy nidxs first) — a
+                # full per-epoch extraction pass would be discarded below
+                qvecs = np.asarray(self._extract(extract_fn, qidxs,
+                                                 "anc-mine"))
 
         if self.nnum == 0:
             return qidxs, pidxs, [[] for _ in qidxs], self._labels(len(qidxs)), stats

@@ -419,7 +419,9 @@ class ReplaceChannelWithHistogram(GenericTransform):
             chan = channel2channel_histogram_matching(pic0[:, :, -1], pic1[:, :, -1])
             return [np.concatenate((out0, chan[:, :, None]), axis=2), pic1[:, :, :-1]]
         from gandtr_tpu.data.histogram_consts import HISTOGRAM_CDF
-        cdf = HISTOGRAM_CDF[self.params["histogram"]]
+        # "eq" routes through the equalization branch (functional.py:98-99)
+        h = self.params["histogram"]
+        cdf = h if h == "eq" else HISTOGRAM_CDF[h]
         chan = channel_histogram_matching(pic0[:, :, -1], cdf)
         return [np.concatenate((out0, chan[:, :, None]), axis=2)] + list(pics)
 

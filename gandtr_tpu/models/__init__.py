@@ -22,7 +22,9 @@ class Identity(nn.Module):
 
 
 def _resnet_generator(**kw):
-    kw.setdefault("norm_type", kw.pop("norm_layer", "instance"))
+    # reference default is BATCH norm (p2p_networks.py:245); every iccv23
+    # config sets norm_layer: instance explicitly
+    kw.setdefault("norm_type", kw.pop("norm_layer", "batch"))
     kw.pop("track_running_stats", None)
     return ResnetGenerator(**kw)
 
@@ -80,7 +82,11 @@ def _cirnet_inchan(inputs=None, **kw):
             architecture=kw.pop("cir_architecture", "vgg16"),
             pooling=kw.pop("pooling", "gem"),
             preprocessing=pre.pop("type", "edgefilter"),
-            preprocessing_params=pre)
+            preprocessing_params=pre,
+            # whitening config survives the wrapper (cirnet.py:96-104)
+            local_whitening=bool(kw.pop("local_whitening", False)),
+            whitening=bool(kw.pop("whitening", False)),
+            regional=bool(kw.pop("regional", False)))
     return _cirnet(**kw)
 
 

@@ -170,7 +170,18 @@ class Grouping:
 
     def assign_images(self, images, centroids):
         grouped, weights = [], []
+        zeros = None
         for feat, att in images:
+            if feat.shape[0] == 0:
+                # reference guard (grouping.py:98): an image whose features
+                # were all filtered out contributes zero rows
+                if zeros is None:
+                    K, D = centroids.shape
+                    zeros = (self.descriptor_function(jnp.zeros((K, D))),
+                             jnp.zeros((K,)))
+                grouped.append(zeros[0])
+                weights.append(zeros[1])
+                continue
             desc, f, ass = self.assign_features(feat, att, centroids)
             grouped.append(self.descriptor_function(desc))
             weights.append(self.weight_function(desc, f, att, ass))
@@ -231,7 +242,10 @@ class BatchClustering(Grouping):
 
     def _forward(self, images):
         features = jnp.concatenate([jax.lax.stop_gradient(f) for f, _ in images])
-        clusters = init_clusters_forgy(features, self.params["centroids"], self.rng)
+        # fresh Forgy randomness per batch like the reference's per-call
+        # torch.randperm (layers/functional.py:35-37)
+        self.rng, key = jax.random.split(self.rng)
+        clusters = init_clusters_forgy(features, self.params["centroids"], key)
         clusters = self.clustering(features, clusters, self.params["iterations"])
         return self.assign_images(images, clusters)
 

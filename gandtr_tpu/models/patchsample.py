@@ -47,9 +47,15 @@ class PatchSampleF(nn.Module):
                 sample = nn.relu(sample)
                 sample = nn.Dense(self.nc, name=f"mlp_{feat_id}_1")(sample)
             return_ids.append(patch_id)
-            norm = jnp.sum(sample ** 2, axis=-1, keepdims=True) ** 0.5
-            sample = sample / (norm + 1e-7)
             if num_patches == 0:
-                sample = sample.reshape(B, H, W, -1)
+                # full-map mode: the reference keeps (B, HW, C) and its
+                # Normalize sums over dim 1 — the SPATIAL axis
+                # (p2p_networks.py:595-603, 664-666), not channels
+                sample = sample.reshape(B, H * W, -1)
+                norm = jnp.sum(sample ** 2, axis=1, keepdims=True) ** 0.5
+                sample = (sample / (norm + 1e-7)).reshape(B, H, W, -1)
+            else:
+                norm = jnp.sum(sample ** 2, axis=-1, keepdims=True) ** 0.5
+                sample = sample / (norm + 1e-7)
             return_feats.append(sample)
         return return_feats, return_ids

@@ -129,6 +129,12 @@ class GemRetrievalNetPreprocessing(nn.Module):
     pooling: str = "gem"
     preprocessing: str = "edgefilter"
     preprocessing_params: dict = None
+    # the reference wraps the FULLY-configured net (cirnet.py:96-104) —
+    # whitening layers must survive the preprocessing wrapper
+    local_whitening: bool = False
+    whitening: bool = False
+    regional: bool = False
+    gem_p_init: float = 3.0
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -136,6 +142,10 @@ class GemRetrievalNetPreprocessing(nn.Module):
         assert self.preprocessing == "edgefilter", self.preprocessing
         x = EdgeFilter(**(self.preprocessing_params or {}), name="preprocessing")(x)
         return GemRetrievalNet(self.architecture, self.pooling,
+                               local_whitening=self.local_whitening,
+                               whitening=self.whitening,
+                               regional=self.regional,
+                               gem_p_init=self.gem_p_init,
                                name="net")(x, mask=mask)
 
 

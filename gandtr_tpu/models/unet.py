@@ -56,10 +56,14 @@ class _P2pSkip(nn.Module):
     nested: nn.Module = None
     batchnorm: bool = True
     dropout: float = 0.0
+    #: P2pUNet's conv_opts carry bias=False (unet.py:50); the Outconv/Inconv/
+    #: Aligned variants' conv_opts omit it -> torch default bias=True
+    #: (unet.py:177,292,322)
+    use_bias: bool = False
 
     @nn.compact
     def __call__(self, x, train=True):
-        h = Conv(self.inter, 4, stride=2, padding=1, use_bias=False,
+        h = Conv(self.inter, 4, stride=2, padding=1, use_bias=self.use_bias,
                  name="down")(x)
         if self.nested is not None:
             if self.batchnorm:
@@ -69,7 +73,7 @@ class _P2pSkip(nn.Module):
         else:
             h = nn.relu(h)
         h = ConvTranspose(self.outer, 4, stride=2, padding=1, output_padding=0,
-                          use_bias=False, name="up")(h)
+                          use_bias=self.use_bias, name="up")(h)
         if self.batchnorm:
             h = BatchNorm(name="bn_up")(h, use_running_average=not train)
         if self.dropout:
@@ -159,6 +163,7 @@ class OutconvP2pUNet(nn.Module):
         inner = None
         for li, (cin, cout) in enumerate(reversed(blocks)):
             inner = _P2pSkip(cin, cout, inner, self.batchnorm, self.dropout,
+                             use_bias=True,
                              name=f"skip_{len(blocks) - 1 - li}")
         h = Conv(64, 4, stride=2, padding=1, name="inconv")(x)
         h = nn.leaky_relu(h, 0.2)
@@ -230,7 +235,7 @@ class InconvP2pUNet(nn.Module):
         blocks = _p2p_blocks(self.nested_levels, ((64, 128), (128, 256), (256, 512)))
         inner = None
         for li, (cin, cout) in enumerate(reversed(blocks)):
-            inner = _P2pSkip(cin, cout, inner, batchnorm=False,
+            inner = _P2pSkip(cin, cout, inner, batchnorm=False, use_bias=True,
                              name=f"skip_{len(blocks) - 1 - li}")
         h = nn.leaky_relu(Conv(64, 1, name="inconv1x1")(x), 0.2)
         h = nn.leaky_relu(Conv(64, 4, stride=2, padding=1, name="inconv")(h), 0.2)
@@ -251,7 +256,7 @@ class AlignedP2pUNet(nn.Module):
         blocks = _p2p_blocks(self.nested_levels, ((64, 128), (128, 256), (256, 512)))
         inner = None
         for li, (cin, cout) in enumerate(reversed(blocks)):
-            inner = _P2pSkip(cin, cout, inner, batchnorm=False,
+            inner = _P2pSkip(cin, cout, inner, batchnorm=False, use_bias=True,
                              name=f"skip_{len(blocks) - 1 - li}")
         h = nn.relu(Conv(64, 3, padding=1, name="in1")(x))
         h = nn.relu(Conv(64, 3, padding=1, name="in2")(h))
