@@ -209,13 +209,16 @@ class Training:
         logger = self.events.logger("data", epoch)
         mean = np.asarray(self.mean_std[0], np.float32)
         std = np.asarray(self.mean_std[1], np.float32)
+        # ONE transfer for the whole dict — per-entry device_get costs a
+        # tunnel round-trip each (EpochLoop's metrics rule, CLAUDE.md)
+        debug = jax.device_get(debug)
         for label, img in debug.items():
             if isinstance(img, dict):  # text entries, e.g. image labels
                 for key, value in img.items():  # (supervised_epoch.py:119-121)
-                    data = np.asarray(jax.device_get(value)).tolist()
-                    logger("%s/%s" % (label, key), str(data), "blob")
+                    logger("%s/%s" % (label, key), str(np.asarray(value).tolist()),
+                           "blob")
                 continue
-            img = np.asarray(jax.device_get(img))
+            img = np.asarray(img)
             if img.ndim == 4:
                 img = img[0]
             if img.ndim != 3 or min(img.shape[:2]) < 20:
@@ -248,8 +251,10 @@ class Training:
         # config (learning.py:46-50) — silent drift would corrupt the
         # experiment's comparability
         saved_cfg = (train_meta or {}).get("config")
-        if saved_cfg is not None and self.config_snapshot is not None:
-            assert saved_cfg == self.config_snapshot, (
+        if (saved_cfg is not None and self.config_snapshot is not None
+                and saved_cfg != self.config_snapshot):
+            # explicit raise: user-facing validation must survive python -O
+            raise RuntimeError(
                 "resume config mismatch:\ncheckpoint: %r\ncurrent:    %r"
                 % (saved_cfg, self.config_snapshot))
         variables = {
@@ -315,7 +320,15 @@ class VisualValidation:
                                        self.images))
         logger = events.logger("", epoch)
         for i, img in enumerate(out):
-            rgb = np.clip(img * self.std + self.mean, 0, 1)
+            c = img.shape[-1]
+            m, s = self.mean, self.std
+            if c == 1 and len(m) > 1:
+                # grayscale output under RGB stats: log raw, 2-D (the
+                # reference's gray override, supervised_epoch.py:136-139)
+                m, s = np.zeros(1), np.ones(1)
+            rgb = np.clip(img * s[:c] + m[:c], 0, 1)
+            if rgb.shape[-1] == 1:
+                rgb = rgb[..., 0]  # PIL needs 2-D for gray
             label = self.names[i] if self.names and i < len(self.names) \
                 else str(i)
             logger(f"{self.key}/{label}", rgb, "blob")
@@ -327,12 +340,15 @@ class LossValidation:
 
     def __init__(self, loss_fn, loader, frequency=1,
                  key="val/learning/loss:total", batch_to_args=None,
-                 criterion_mean_reduction=True):
+                 criterion_mean_reduction=True, on_validate=None):
         self.loss_fn = loss_fn
         self.loader = loader
         self.frequency = frequency
         self.key = key
         self.batch_to_args = batch_to_args or (lambda b: b)
+        # called with the CURRENT state before prepare_epoch: the reference
+        # re-mines val tuples with the current network (validation.py:87)
+        self.on_validate = on_validate
         # reference validation.py:99-101: sum-reduction criteria are
         # "always reported batch-normalized" — divided by the number of
         # items (tuples) in the batch before logging
@@ -341,6 +357,8 @@ class LossValidation:
     def __call__(self, state, epoch, events):
         if not should_validate(self.frequency, epoch):
             return
+        if self.on_validate is not None:
+            self.on_validate(state)
         if hasattr(self.loader.dataset, "prepare_epoch"):
             self.loader.dataset.prepare_epoch()
         losses = []

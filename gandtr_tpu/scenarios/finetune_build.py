@@ -258,7 +258,12 @@ def build_finetune_experiment(params, directory=None, db=None, images=None):
                 # contrastive is a sum-reduction criterion: the reference
                 # batch-normalizes before logging (validation.py:99-101);
                 # our val loader is 1 tuple/batch so this divides by 1
-                criterion_mean_reduction=False))
+                criterion_mean_reduction=False,
+                # val mining must use the CURRENT weights (validation.py:87) —
+                # without this the decisive val loss ranks checkpoints over
+                # tuples mined with the epoch-0 network (found by review)
+                on_validate=lambda st: vdataset.extract_fn.holder.__setitem__(
+                    "state", st)))
         except Exception as exc:
             warnings.warn("finetune validation disabled: %s" % exc)
 

@@ -304,10 +304,13 @@ def infer(params, data):
     # to f64 like the reference's python-list mean/std (imgtools.py:24), so
     # pixels at f32/f64 rounding-tie boundaries can differ by 1 from the
     # reference artifacts — hence off by default.
+    # 'gray' excluded: device_quantize_rgb broadcasts 1-channel output
+    # against the 3-channel stats while the host path squeezes + uses
+    # channel-0 stats — the two opt-in paths must not differ beyond rounding
     device_post = bool(out_type == "image" and
                        sink.stretch_by == "meanstd" and
                        sink.colorspace is None and not sink.needs_input and
-                       sink.normspace in (None, "rgb", "gray") and
+                       sink.normspace in (None, "rgb") and
                        data_cfg.get("device_postprocess", False))
 
     def full_forward(v, x):

@@ -273,5 +273,5 @@ class TestResumeConfigAssert:
         t.run(state)
         t2, state2 = self._train(tmp_path, {"validation": {"frequency": 1},
                                             "datasets": {"d": 1}})
-        with pytest.raises(AssertionError, match="resume config mismatch"):
+        with pytest.raises(RuntimeError, match="resume config mismatch"):
             t2.resume_or_start(state2)
