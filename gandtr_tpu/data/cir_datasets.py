@@ -133,11 +133,30 @@ def _load_db(dataset_pkl, split, ims_root, dataset_name=None):
         db_full = pickle.load(f)
     db = db_full[split]
     root = resolve_path(ims_root or "")
-    if "cids" in db:
+    if root.endswith(".h5"):
+        # h5 image store (traindataset.py:67-70): flat datasets keyed by raw
+        # cid. The reference decodes the WHOLE store up front; we emit lazy
+        # `store.h5#cid` paths that data.datasets.imread reads per image.
+        _check_h5_store(root)
+        images = ["%s#%s" % (root, cid) for cid in db["cids"]]
+    elif "cids" in db:
         images = [cid2filename(cid, root) for cid in db["cids"]]
     else:
         images = [os.path.join(root, x) for x in db["ids"]]
     return db, images
+
+
+def _check_h5_store(path):
+    """The reference asserts the store layout before use
+    (traindataset.py:69, genericdataset.py:48)."""
+    import h5py
+    with h5py.File(path, "r") as f:
+        storage = f.attrs["storage_type"]
+        if isinstance(storage, bytes):
+            storage = storage.decode("utf8")
+        elif not isinstance(storage, str):  # the reference's .tostring() form
+            storage = np.asarray(storage).tobytes().decode("utf8")
+        assert storage == "flat_by_cid", storage
 
 
 def _count(value, default):
@@ -205,16 +224,45 @@ class CirImageListDataset:
     loader_params = {}
 
     def __init__(self, data, transform, image_dir="", image_size=None,
-                 image_labels=False, ignore_errors=False, **_):
+                 image_labels=False, ignore_errors=False,
+                 load_images_with_bbx=False, **params):
+        assert not params, f"Unused CirImageList params: {sorted(params)}"
         if image_labels:
             *data, self.labels = data
         else:
             self.labels = None
         self.images, self.bbxs = (data[0], None) if len(data) == 1 else data[:2]
-        self.image_dir = resolve_path(image_dir)
+        if load_images_with_bbx and self.bbxs:
+            # pre-cropped-file mode (genericdataset.py:33-45): query images
+            # live as `base.x1_y1_x2_y2.ext` crops; the +1e-10 reproduces the
+            # reference's matlab-compatible rounding of half-integer coords
+            self.images = [self._bbx_filename(img, bbx) if bbx else img
+                           for img, bbx in zip(self.images, self.bbxs)]
+            self.bbxs = None
+        image_dir = resolve_path(image_dir)
+        if image_dir.endswith(".h5"):
+            # h5 store root (genericdataset.py:47-50): datasets keyed by the
+            # image BASENAME; read lazily via `store.h5#key` paths.
+            _check_h5_store(image_dir)
+            self.images = ["%s#%s" % (image_dir, img.rsplit("/", 1)[-1])
+                           for img in self.images]
+            image_dir = ""
+        self.image_dir = image_dir
         self.image_size = image_size
         self.transform = transform
         self.ignore_errors = ignore_errors
+
+    @staticmethod
+    def _bbx_filename(image, bbx):
+        dirpath, fname = image.rsplit("/", 1) if "/" in image else (None, image)
+        basename, ext = fname.split(".", 1) if "." in fname else (fname, None)
+        out = "%s.%d_%d_%d_%d" % (
+            (basename,) + tuple(round(x + 1e-10) for x in bbx))
+        if ext:
+            out = "%s.%s" % (out, ext)
+        if dirpath:
+            out = "%s/%s" % (dirpath, out)
+        return out
 
     def __len__(self):
         return len(self.images)

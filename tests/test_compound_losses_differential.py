@@ -236,3 +236,39 @@ def test_contrastive_multidesc_fuzz(ref):
         for k in want_partial:
             np.testing.assert_allclose(got_partial[k], want_partial[k],
                                        rtol=1e-4, atol=1e-5, err_msg=k)
+
+
+@needs_reference
+def test_triplet_fuzz(ref):
+    """Reference TripletLoss (cirlosses.py:48-58 over functional.py:160-173)
+    gathers anchors/positives/negatives by LABEL MASK and pairs anchor i with
+    its own S-2 negatives via repeat+view; ours assumes the TuplesDataset
+    per-tuple [anchor, positive, negatives...] layout that every reference
+    config produces. Fuzz both over that layout, incl. the list-label concat
+    branch and sum reduction."""
+    rng = np.random.RandomState(5)
+    for _ in range(10):
+        d = rng.randint(4, 64)
+        nq, s = rng.randint(1, 5), rng.randint(3, 9)
+        x = rng.randn(d, nq * s).astype(np.float32)
+        label = np.zeros(nq * s, np.float32)
+        label[::s] = -1.0
+        label[1::s] = 1.0
+        margin = float(rng.uniform(0.05, 0.5))
+
+        rl = ref.cirl.TripletLoss(margin)
+        if rng.rand() < 0.5:  # list-of-labels branch (cirlosses.py:55-57)
+            parts = np.split(label, nq)
+            want = float(rl(torch.from_numpy(x),
+                            [torch.from_numpy(p) for p in parts]))
+        else:
+            want = float(rl(torch.from_numpy(x), torch.from_numpy(label)))
+
+        got = float(L.triplet_loss(jnp.asarray(x), jnp.asarray(label),
+                                   num_tuples=nq, margin=margin))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+        crit = C.initialize_criterion({"loss": "triplet", "margin": margin})
+        got2, _ = _ours_total(crit(jnp.asarray(x), jnp.asarray(label),
+                                   num_tuples=nq))
+        np.testing.assert_allclose(got2, want, rtol=1e-4, atol=1e-5)
