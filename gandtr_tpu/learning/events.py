@@ -394,10 +394,17 @@ def initialize_processor(params, directory=None, decisive_criterion=None):
     """Build an EventBroker from reference-style output config
     ({progress: {print_each: ...}, htmlreport: {}})."""
     params = dict(params or {})
+    broker_type = params.pop("type", "EventBroker")  # eventprocessor.py:760
+    if broker_type != "EventBroker":
+        raise KeyError("Unsupported event broker type %r" % broker_type)
+    params.pop("profile", None)  # our jax.profiler extension (training.py:98)
     streamers = []
     if "progress" in params:
+        prog = params.pop("progress")
+        if not isinstance(prog, dict):  # reference scalar form
+            prog = {"print_each": prog}  # (eventprocessor.py:696-699)
         streamers.append(DebugPrinter(**{
-            k: int(v) for k, v in (params.pop("progress") or {}).items()}))
+            k: int(v) for k, v in (prog or {}).items()}))
     sinks = []
     if "htmlreport" in params and directory:
         from gandtr_tpu.learning.html_report import HtmlReport
@@ -407,6 +414,8 @@ def initialize_processor(params, directory=None, decisive_criterion=None):
         streamers.append(TensorboardWriter(directory))
     params.pop("htmlreport", None)
     params.pop("tensorboard", None)
+    if params:  # unknown processors KeyError in the reference (:692)
+        raise KeyError("Unsupported event processors: %s" % sorted(params))
     keeper = MetadataKeeper(decisive_criterion)
     return EventBroker(directory=directory, streamers=streamers, metadata=keeper,
                        sinks=sinks)

@@ -29,6 +29,44 @@ def _svg_curve(series, width=420, height=140, color="#06c"):
             f"</svg>")
 
 
+_PALETTE = ("#06c", "#c30", "#293", "#a3c", "#c90", "#09a", "#666",
+            "#e67", "#4bd", "#b52")
+
+
+def _svg_multi_curve(series_map, width=420, height=140):
+    """All series of one key group on a single chart with a legend (the
+    reference's 'multiplot', eventprocessor.py:526-535 + plots.plot_multiline)."""
+    allv = [v for s in series_map.values() for v in s]
+    if not allv:
+        return ""
+    lo, hi = min(allv), max(allv)
+    span = (hi - lo) or 1.0
+    parts = []
+    for i, (name, series) in enumerate(sorted(series_map.items())):
+        color = _PALETTE[i % len(_PALETTE)]
+        pts = " ".join(
+            "%.1f,%.1f" % (10 + x * (width - 20) / max(len(series) - 1, 1),
+                           height - 15 - (v - lo) * (height - 30) / span)
+            for x, v in enumerate(series))
+        parts.append(f'<polyline fill="none" stroke="{color}" '
+                     f'stroke-width="1.2" points="{pts}"/>')
+        parts.append(f'<text x="{12 + (i % 3) * 136}" '
+                     f'y="{12 + (i // 3) * 11}" font-size="9" '
+                     f'fill="{color}">{html.escape(name)}</text>')
+    return (f'<svg width="{width}" height="{height}" '
+            f'style="background:#fafafa;border:1px solid #ddd">'
+            + "".join(parts)
+            + f'<text x="{width - 60}" y="{height - 4}" font-size="10">'
+              f'{lo:.3g}..{hi:.3g}</text></svg>')
+
+
+def _group_order(group):
+    """Reference section ordering (eventprocessor.py:574)."""
+    order = {"train/learning": 0, "val/learning": 1, "train/net": 3,
+             "net": 4, "train/data": 5}
+    return order.get(group, 2 if "learning" in group else 100)
+
+
 class HtmlReport:
     """Sink with the streamer/sink interface of events.EventBroker."""
 
@@ -44,12 +82,29 @@ class HtmlReport:
         if history is None:
             return
         keys = sorted({k for h in history for k in h["metrics"]})
-        rows = []
+        # group keys as the reference does (dirname = section; a group with
+        # >1 series additionally gets ONE combined multi-series chart first —
+        # the reference's loss 'multiplot', eventprocessor.py:526-535)
+        groups = {}
         for key in keys:
-            series = [h["metrics"][key] for h in history if key in h["metrics"]]
-            rows.append(
-                f"<div class='metric'><h3>{html.escape(key)} "
-                f"<small>last {series[-1]:.5g}</small></h3>{_svg_curve(series)}</div>")
+            group, _, leaf = key.rpartition("/")
+            groups.setdefault(group or key, {})[leaf or key] = \
+                [h["metrics"][key] for h in history if key in h["metrics"]]
+        rows = []
+        for group in sorted(groups, key=lambda g: (_group_order(g), g)):
+            series_map = groups[group]
+            if len(series_map) > 1:
+                rows.append(
+                    f"<div class='metric'><h3>{html.escape(group)}/* "
+                    f"<small>combined</small></h3>"
+                    f"{_svg_multi_curve(series_map)}</div>")
+            for leaf in sorted(series_map):
+                series = series_map[leaf]
+                key = f"{group}/{leaf}" if leaf != group else group
+                rows.append(
+                    f"<div class='metric'><h3>{html.escape(key)} "
+                    f"<small>last {series[-1]:.5g}</small></h3>"
+                    f"{_svg_curve(series)}</div>")
 
         # samples grouped per key with per-epoch captions (the reference
         # renders "Epoch N" blocks per blob key, eventprocessor.py:595-620);

@@ -9,6 +9,7 @@ section in the HTML report, and carries histograms through state_dict resume.
 import os
 
 import numpy as np
+import pytest
 
 from gandtr_tpu.learning.events import (EventBroker, compute_histogram,
                                         _colormap, initialize_processor)
@@ -253,3 +254,25 @@ class TestReviewFixes:
         blobs = sorted(os.listdir(tmp_path / "epochs" / "blobs"))
         assert "val_visual_a_epoch_01.jpg" in blobs
         assert "val_visual_b_epoch_01.jpg" in blobs
+
+
+class TestInitializeProcessorConfig:
+    """Reference-style processor config forms (eventprocessor.py:692-699,760):
+    scalar params, unknown-name KeyError, broker `type` key."""
+
+    def test_scalar_progress_form(self, capsys):
+        broker = initialize_processor({"progress": 2})
+        printer = broker.streamers[0]
+        assert printer.print_each == 2
+
+    def test_unknown_processor_raises(self):
+        with pytest.raises(KeyError, match="bogus"):
+            initialize_processor({"bogus": {}})
+
+    def test_type_key(self):
+        assert initialize_processor({"type": "EventBroker"}) is not None
+        with pytest.raises(KeyError, match="Other"):
+            initialize_processor({"type": "Other"})
+
+    def test_profile_key_passes(self):
+        assert initialize_processor({"profile": "/tmp/x"}) is not None

@@ -161,6 +161,32 @@ class TestHtmlReport:
         assert "sample_e1.jpg" in doc               # thumbnail grid
         assert "epoch 4" in doc
 
+    def test_combined_multiplot_and_section_order(self, tmp_path):
+        """A key group with several series gets ONE combined multi-series
+        chart (the reference's loss multiplot, eventprocessor.py:526-535),
+        and sections follow the reference order (train/learning first,
+        val/learning second — :574)."""
+        from gandtr_tpu.learning.html_report import HtmlReport
+        rep = HtmlReport(str(tmp_path))
+        history = [{"metrics": {"train/learning/total": 1.0 - 0.1 * i,
+                                "train/learning/G_gan": 0.5 - 0.02 * i,
+                                "train/learning/D_fake": 0.3 + 0.01 * i,
+                                "val/learning/loss:total": 0.9 - 0.05 * i,
+                                "zz_other/metric": float(i)}}
+                   for i in range(3)]
+        rep.close_epoch(3, history=history)
+        doc = (tmp_path / "epochs" / "htmlreport" / "index.html").read_text()
+        assert "train/learning/* <small>combined</small>" in doc
+        # combined chart holds all three series with a legend
+        assert doc.count("G_gan") >= 2  # legend + per-metric section
+        # ordering: train/learning section precedes val/learning, which
+        # precedes the unknown group
+        assert (doc.index("train/learning/total")
+                < doc.index("val/learning/loss:total")
+                < doc.index("zz_other/metric"))
+        # single-series groups get no combined chart
+        assert "zz_other/* " not in doc
+
 
 def test_profile_dir_captures_trace(tmp_path):
     """output.learning.profile captures a jax.profiler trace of one epoch."""
