@@ -40,18 +40,31 @@ def _load(fullname, path):
 
 @pytest.fixture(scope="module")
 def ref():
+    # save/restore sys.modules like test_transforms_differential — leaked
+    # stubs break other differential fixtures run later in the same process
+    names = ("cirtorch", "cirtorch.datasets", "torchvision",
+             "cirtorch.datasets.datahelpers",
+             "cirtorch.datasets.genericdataset")
+    saved = {k: sys.modules.get(k) for k in names}
     for pkg in ("cirtorch", "cirtorch.datasets"):
         sys.modules.setdefault(pkg, types.ModuleType(pkg))
     if "torchvision" not in sys.modules:  # datahelpers.py:69 backend probe
         tv = types.ModuleType("torchvision")
         tv.get_image_backend = lambda: "PIL"
         sys.modules["torchvision"] = tv
-    dh = _load("cirtorch.datasets.datahelpers",
-               os.path.join(_DSDIR, "datahelpers.py"))
-    sys.modules["cirtorch.datasets"].datahelpers = dh
-    gd = _load("cirtorch.datasets.genericdataset",
-               os.path.join(_DSDIR, "genericdataset.py"))
-    return types.SimpleNamespace(gd=gd, dh=dh)
+    try:
+        dh = _load("cirtorch.datasets.datahelpers",
+                   os.path.join(_DSDIR, "datahelpers.py"))
+        sys.modules["cirtorch.datasets"].datahelpers = dh
+        gd = _load("cirtorch.datasets.genericdataset",
+                   os.path.join(_DSDIR, "genericdataset.py"))
+        yield types.SimpleNamespace(gd=gd, dh=dh)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
 
 
 def _write_images(tmp_path, names, size=(21, 13)):
