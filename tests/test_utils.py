@@ -285,3 +285,41 @@ class TestPretrainedBootstrap:
         w = load_whitening(wpath)
         assert w["m"].shape == (512, 1) and w["P"].shape == (512, 512)
         assert "vgg16-gem" in WHITENING
+
+
+class TestBenchWatchdog:
+    """A crash in a LATER sub-bench must not discard already-printed metric
+    lines: after all attempts fail, the watchdog forwards the best attempt's
+    partial stdout (bench.py _watchdog)."""
+
+    def _run(self, monkeypatch, capsys, outcomes):
+        import types as _types
+        import bench as B
+
+        calls = iter(outcomes)
+
+        def fake_run(*a, **k):
+            rc, out = next(calls)
+            return _types.SimpleNamespace(returncode=rc, stdout=out,
+                                          stderr="boom")
+
+        monkeypatch.setattr(B.subprocess, "run", fake_run)
+        monkeypatch.setattr(B.time, "sleep", lambda s: None)
+        rc = B._watchdog()
+        return rc, capsys.readouterr().out
+
+    def test_partial_metrics_forwarded(self, monkeypatch, capsys):
+        partial = '{"metric": "gen", "value": 1.0}\n'
+        rc, out = self._run(monkeypatch, capsys,
+                            [(1, partial), (1, "")])
+        assert rc == 0
+        assert out == partial
+
+    def test_full_success_passthrough(self, monkeypatch, capsys):
+        full = '{"metric": "gen"}\n{"metric": "desc"}\n'
+        rc, out = self._run(monkeypatch, capsys, [(0, full)])
+        assert rc == 0 and out == full
+
+    def test_no_metrics_fails(self, monkeypatch, capsys):
+        rc, out = self._run(monkeypatch, capsys, [(1, ""), (1, "")])
+        assert rc == 1 and out == ""
