@@ -345,10 +345,11 @@ class EventBroker:
                 float(np.mean(vals)) if len(vals) else float("nan"))
             self.metadata.add(epoch, key, aggregated[key], dtype)
             # per-iteration scalar/time distributions render as histograms in
-            # the reference report (eventprocessor.py:640-654)
-            if dtype == "scalar/time" and len(values) > 1:
+            # the reference report (eventprocessor.py:640-654); NaN iterations
+            # drop first like the report path (:498) or np.histogram raises
+            if dtype == "scalar/time" and len(vals) > 1:
                 self._epoch_hists.setdefault(key, {})["iterations"] = \
-                    compute_histogram(values, bins=min(50, len(values)))
+                    compute_histogram(vals, bins=min(50, len(vals)))
         self._epoch_acc.clear()
         for key, hists in self._epoch_hists.items():
             self.histograms[key][epoch] = hists

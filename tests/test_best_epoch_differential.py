@@ -193,3 +193,30 @@ def test_state_roundtrip_preserves_semantics():
     _our_feed(clone, 2, {"val/loss": ("scalar/loss", [0.9])})
     assert clone.metadata.is_last_best() is False
     assert clone.metadata.best_epoch() == 1
+
+
+@needs_reference
+def test_aggregation_values_vs_reference(ref_keeper_cls):
+    """Per-epoch aggregated VALUES across all three scalar dtypes: loss/score
+    average, time SUM (eventprocessor.py:88), NaN iterations dropped first
+    (:106-108). Compares the reference keeper's stored epoch series against
+    our broker history."""
+    rng = random.Random(11)
+    for _ in range(50):
+        keys = {"g/loss": ("scalar/loss", 1.0),
+                "val/score": ("scalar/score", 1.0),
+                "t/time": ("scalar/time", 1.0)}
+        trace = _random_trace(rng, rng.randint(1, 5), keys)
+        ref = ref_keeper_cls(None)
+        ours = EventBroker(metadata=MetadataKeeper(None))
+        for epoch, present in enumerate(trace):
+            _ref_feed(ref, epoch, present)
+            _our_feed(ours, epoch, present)
+        for key in keys:
+            want = ref.data.get((key, "total"))
+            if want is None:
+                continue
+            got = [h["metrics"][key + ":total"] for h in ours.history
+                   if key + ":total" in h["metrics"]]
+            np.testing.assert_allclose(got, want["data"], rtol=1e-12,
+                                       err_msg=key)
