@@ -12,7 +12,7 @@ import re
 
 import numpy as np
 
-from gandtr_tpu.data.datasets import imread, path_join
+from gandtr_tpu.data.datasets import imread
 from gandtr_tpu.data.mining import TuplesMiner, cid2filename
 from gandtr_tpu.learning.wrappers import cir_hash_passthrough, metadata_name
 from gandtr_tpu.utils.io import resolve_path
@@ -268,7 +268,11 @@ class CirImageListDataset:
         return len(self.images)
 
     def __getitem__(self, i):
-        path = path_join(self.image_dir, self.images[i])
+        # plain join, NOT daan path_join: ImagesFromList does
+        # `os.path.join(root, img) if root else img` with no extension
+        # deduction (genericdataset.py:51)
+        name = self.images[i]
+        path = os.path.join(self.image_dir, name) if self.image_dir else name
         try:
             img = imread(path)
         except Exception:

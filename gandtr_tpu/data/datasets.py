@@ -47,10 +47,9 @@ def path_join(directory, name, default_extension=".jpg"):
     pass through; '*' in the path splits off an extension candidate; 'ext!'
     force-replaces the name's extension (plain 'ext' only applies when the
     name has none); extension-less names under a '*'-free path get
-    `default_extension`. The previous approximation dropped the absolute
-    short-circuit, the default extension, and the '!' rule (found by review)."""
-    if not directory:
-        return name
+    `default_extension` — INCLUDING under an empty directory (differentially
+    pinned vs the reference's actual ml/tools.py). None directory = ''."""
+    directory = directory or ""
     if name and name[0] == "/":
         return name
     ext = default_extension

@@ -178,3 +178,35 @@ def test_h5_store_rejects_wrong_layout(tmp_path):
 def test_unknown_params_raise():
     with pytest.raises(AssertionError):
         CirImageListDataset([["a.jpg"]], None, bogus_param=1)
+
+
+@needs_reference
+def test_path_join_differential_grid():
+    """daan path_join (the join used by tuple/domain/cirscore datasets) vs
+    the reference's ACTUAL ml/tools.py over the '*'-DSL grid — incl. the
+    empty-directory branch, which still applies extension deduction."""
+    import itertools
+    ref = _load("refpj.daan.ml.tools",
+                "/root/reference/mdir/external/daan/ml/tools.py")
+    sys.modules.pop("refpj.daan.ml.tools", None)
+    from gandtr_tpu.data.datasets import path_join
+
+    dirs = ["", "imgs", "imgs/", "imgs*.png", "imgs*.png!", "imgs*!",
+            "imgs*", "a/b*.tiff", "/abs/dir", "imgs*sub/dir"]
+    names = ["x", "x.jpg", "sub/x", "sub/x.png", "x.tar.gz", "/abs/x",
+             "x.", "sub.dir/x", "sub.dir/x.txt"]
+    for d, n in itertools.product(dirs, names):
+        assert path_join(d, n) == ref.path_join(d, n), (d, n)
+
+
+def test_image_list_plain_join_no_extension_logic(tmp_path):
+    """CirImageList joins with plain os.path.join (genericdataset.py:51) —
+    an extension-less name under an empty dir must pass through unchanged
+    (daan path_join would append '.jpg')."""
+    import pickle
+    rng = np.random.RandomState(9)
+    arr = rng.randint(0, 255, (6, 7, 3), np.uint8)
+    noext = tmp_path / "imnoext"
+    Image.fromarray(arr).save(noext, format="PNG")
+    ds = CirImageListDataset([[str(noext)]], None)
+    np.testing.assert_array_equal(np.asarray(ds[0]), arr)

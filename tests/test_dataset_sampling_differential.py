@@ -129,7 +129,12 @@ def test_pregenerated_seed0_stream_vs_reference(ref):
     """PregeneratedImageTupleDataset pins random.Random(0).randrange — the
     resume-safety contract (tuple_datasets.py:130-132)."""
     mod, _ = ref
-    image_list = [["a", "b", "c", "d"], ["x", "y", "z"], ["p", "q", "r", "s"]]
+    # names carry extensions so the daan path_join under an empty image_dir
+    # (appends '.jpg' — differentially pinned in test_cir_image_list) is a
+    # no-op on BOTH sides; this test pins only the RNG stream
+    image_list = [[n + ".jpg" for n in row] for row in
+                  [["a", "b", "c", "d"], ["x", "y", "z"],
+                   ["p", "q", "r", "s"]]]
 
     r_ref = mod.RandomImageTupleDataset.__new__(mod.RandomImageTupleDataset)
     r_ref.image_list = [list(x) for x in image_list]
