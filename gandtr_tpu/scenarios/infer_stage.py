@@ -271,7 +271,19 @@ def infer(params, data):
         if device_pre is not None:
             transforms = host_tf
 
-    model, variables = _load_network(params.pop("network"))
+    net_cfg = dict(params.pop("network"))
+    model_cfg = dict(net_cfg.get("model") or {})
+    model, variables = _load_network(net_cfg)
+
+    # multiscale aggregation power: GeM p for plain unwhitened non-regional
+    # GeM nets, else 1 (reference wrapper.py:249-252) — used by a
+    # `cirmultiscale` runtime wrapper (the whitening.yml protocol)
+    msp = 1.0
+    if (model_cfg.get("pooling", "gem") == "gem"
+            and not model_cfg.get("whitening")
+            and not model_cfg.get("regional")
+            and "gem_p" in variables.get("params", {})):
+        msp = float(np.asarray(variables["params"]["gem_p"])[0])
 
     # named-forward dispatch (reference infer.py:49,53-57: params['forward']
     # selects a method + extra call kwargs, e.g. pre-sigmoid edge maps)
@@ -319,7 +331,7 @@ def infer(params, data):
             if x.dtype == jnp.uint8:
                 xf = xf / 255.0
             x = device_pre(xf)
-        y = model.apply(v, x, train=False, **fwd_kwargs)
+        y = model.apply(v, x, train=False, ctx={"msp": msp}, **fwd_kwargs)
         if device_post:
             from gandtr_tpu.data.transforms import device_quantize_rgb
             y = device_quantize_rgb(y, mean_std)

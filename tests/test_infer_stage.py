@@ -332,3 +332,45 @@ def test_forward_params_dispatch(imgdir, tmp_path):
     pre = m_pre["vecs"]
     assert sig.min() >= 0 and sig.max() <= 1        # sigmoided
     np.testing.assert_allclose(1 / (1 + np.exp(-pre)), sig, atol=1e-5)
+
+
+def test_multiscale_infer_matches_manual_aggregation(imgdir):
+    """`runtime.wrappers: cirmultiscale:True` (the reference whitening.yml
+    protocol) aggregates per-scale descriptors with the GeM-p power mean
+    (wrapper.py:237-252, msp = pool.p for plain GeM nets)."""
+    import jax
+    import jax.numpy as jnp
+    from gandtr_tpu.learning.network import build_single_net
+    from gandtr_tpu.learning.wrappers import scale_resize
+    from gandtr_tpu.data.transforms import initialize_transforms
+
+    ms_net = {"type": "SingleNetwork",
+              "model": dict(EMB_NET["model"]),
+              "runtime": {"wrappers": "cirmultiscale:True", "data": {}}}
+    mean_std = [[0.485, 0.456, 0.406], [0.229, 0.224, 0.225]]
+    params = {
+        "network": ms_net,
+        "data": {"image_dir": str(imgdir) + "/*",
+                 "transforms": "pil2np | totensor | normalize",
+                 "mean_std": mean_std},
+        "output": {"type": "embedding", "dimensions": 512},
+    }
+    (meta,) = infer(dict(params), (["im0.jpg"],))
+    got = np.asarray(meta["vecs"])[:, 0]
+
+    # manual aggregation over the same variables (seeded identically)
+    net = build_single_net({"model": dict(EMB_NET["model"]),
+                            "runtime": {"wrappers": "", "data": {}}})
+    x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = dict(net.init(jax.random.PRNGKey(0), x0))
+    p = float(np.asarray(variables["params"]["gem_p"])[0])
+    tf = initialize_transforms("pil2np | totensor | normalize", mean_std)
+    x = jnp.asarray(tf(Image.open(imgdir / "im0.jpg")))[None]
+    descs = [np.asarray(net.apply(variables,
+                                  scale_resize(x, s) if s != 1 else x))[0]
+             for s in (1, 1 / np.sqrt(2), 1 / 2)]
+    v = sum(d ** p for d in descs) / 3
+    v = v ** (1 / p)
+    want = v / np.linalg.norm(v)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+    assert abs(np.linalg.norm(got) - 1) < 1e-5
