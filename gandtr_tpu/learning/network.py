@@ -120,6 +120,10 @@ class ModelSet:
         ({'weights': 'kaiming_p2p', 'seed': 0})."""
         variables = {}
         for i, (name, net) in enumerate(self.nets.items()):
+            if name not in sample_inputs:
+                # lazily-shaped nets (CUT's PatchSampleF sizes its MLPs from
+                # generator feature taps) are initialized by the caller
+                continue
             key = jax.random.fold_in(rng, i)
             var = dict(net.init(key, sample_inputs[name]))
             spec = (init_specs or {}).get(name)

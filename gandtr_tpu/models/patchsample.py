@@ -16,6 +16,17 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 
+def _safe_norm(x, axis):
+    """sqrt(sum(x**2)) with a finite gradient at an exactly-zero row
+    (double-where): a zero mlp output (zero-init biases + an all-zero relu
+    patch, realistic at small channel counts) otherwise backprops
+    inf*0 = NaN through the sqrt. Forward values are bit-identical to the
+    reference's x.pow(2).sum().pow(.5) for nonzero rows."""
+    s = jnp.sum(x ** 2, axis=axis, keepdims=True)
+    safe = jnp.where(s > 0, s, 1.0)
+    return jnp.where(s > 0, safe ** 0.5, 0.0)
+
+
 class PatchSampleF(nn.Module):
     nc: int = 256
     use_mlp: bool = True
@@ -52,10 +63,9 @@ class PatchSampleF(nn.Module):
                 # Normalize sums over dim 1 — the SPATIAL axis
                 # (p2p_networks.py:595-603, 664-666), not channels
                 sample = sample.reshape(B, H * W, -1)
-                norm = jnp.sum(sample ** 2, axis=1, keepdims=True) ** 0.5
-                sample = (sample / (norm + 1e-7)).reshape(B, H, W, -1)
+                sample = (sample / (_safe_norm(sample, axis=1) + 1e-7)
+                          ).reshape(B, H, W, -1)
             else:
-                norm = jnp.sum(sample ** 2, axis=-1, keepdims=True) ** 0.5
-                sample = sample / (norm + 1e-7)
+                sample = sample / (_safe_norm(sample, axis=-1) + 1e-7)
             return_feats.append(sample)
         return return_feats, return_ids

@@ -39,6 +39,39 @@ EPOCH_ITERATION_FAMILIES = {
 }
 
 
+#: loss-function names each family's jitted step implements (reference-exact
+#: mse adversarial / l1 reconstruction — every published config). A config
+#: asking for a different base loss must FAIL, not silently train with the
+#: hardcoded one (same policy as the alternate_iteration guard below).
+_FAMILY_LOSSES = {
+    "cyclegan": {"cycle_loss", "multihead_loss", "discriminator_loss",
+                 "mse", "l1"},
+    "cut": {"multihead_loss", "discriminator_loss",
+            "multilayer_patchnce_loss", "mse", "l1"},
+    "hedgan": {"multihead_loss", "discriminator_loss", "mse", "l1"},
+    "hedngan": {"multihead_loss", "discriminator_loss", "mse", "l1"},
+}
+
+
+def _check_criterion_losses(crit, family):
+    """Walk the criterion subtree and refuse `loss:` values outside the
+    family's implemented set (the steps hardcode the reference's published
+    mse/l1 semantics; cf. criterion/__init__.py CRITERIA registry)."""
+    allowed = _FAMILY_LOSSES[family]
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return
+        for key, value in node.items():
+            if key == "loss" and isinstance(value, str) and value not in allowed:
+                raise NotImplementedError(
+                    "criterion loss %r is not implemented by the %s step "
+                    "(supported: %s)" % (value, family, sorted(allowed)))
+            walk(value)
+
+    walk(crit)
+
+
 def _maybe_data_parallel(step, state, par_cfg, batch_size, num_batch_args):
     """Shard the step's batch args over a 'data' mesh when parallel config +
     device count + batch divisibility allow; otherwise jit single-device."""
@@ -108,6 +141,7 @@ def build_gan_experiment(scenario, sample_hw=256, batch_size=None,
     # criterion weights
     crit = dict(train_cfg.get("criterion", {}))
     weights = dict(crit.get("weights", {}))
+    _check_criterion_losses(crit, family)
 
     # sample inputs + init
     rng = jax.random.PRNGKey(int(train_cfg.get("seed", 0)))
@@ -129,6 +163,15 @@ def build_gan_experiment(scenario, sample_hw=256, batch_size=None,
             layers=nce_layers, encode_only=True)
         variables["featdown"] = dict(models["featdown"].module.init(
             rng, feats, num_patches=int(nce.get("num_patches", 256)), rng=rng))
+        spec = (init_specs or {}).get("featdown")
+        if spec:
+            # the reference applies the initialize spec over the eagerly
+            # created MLPs too (network.py:163 model.apply over the whole
+            # PatchSampleF; its create_mlp runs in __init__ when
+            # input_nc+nce_layers are configured, p2p_networks.py:620-627)
+            from gandtr_tpu.models.init import initialize_weights
+            variables["featdown"]["params"] = initialize_weights(
+                variables["featdown"]["params"], rng, **dict(spec))
 
     # pretrained subnet weights (e.g. HED teacher/student)
     for name, sub in net_cfg.items():
