@@ -1,12 +1,14 @@
 """Benchmark: batched day→night generator inference at 256×256 on one chip,
 plus GeM-VGG16 descriptor extraction at the 1024px eval protocol, plus the
-serving index search (exact top-10 over a 100k descriptor database).
+serving index search (exact top-10 over a 100k descriptor database), plus
+the full HED^N-GAN training step (batch 10 @256², the published protocol).
 
 Prints the PRIMARY metric as the FIRST JSON line (the driver parses it):
 {"metric", "value", "unit", "vs_baseline"}; the descriptor metric follows as
 a second JSON line (BASELINE.json's second named metric), then the index
 search metric (vs_baseline there = speedup over the reference's host-numpy
-ranking measured on this host).
+ranking measured on this host), then the train-step metric (vs_baseline
+there = MFU against this chip's bf16 roofline for the step's exact FLOPs).
 
 Baseline note: the reference (mohwald/gandtr) publishes no throughput numbers
 (BASELINE.md). The driver's north star is ≥5× A100 images/sec/chip on v5e for
@@ -198,6 +200,90 @@ def bench_index_search():
         "value": round(qps, 1),
         "unit": "queries/s/chip",
         "vs_baseline": round(qps / ref_qps, 2),
+    }), flush=True)
+
+    bench_train_step()
+
+
+# HED^N-GAN train-step FLOPs (XLA cost_analysis of the full jitted step:
+# D update + detector update + G update, batch 10 @256², bf16 —
+# the scripts/perf_r101_and_steps.py graph): 7.09 TFLOP/step = 0.709
+# TFLOP/image. vs_baseline here is the step's MFU: measured img/s over the
+# bf16-peak-bound rate 197 TFLOP/s ÷ 0.709 TFLOP/img = 278 img/s (the
+# reference publishes no training throughput; an A100 estimate would be
+# guesswork, so we report the distance to this chip's own roofline instead).
+TRAIN_STEP_TFLOP_PER_IMG = 0.709
+TRAIN_ROOFLINE_IMG_S = 197.0 / TRAIN_STEP_TFLOP_PER_IMG
+
+
+def bench_train_step():
+    """Full HED^N-GAN training step (BASELINE.json config 5): one jitted
+    graph updating discriminator → detector → generator at batch 10 @256²
+    bf16 (the reference's published train protocol batch/size)."""
+    from gandtr_tpu.learning.network import build_model_set
+    from gandtr_tpu.learning.optimizers import initialize_optimizer
+    from gandtr_tpu.learning import gan_steps
+
+    hed = {"model": {"architecture": "hed_interpolation"},
+           "runtime": {"wrappers": "rgb2bgr_pre", "data": {},
+                       "dtype": "bfloat16"}}
+    cfg = {"type": "NetworkSet",
+           "generator_X": {"model": {"architecture":
+                                     "official_resnet_generator",
+                                     "n_blocks": 9, "norm_layer": "batch",
+                                     "no_antialias": True,
+                                     "no_antialias_up": True},
+                           "runtime": {"wrappers": "", "data": {},
+                                       "dtype": "bfloat16"}},
+           "detector": dict(hed),
+           "detector_frozen": {**hed, "runtime": {**hed["runtime"],
+                                                  "frozen": True}},
+           "discriminator_Y": {"model": {"architecture":
+                                         "official_p2p_discriminator",
+                                         "norm_layer": "batch"},
+                               "runtime": {"wrappers": "", "data": {},
+                                           "dtype": "bfloat16"}}}
+    ms, _ = build_model_set(cfg)
+    B, hw = 10, 256
+    x0 = jnp.zeros((B, hw, hw, 3), jnp.float32)
+    variables = ms.init_all(jax.random.PRNGKey(0), {n: x0 for n in ms.nets})
+    variables["detector_frozen"] = variables["detector"]
+    adam = {"algorithm": "adam", "lr": 2e-4, "beta1": 0.5, "beta2": 0.999}
+    optimizers = {n: initialize_optimizer(dict(adam))[0]
+                  for n in ("generator_X", "discriminator_Y", "detector")}
+    state = gan_steps.make_gan_state(variables, optimizers)
+    step = gan_steps.build_hedngan_step(
+        ms.nets, optimizers, {"adversarial": 1, "edge": 5, "hed": 1})
+
+    X = jax.random.uniform(jax.random.PRNGKey(1), (B, hw, hw, 3)) * 2 - 1
+    Y = jax.random.uniform(jax.random.PRNGKey(2), (B, hw, hw, 3)) * 2 - 1
+    ITERS = 5
+
+    @jax.jit
+    def timed_loop(st, x, y):
+        def body(i, s):
+            s2, _, _ = step(s, x + i.astype(x.dtype) * 1e-5, y)
+            return s2
+        out = jax.lax.fori_loop(0, ITERS, body, st)
+        # reduce over the UPDATED weights — fetching only the step counter
+        # dead-code-eliminates the whole training computation (docs/PERF.md)
+        return sum(jnp.sum(l.astype(jnp.float32))
+                   for l in jax.tree_util.tree_leaves(
+                       out.variables["generator_X"]["params"]))
+
+    assert np.isfinite(float(timed_loop(state, X, Y)))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(timed_loop(state, X, Y))
+        best = min(best, (time.perf_counter() - t0) / ITERS)
+
+    img_s = B / best
+    print(json.dumps({
+        "metric": "hedngan_train_images_per_sec_per_chip_256px",
+        "value": round(img_s, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(img_s / TRAIN_ROOFLINE_IMG_S, 4),
     }), flush=True)
 
 
