@@ -115,8 +115,11 @@ def bench_descriptors():
     from gandtr_tpu.models.retrieval import GemRetrievalNet
 
     model = GemRetrievalNet(architecture="vgg16", pooling="gem")
-    # batch sweep @1024²: 2→124, 4→131, 6→137, 8→156 img/s (docs/PERF.md)
-    batch, hw = 8, 1024
+    # batch sweep @1024²: 2→124, 4→131, 6→137, 8→156, 10→110, 12→132,
+    # 16→175, 20→148, 24→178 img/s (non-monotonic: emitter tiling sweet
+    # spots at 16/24; 28/32 fail server-side compile). 24 re-measured 3×
+    # stable at 177-178 (docs/PERF.md, scripts/perf_desc_batch.py)
+    batch, hw = 24, 1024
     x = jax.random.uniform(jax.random.PRNGKey(0), (batch, hw, hw, 3),
                            jnp.float32)
     variables = model.init(jax.random.PRNGKey(1), x[:1])
