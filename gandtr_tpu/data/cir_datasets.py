@@ -12,7 +12,7 @@ import re
 
 import numpy as np
 
-from gandtr_tpu.data.datasets import imread
+from gandtr_tpu.data.datasets import imread, path_join
 from gandtr_tpu.data.mining import TuplesMiner, cid2filename
 from gandtr_tpu.learning.wrappers import cir_hash_passthrough, metadata_name
 from gandtr_tpu.utils.io import resolve_path
@@ -232,6 +232,15 @@ class CirImageListDataset:
         else:
             self.labels = None
         self.images, self.bbxs = (data[0], None) if len(data) == 1 else data[:2]
+        image_dir = resolve_path(image_dir)
+        is_h5 = image_dir.endswith(".h5")
+        if not is_h5:
+            # the reference joins each image with the dir via daan path_join
+            # BEFORE ImagesFromList — '*' extension DSL + default-.jpg
+            # deduction apply here (cirtorch_datasets.py:38-39), and the bbx
+            # renaming below then operates on the JOINED names
+            self.images = [path_join(image_dir, img) for img in self.images]
+            image_dir = ""
         if load_images_with_bbx and self.bbxs:
             # pre-cropped-file mode (genericdataset.py:33-45): query images
             # live as `base.x1_y1_x2_y2.ext` crops; the +1e-10 reproduces the
@@ -239,8 +248,7 @@ class CirImageListDataset:
             self.images = [self._bbx_filename(img, bbx) if bbx else img
                            for img, bbx in zip(self.images, self.bbxs)]
             self.bbxs = None
-        image_dir = resolve_path(image_dir)
-        if image_dir.endswith(".h5"):
+        if is_h5:
             # h5 store root (genericdataset.py:47-50): datasets keyed by the
             # image BASENAME; read lazily via `store.h5#key` paths.
             _check_h5_store(image_dir)

@@ -16,6 +16,7 @@ ImageFile.LOAD_TRUNCATED_IMAGES = True
 
 
 import os as _os
+import threading as _threading
 
 # Native (C++) decode fast path: libjpeg/libpng on GIL-released ctypes calls,
 # bit-exact vs PIL (tests/test_native_loader.py). Default on; disable with
@@ -23,15 +24,36 @@ import os as _os
 _NATIVE_OK = _os.environ.get("GANDTR_TPU_NATIVE_LOADER", "1") != "0"
 
 
+# Lazy-h5 read-handle cache: the loader's thread pool hits the store once
+# per image per epoch — a per-read File open pays HDF5 metadata overhead
+# ~100k times per epoch. h5py is not thread-safe without a threadsafe HDF5
+# build, so reads serialize under one lock (decode dominates, not the read).
+_H5_HANDLES = {}
+_H5_LOCK = _threading.Lock()
+
+
+def _h5_read(h5path, key):
+    import h5py
+    with _H5_LOCK:
+        f = _H5_HANDLES.get(h5path)
+        if f is None:
+            f = _H5_HANDLES[h5path] = h5py.File(h5path, "r")
+        try:
+            return np.asarray(f[key])
+        except KeyError:
+            # the store may have been rewritten since first open (tests,
+            # regenerated caches) — reopen once before failing for real
+            _H5_HANDLES.pop(h5path).close()
+            f = _H5_HANDLES[h5path] = h5py.File(h5path, "r")
+            return np.asarray(f[key])
+
+
 def imread(path, mode="RGB"):
     """Load an image; `archive.h5#key` reads from an HDF5 dataset (the
     reference's h5 image storage, traindataset.py h5 branch)."""
     if ".h5#" in path:
-        import h5py
         h5path, key = path.split("#", 1)
-        with h5py.File(h5path, "r") as f:
-            arr = np.asarray(f[key])
-        return Image.fromarray(arr).convert(mode)
+        return Image.fromarray(_h5_read(h5path, key)).convert(mode)
     if _NATIVE_OK and mode == "RGB":
         from gandtr_tpu import native
         if native.available():

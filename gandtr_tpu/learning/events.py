@@ -102,14 +102,17 @@ class DebugPrinter:
     """Stderr progress streamer (eventprocessor.py:361-401): running loss,
     s/batch, min/epoch."""
 
-    def __init__(self, print_each=100, print_each_val=1000):
+    def __init__(self, print_each=100, print_each_val=None):
+        # falsy print_each disables printing; print_each_val defaults to
+        # print_each (eventprocessor.py:363-365,372)
         self.print_each = print_each
-        self.print_each_val = print_each_val
+        self.print_each_val = (print_each_val if print_each_val is not None
+                               else print_each)
         self._start = None
         self._acc = defaultdict(list)
 
     def register(self, epoch, iteration, epoch_size, key, value, dtype):
-        if not dtype.startswith("scalar"):
+        if not dtype.startswith("scalar") or not self.print_each:
             return
         if self._start is None:
             self._start = time.time()
@@ -404,8 +407,10 @@ def initialize_processor(params, directory=None, decisive_criterion=None):
         prog = params.pop("progress")
         if not isinstance(prog, dict):  # reference scalar form
             prog = {"print_each": prog}  # (eventprocessor.py:696-699)
+        # None values pass through: DebugPrinter(None) is the reference's
+        # "disabled" printer (eventprocessor.py:372), not an int
         streamers.append(DebugPrinter(**{
-            k: int(v) for k, v in (prog or {}).items()}))
+            k: (int(v) if v is not None else None) for k, v in prog.items()}))
     sinks = []
     if "htmlreport" in params and directory:
         from gandtr_tpu.learning.html_report import HtmlReport

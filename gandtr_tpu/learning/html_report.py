@@ -7,19 +7,31 @@ eventprocessor.py:464-666 + daan/presentation): at every close_epoch, render
 matplotlib dependency on the training path) and thumbnails of the blob images.
 """
 import html
+import math
 import os
 
 
-def _svg_curve(series, width=420, height=140, color="#06c"):
-    if not series:
-        return ""
-    xs = list(range(len(series)))
-    lo, hi = min(series), max(series)
-    span = (hi - lo) or 1.0
-    pts = " ".join(
-        "%.1f,%.1f" % (10 + x * (width - 20) / max(len(xs) - 1, 1),
+def _finite(values):
+    """NaN/inf metrics (events stores NaN for an all-NaN epoch) must not
+    poison the axis range or emit 'nan' SVG points — skip them."""
+    return [v for v in values if math.isfinite(v)]
+
+
+def _points(series, lo, span, width, height):
+    """Polyline points, skipping non-finite values (gaps in the line)."""
+    return " ".join(
+        "%.1f,%.1f" % (10 + x * (width - 20) / max(len(series) - 1, 1),
                        height - 15 - (v - lo) * (height - 30) / span)
-        for x, v in zip(xs, series))
+        for x, v in enumerate(series) if math.isfinite(v))
+
+
+def _svg_curve(series, width=420, height=140, color="#06c"):
+    finite = _finite(series)
+    if not finite:
+        return ""
+    lo, hi = min(finite), max(finite)
+    span = (hi - lo) or 1.0
+    pts = _points(series, lo, span, width, height)
     return (f'<svg width="{width}" height="{height}" '
             f'style="background:#fafafa;border:1px solid #ddd">'
             f'<polyline fill="none" stroke="{color}" stroke-width="1.5" '
@@ -36,7 +48,7 @@ _PALETTE = ("#06c", "#c30", "#293", "#a3c", "#c90", "#09a", "#666",
 def _svg_multi_curve(series_map, width=420, height=140):
     """All series of one key group on a single chart with a legend (the
     reference's 'multiplot', eventprocessor.py:526-535 + plots.plot_multiline)."""
-    allv = [v for s in series_map.values() for v in s]
+    allv = _finite(v for s in series_map.values() for v in s)
     if not allv:
         return ""
     lo, hi = min(allv), max(allv)
@@ -44,10 +56,7 @@ def _svg_multi_curve(series_map, width=420, height=140):
     parts = []
     for i, (name, series) in enumerate(sorted(series_map.items())):
         color = _PALETTE[i % len(_PALETTE)]
-        pts = " ".join(
-            "%.1f,%.1f" % (10 + x * (width - 20) / max(len(series) - 1, 1),
-                           height - 15 - (v - lo) * (height - 30) / span)
-            for x, v in enumerate(series))
+        pts = _points(series, lo, span, width, height)
         parts.append(f'<polyline fill="none" stroke="{color}" '
                      f'stroke-width="1.2" points="{pts}"/>')
         parts.append(f'<text x="{12 + (i % 3) * 136}" '
@@ -85,10 +94,12 @@ class HtmlReport:
         # group keys as the reference does (dirname = section; a group with
         # >1 series additionally gets ONE combined multi-series chart first —
         # the reference's loss 'multiplot', eventprocessor.py:526-535)
+        # maps are keyed by the FULL metric key (a bare key 'x' and a nested
+        # 'x/x' are distinct series and must not collide in one group slot)
         groups = {}
         for key in keys:
-            group, _, leaf = key.rpartition("/")
-            groups.setdefault(group or key, {})[leaf or key] = \
+            group = key.rpartition("/")[0] or key
+            groups.setdefault(group, {})[key] = \
                 [h["metrics"][key] for h in history if key in h["metrics"]]
         rows = []
         for group in sorted(groups, key=lambda g: (_group_order(g), g)):
@@ -98,9 +109,8 @@ class HtmlReport:
                     f"<div class='metric'><h3>{html.escape(group)}/* "
                     f"<small>combined</small></h3>"
                     f"{_svg_multi_curve(series_map)}</div>")
-            for leaf in sorted(series_map):
-                series = series_map[leaf]
-                key = f"{group}/{leaf}" if leaf != group else group
+            for key in sorted(series_map):
+                series = series_map[key]
                 rows.append(
                     f"<div class='metric'><h3>{html.escape(key)} "
                     f"<small>last {series[-1]:.5g}</small></h3>"

@@ -114,16 +114,20 @@ class ModelSet:
     def __getitem__(self, name):
         return self.nets[name]
 
-    def init_all(self, rng, sample_inputs, init_specs=None):
+    def init_all(self, rng, sample_inputs, init_specs=None, lazy=()):
         """Initialize variables for every subnet. `sample_inputs[name]` is the
         example input; `init_specs[name]` optionally holds a weight-init config
         ({'weights': 'kaiming_p2p', 'seed': 0})."""
         variables = {}
         for i, (name, net) in enumerate(self.nets.items()):
             if name not in sample_inputs:
-                # lazily-shaped nets (CUT's PatchSampleF sizes its MLPs from
-                # generator feature taps) are initialized by the caller
-                continue
+                if name in lazy:
+                    # lazily-shaped nets (CUT's PatchSampleF sizes its MLPs
+                    # from generator feature taps) init'd by the caller
+                    continue
+                raise KeyError(
+                    "no sample input for net %r (declare it in `lazy` if "
+                    "the caller initializes it)" % name)
             key = jax.random.fold_in(rng, i)
             var = dict(net.init(key, sample_inputs[name]))
             spec = (init_specs or {}).get(name)

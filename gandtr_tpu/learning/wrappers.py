@@ -73,8 +73,15 @@ def metadata_name(path):
     """The name the reference hashes: basename WITHOUT the (last) extension
     (datahelpers.py:44 sets metadata['name'] = basename.rsplit('.', 1)[0]).
     Identical for extension-less retrieval-SfM cids; diverges on .jpg lists
-    if the extension is left on — found by reading the metadata chain."""
+    if the extension is left on — found by reading the metadata chain.
+
+    Lazy h5 paths (`store.h5#cid`) hash the per-image KEY: the reference's
+    h5 branch keeps per-cid names (traindataset.py:67-70), so hashing the
+    store's basename would collapse the md5 augmentation gate to one draw
+    for the whole dataset."""
     import os
+    if ".h5#" in path:
+        path = path.split("#", 1)[1]
     return os.path.basename(path).rsplit(".", 1)[0]
 
 
@@ -246,10 +253,28 @@ class CirMultiscaleAggregation(Wrapper):
 
     def post(self, descs, ctx, meta):
         """descs: list of (N, D) descriptor batches, one per scale."""
-        msp = ctx.get("msp", 1.0)
+        # single-scale keeps msp=1 like the reference (wrapper.py:249: the
+        # GeM-p rule applies only when len(scales) > 1)
+        msp = ctx.get("msp", 1.0) if len(self.scales) > 1 else 1.0
         v = sum(d ** msp for d in descs) / len(self.scales)
         v = v ** (1.0 / msp)
         return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+
+
+def multiscale_msp(model_cfg, variables):
+    """The reference's multiscale aggregation power (wrapper.py:249-252):
+    GeM p for a PLAIN GeM net — pooling 'gem', no model whitening head, not
+    regional — else 1. The eval-time Lw wrapper does NOT disable it (the
+    reference checks the model's own meta['whitening']). Single callers'
+    single-scale case is handled inside CirMultiscaleAggregation.post."""
+    model_cfg = dict(model_cfg or {})
+    params = (variables or {}).get("params", {})
+    if (model_cfg.get("pooling", "gem") == "gem"
+            and not model_cfg.get("whitening")
+            and not model_cfg.get("regional")
+            and "gem_p" in params):
+        return float(np.asarray(params["gem_p"])[0])
+    return 1.0
 
 
 class CirtorchWhiten(Wrapper):

@@ -151,7 +151,8 @@ def build_gan_experiment(scenario, sample_hw=256, batch_size=None,
         if net.module.__class__.__name__ == "PatchSampleF":
             continue  # initialized below from generator taps
         sample_inputs[name] = x0
-    variables = models.init_all(rng, sample_inputs, init_specs)
+    variables = models.init_all(rng, sample_inputs, init_specs,
+                                lazy=("featdown",))
 
     # PatchSampleF (CUT): init from generator feature taps
     nce_layers = None

@@ -275,15 +275,10 @@ def infer(params, data):
     model_cfg = dict(net_cfg.get("model") or {})
     model, variables = _load_network(net_cfg)
 
-    # multiscale aggregation power: GeM p for plain unwhitened non-regional
-    # GeM nets, else 1 (reference wrapper.py:249-252) — used by a
-    # `cirmultiscale` runtime wrapper (the whitening.yml protocol)
-    msp = 1.0
-    if (model_cfg.get("pooling", "gem") == "gem"
-            and not model_cfg.get("whitening")
-            and not model_cfg.get("regional")
-            and "gem_p" in variables.get("params", {})):
-        msp = float(np.asarray(variables["params"]["gem_p"])[0])
+    # multiscale aggregation power (reference wrapper.py:249-252) — used by
+    # a `cirmultiscale` runtime wrapper (the whitening.yml protocol)
+    from gandtr_tpu.learning.wrappers import multiscale_msp
+    msp = multiscale_msp(model_cfg, variables)
 
     # named-forward dispatch (reference infer.py:49,53-57: params['forward']
     # selects a method + extra call kwargs, e.g. pre-sigmoid edge maps)

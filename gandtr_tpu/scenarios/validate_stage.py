@@ -12,7 +12,7 @@ import jax.numpy as jnp
 from gandtr_tpu.utils.io import resolve_path, load_pickle
 from gandtr_tpu.data.transforms import initialize_transforms
 from gandtr_tpu.learning.wrappers import (CirMultiscaleAggregation,
-                                          CirtorchWhiten)
+                                          CirtorchWhiten, multiscale_msp)
 from gandtr_tpu.eval.retrieval import (configdataset, ShapeCachedExtractor,
                                        evaluate_dataset)
 
@@ -47,8 +47,10 @@ def validate(params, data):
             elif key.endswith("cirmultiscale"):
                 eval_wrappers.append(CirMultiscaleAggregation(
                     scales=cfg.get("scales", True)))
-                if "params" in variables and "gem_p" in variables["params"]:
-                    msp = float(np.asarray(variables["params"]["gem_p"])[0])
+                # shared reference rule (wrapper.py:249-252): plain GeM nets
+                # only — NOT mere gem_p presence (a whitened/regional model
+                # still carries gem_p but aggregates with msp=1)
+                msp = multiscale_msp(net_cfg.get("model"), variables)
     model.wrappers_eval = eval_wrappers
 
     tf_str = data_cfg.get("transforms",

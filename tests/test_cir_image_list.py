@@ -199,14 +199,34 @@ def test_path_join_differential_grid():
         assert path_join(d, n) == ref.path_join(d, n), (d, n)
 
 
-def test_image_list_plain_join_no_extension_logic(tmp_path):
-    """CirImageList joins with plain os.path.join (genericdataset.py:51) —
-    an extension-less name under an empty dir must pass through unchanged
-    (daan path_join would append '.jpg')."""
-    import pickle
+def test_image_list_daan_path_join_semantics(tmp_path):
+    """CirImageList joins each image with the dir via daan path_join BEFORE
+    the bbx renaming (cirtorch_datasets.py:38-39): '.jpg' extension deduction
+    and the '*' extension DSL apply; absolute names pass through untouched
+    (path_join's absolute short-circuit — ImagesFromList itself never joins
+    since root becomes '')."""
     rng = np.random.RandomState(9)
     arr = rng.randint(0, 255, (6, 7, 3), np.uint8)
+    # absolute, extension-less: passes through (no '.jpg' appended)
     noext = tmp_path / "imnoext"
     Image.fromarray(arr).save(noext, format="PNG")
     ds = CirImageListDataset([[str(noext)]], None)
+    np.testing.assert_array_equal(np.asarray(ds[0]), arr)
+    # relative, extension-less cid under a dir: '.jpg' is deduced
+    # (PNG content under .jpg names — decode sniffs content; exact compare)
+    Image.fromarray(arr).save(tmp_path / "cid123.jpg", format="PNG")
+    ds = CirImageListDataset([["cid123"]], None, image_dir=str(tmp_path))
+    assert ds.images == [str(tmp_path / "cid123.jpg")]
+    np.testing.assert_array_equal(np.asarray(ds[0]), arr)
+    # '*' DSL dir: extension comes from the dir spec
+    Image.fromarray(arr).save(tmp_path / "cid9.png")
+    ds = CirImageListDataset([["cid9"]], None,
+                             image_dir=str(tmp_path) + "/*.png")
+    np.testing.assert_array_equal(np.asarray(ds[0]), arr)
+    # bbx renaming applies AFTER the join, i.e. to the '.jpg'-deduced name
+    Image.fromarray(arr).save(tmp_path / "q7.1_1_5_4.jpg", format="PNG")
+    ds = CirImageListDataset([["q7"], [(1, 1, 5, 4)]], None,
+                             image_dir=str(tmp_path),
+                             load_images_with_bbx=True)
+    assert ds.images == [str(tmp_path / "q7.1_1_5_4.jpg")]
     np.testing.assert_array_equal(np.asarray(ds[0]), arr)

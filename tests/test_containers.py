@@ -120,6 +120,26 @@ class TestMultihead:
         assert mh.parameter_groups == {"h": {"lr": 2.0}}
         assert mh.default_output == "h" and mh.split is not None
 
+    def test_init_all_missing_sample_input_raises(self):
+        """A forgotten sample input must fail AT the init site, not as a
+        missing-variables KeyError far downstream; only nets declared in
+        `lazy` (CUT's PatchSampleF) may be skipped for caller init."""
+        import jax
+        import jax.numpy as jnp
+        import pytest
+        from gandtr_tpu.learning.network import build_model_set
+        cfg = {"type": "NetworkSet",
+               "a": {"model": {"architecture": "identity"},
+                     "runtime": {"wrappers": "", "data": {}}},
+               "b": {"model": {"architecture": "identity"},
+                     "runtime": {"wrappers": "", "data": {}}}}
+        ms, _ = build_model_set(cfg)
+        x = jnp.zeros((1, 4, 4, 3))
+        with pytest.raises(KeyError, match="sample input for net 'b'"):
+            ms.init_all(jax.random.PRNGKey(0), {"a": x})
+        variables = ms.init_all(jax.random.PRNGKey(0), {"a": x}, lazy=("b",))
+        assert "b" not in variables and "a" in variables
+
 
 class TestGlobalLocal:
     def test_forwards(self):

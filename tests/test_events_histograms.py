@@ -170,6 +170,41 @@ class TestPercentileFan:
         assert "polygon" in html_text  # fan, not plain histogram
         assert "Distributions" in html_text
 
+class TestReportCurveRobustness:
+    def test_nan_metric_does_not_blank_group_chart(self, tmp_path):
+        """A single NaN epoch (events stores NaN for an all-NaN epoch) must
+        not poison the combined multi-series chart's axis range."""
+        from gandtr_tpu.learning.html_report import (_svg_curve,
+                                                     _svg_multi_curve,
+                                                     HtmlReport)
+        svg = _svg_multi_curve({"a": [1.0, float("nan"), 2.0],
+                                "b": [3.0, 4.0, 5.0]})
+        assert "nan" not in svg and svg.count("polyline") == 2
+        assert "nan" not in _svg_curve([1.0, float("nan"), 3.0])
+        assert _svg_curve([float("nan")]) == ""  # nothing plottable
+        # end-to-end: report still renders the healthy series
+        report = HtmlReport(str(tmp_path))
+        history = [{"epoch": 1, "metrics": {"g/a": float("nan"), "g/b": 2.0}},
+                   {"epoch": 2, "metrics": {"g/a": 1.0, "g/b": 3.0}}]
+        report.close_epoch(2, history=history)
+        text = (tmp_path / "epochs" / "htmlreport" / "index.html").read_text()
+        assert "g/b" in text and "nan," not in text
+
+    def test_bare_and_nested_same_name_keys_stay_distinct(self, tmp_path):
+        """'x' and 'x/x' are different metrics — grouping by dirname must
+        not collapse them into one slot (one would overwrite the other)."""
+        from gandtr_tpu.learning.html_report import HtmlReport
+        report = HtmlReport(str(tmp_path))
+        history = [{"epoch": 1, "metrics": {"gan": 1.0, "gan/gan": 2.0,
+                                            "gan/other": 5.0}},
+                   {"epoch": 2, "metrics": {"gan": 3.0, "gan/gan": 4.0,
+                                            "gan/other": 6.0}}]
+        report.close_epoch(2, history=history)
+        text = (tmp_path / "epochs" / "htmlreport" / "index.html").read_text()
+        for last in ("last 3", "last 4", "last 6"):  # all three series render
+            assert last in text, last
+
+
 class TestTextBlobs:
     def test_text_blob_saved_and_reported(self, tmp_path):
         """String blob values become .txt files (reference 'text' dtype,
@@ -264,6 +299,18 @@ class TestInitializeProcessorConfig:
         broker = initialize_processor({"progress": 2})
         printer = broker.streamers[0]
         assert printer.print_each == 2
+        # print_each_val defaults to print_each (eventprocessor.py:363-365)
+        assert printer.print_each_val == 2
+
+    def test_null_progress_disables_printing(self, capsys):
+        """`progress:` left empty in YAML (None): the reference's
+        DebugPrinter(None) never prints (eventprocessor.py:372) — must not
+        TypeError on int(None) at build time nor on register."""
+        broker = initialize_processor({"progress": None})
+        printer = broker.streamers[0]
+        printer.register(0, 0, 4, "train/learning/total", 1.0, "scalar")
+        printer.register(0, 3, 4, "train/learning/total", 1.0, "scalar")
+        assert capsys.readouterr().err == ""
 
     def test_unknown_processor_raises(self):
         with pytest.raises(KeyError, match="bogus"):

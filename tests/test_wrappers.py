@@ -124,3 +124,9 @@ def test_metadata_name_matches_reference_convention():
     assert W.metadata_name("/a/b/photo01.jpg") == "photo01"
     assert W.metadata_name("dir/0a1b2c3d") == "0a1b2c3d"  # cid: unchanged
     assert W.metadata_name("x.tar.gz") == "x.tar"  # rsplit('.', 1), like ref
+    # lazy h5 paths hash the per-image KEY, not the store basename — else
+    # the 25% md5 augmentation gate collapses to ONE draw for the whole
+    # dataset (reference keeps per-cid names, traindataset.py:67-70)
+    assert W.metadata_name("/data/ims.h5#0a1b2c3d") == "0a1b2c3d"
+    assert W.metadata_name("/data/ims.h5#0a1b") != W.metadata_name(
+        "/data/ims.h5#ffee")
