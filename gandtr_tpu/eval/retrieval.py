@@ -142,12 +142,13 @@ class ShapeCachedExtractor:
         return img_np.shape
 
     def _pad_and_mask(self, img_np):
-        # edge-pad (not zero): limits feature contamination at the valid
-        # boundary; masked GeM excludes the padded region itself
+        # zero-pad: with per-layer re-masking in the backbone
+        # (ops/maskprop.py) a zero band at the valid border is exactly the
+        # exact-shape compute's own zero SAME padding, so bucketed
+        # descriptors EQUAL exact-shape descriptors (float-assoc noise only)
         Hp, Wp = self.group_key(img_np)[:2]
         H, W = img_np.shape[:2]
-        padded = np.pad(img_np, ((0, Hp - H), (0, Wp - W), (0, 0)),
-                        mode="edge")
+        padded = np.pad(img_np, ((0, Hp - H), (0, Wp - W), (0, 0)))
         mask = np.zeros((Hp, Wp), np.float32)
         mask[:H, :W] = 1.0
         return padded, mask

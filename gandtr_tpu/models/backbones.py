@@ -9,12 +9,20 @@ Param names track torch module paths (features_<i>, layer<l>_<b>, ...) for 1:1
 BatchNorm runs with frozen (running) statistics even in training — the
 reference keeps descriptor-net BN in eval mode during fine-tuning
 (/root/reference/mdir/components/model/network/cirnet.py:36-45).
+
+Padded-bucket exactness: with `mask`, inputs are zero-padded top-left
+rectangles and the forward propagates the valid region per-layer
+(ops/maskprop.py) so valid features EQUAL the exact-shape forward — the zero
+band at the valid border is indistinguishable from the exact compute's own
+zero `SAME` padding. The call then returns `(features, feat_mask)` with the
+exact floor-semantics downsampled mask.
 """
 from typing import Tuple
 
 import flax.linen as nn
 
 from gandtr_tpu.models.layers import Conv, BatchNorm
+from gandtr_tpu.ops.maskprop import MaskState, masked_max_pool
 
 
 VGG16_CFG = (64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
@@ -27,17 +35,23 @@ class VGG16Features(nn.Module):
     """torchvision vgg16.features[:-1]: conv-relu stacks with 4 maxpools."""
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mask=None):
+        ms = MaskState.maybe(mask)
+        x = ms.apply(x)  # re-zero the (normalized) pad band at the input
         idx = 0
         for item in VGG16_CFG:
             if item == "M":
-                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                x, ms = masked_max_pool(x, ms, 2, 2)
                 idx += 1
             else:
                 x = Conv(item, 3, padding=1, name=f"features_{idx}")(x)
-                x = nn.relu(x)
+                # bias makes the band nonzero; re-zero so the next 3x3 conv
+                # sees exact-shape zero-padding semantics at the valid border
+                x = ms.apply(nn.relu(x))
                 idx += 2
-        return x
+        if mask is None:
+            return x
+        return x, ms.mask(x.shape[1], x.shape[2], x.dtype)
 
 
 class Bottleneck(nn.Module):
@@ -47,13 +61,16 @@ class Bottleneck(nn.Module):
     downsample: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, ms=None):
+        ms = ms if ms is not None else MaskState(None)
         identity = x
         h = Conv(self.planes, 1, use_bias=False, name="conv1")(x)
         h = BatchNorm(name="bn1")(h, use_running_average=True)
-        h = nn.relu(h)
+        # BN shift makes the band nonzero — re-zero before the 3x3 conv
+        h = ms.apply(nn.relu(h))
         h = Conv(self.planes, 3, stride=self.stride, padding=1, use_bias=False,
                  name="conv2")(h)
+        out_ms = ms.downsample(3, self.stride, 1)
         h = BatchNorm(name="bn2")(h, use_running_average=True)
         h = nn.relu(h)
         h = Conv(self.planes * 4, 1, use_bias=False, name="conv3")(h)
@@ -62,7 +79,7 @@ class Bottleneck(nn.Module):
             identity = Conv(self.planes * 4, 1, stride=self.stride, use_bias=False,
                             name="downsample_0")(x)
             identity = BatchNorm(name="downsample_1")(identity, use_running_average=True)
-        return nn.relu(h + identity)
+        return out_ms.apply(nn.relu(h + identity)), out_ms
 
 
 RESNET_LAYERS = {"resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3),
@@ -75,20 +92,26 @@ class ResNetFeatures(nn.Module):
     arch: str = "resnet101"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mask=None):
+        ms = MaskState.maybe(mask)
+        x = ms.apply(x)
         blocks = RESNET_LAYERS[self.arch]
         h = Conv(64, 7, stride=2, padding=3, use_bias=False, name="conv1")(x)
+        ms = ms.downsample(7, 2, 3)
         h = BatchNorm(name="bn1")(h, use_running_average=True)
-        h = nn.relu(h)
-        # torch maxpool k3 s2 p1
-        h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        h = ms.apply(nn.relu(h))
+        # torch maxpool k3 s2 p1 (window straddles the valid border: the
+        # masked variant uses -inf like torch's implicit max-pool padding)
+        h, ms = masked_max_pool(h, ms, 3, 2, 1)
         for li, (planes, nblocks) in enumerate(zip((64, 128, 256, 512), blocks), start=1):
             for bi in range(nblocks):
                 stride = 2 if (li > 1 and bi == 0) else 1
                 downsample = bi == 0  # layer1 downsamples too (channel expand)
-                h = Bottleneck(planes, stride=stride, downsample=downsample,
-                               name=f"layer{li}_{bi}")(h)
-        return h
+                h, ms = Bottleneck(planes, stride=stride, downsample=downsample,
+                                   name=f"layer{li}_{bi}")(h, ms)
+        if mask is None:
+            return h
+        return h, ms.mask(h.shape[1], h.shape[2], h.dtype)
 
 
 def make_features(architecture, name=None):

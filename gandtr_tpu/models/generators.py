@@ -15,6 +15,8 @@ import flax.linen as nn
 from gandtr_tpu.models.layers import (
     Conv, ConvTranspose, make_norm, pad2d, BlurDownsample, BlurUpsample)
 from gandtr_tpu.ops import resblock_pallas
+from gandtr_tpu.ops.maskprop import (
+    MaskState, masked_reflect_pad, masked_instance_norm)
 
 
 class _ConvParams(nn.Module):
@@ -64,8 +66,9 @@ class ResnetBlock(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x, train=True):
-        if resblock_pallas.eligible(
+    def __call__(self, x, train=True, ms=None):
+        masked = ms is not None and ms.active
+        if not masked and resblock_pallas.eligible(
                 x.shape, x.dtype, train=train, use_dropout=self.use_dropout,
                 padding_type=self.padding_type, norm_type=self.norm_type,
                 use_bias=self.use_bias):
@@ -82,22 +85,38 @@ class ResnetBlock(nn.Module):
 
         def norm(h, i):
             if norm_ctor is None:
-                return h
-            kwargs = {"use_running_average": not train} if norm_params else {}
-            return norm_ctor(name=f"conv_block_{i}")(h, **kwargs)
+                return h if not masked else ms.apply(h)
+            if norm_params:
+                if masked and train:
+                    raise NotImplementedError(
+                        "masked generator requires frozen (eval-mode) BN")
+                h = norm_ctor(name=f"conv_block_{i}")(
+                    h, use_running_average=not train)
+                return ms.apply(h) if masked else h
+            if masked:
+                return masked_instance_norm(h, ms)
+            return norm_ctor(name=f"conv_block_{i}")(h)
+
+        def padded(h):
+            if p != 0:
+                return h, ms
+            if masked:
+                return masked_reflect_pad(h, ms, 1)
+            return pad2d(h, 1, self.padding_type), ms
 
         h = x
-        if p == 0:
-            h = pad2d(h, 1, self.padding_type)
+        h, _ = padded(h)
         h = Conv(self.dim, 3, padding=p, use_bias=self.use_bias,
                  name=f"conv_block_{idx}")(h)
+        # after a p0 conv over the 1-padded buffer the valid rect is back to
+        # the block's own; norms re-zero the bias band (`ms.apply` for
+        # none/batch, the mask-aware IN itself otherwise)
         h = norm(h, idx + 1)
         h = nn.relu(h)
         if self.use_dropout:
             h = nn.Dropout(0.5, deterministic=not train)(h)
         idx2 = idx + 3 + (1 if self.use_dropout else 0) + (0 if p else 1)
-        if p == 0:
-            h = pad2d(h, 1, self.padding_type)
+        h, _ = padded(h)
         h = Conv(self.dim, 3, padding=p, use_bias=self.use_bias,
                  name=f"conv_block_{idx2}")(h)
         h = norm(h, idx2 + 1)
@@ -122,30 +141,55 @@ class ResnetGenerator(nn.Module):
     no_antialias_up: bool = True
 
     @nn.compact
-    def __call__(self, x, layers=(), encode_only=False, train=True):
+    def __call__(self, x, layers=(), encode_only=False, train=True, mask=None):
         norm_ctor, norm_params, use_bias = make_norm(self.norm_type)
-        steps = []  # (torch_idx, fn, is_inplace_relu)
+        masked = mask is not None
+        if masked and not (self.no_antialias and self.no_antialias_up):
+            raise NotImplementedError(
+                "masked generator requires no_antialias blur-pool-free form")
+        steps = []  # (torch_idx, fn(h, ms) -> (h, ms), is_inplace_relu)
         idx = [0]
 
         def add(fn, inplace_relu=False):
             steps.append((idx[0], fn, inplace_relu))
             idx[0] += 1
 
+        def add_ew(fn, inplace_relu=False):
+            # elementwise step: fn(0) == 0 for relu/tanh so the band stays
+            # zero and the mask state is untouched
+            add(lambda h, ms, f=fn: (f(h), ms), inplace_relu)
+
         def norm_step(i):
             if norm_ctor is None:
-                add(lambda h: h)
+                add(lambda h, ms: (ms.apply(h), ms))
             elif norm_params:
+                if masked and train:
+                    raise NotImplementedError(
+                        "masked generator requires frozen (eval-mode) BN")
                 mod = norm_ctor(name=f"model_{i}")
-                add(lambda h, m=mod: m(h, use_running_average=not train))
+                add(lambda h, ms, m=mod: (
+                    ms.apply(m(h, use_running_average=not train)), ms))
             else:
                 mod = norm_ctor()
-                add(lambda h, m=mod: m(h))
+                add(lambda h, ms, m=mod: (
+                    (masked_instance_norm(h, ms), ms) if ms.active
+                    else (m(h), ms)))
+
+        def reflect_step(pad):
+            def fn(h, ms):
+                if ms.active:
+                    return masked_reflect_pad(h, ms, pad)
+                return pad2d(h, pad, "reflect"), ms
+            add(fn)
+
+        def conv_step(mod, k, s, p):
+            add(lambda h, ms, m=mod: (m(h), ms.downsample(k, s, p)))
 
         ngf = self.ngf
-        add(lambda h: pad2d(h, 3, "reflect"))
-        add(lambda h, m=Conv(ngf, 7, use_bias=use_bias, name="model_1"): m(h))
+        reflect_step(3)
+        conv_step(Conv(ngf, 7, use_bias=use_bias, name="model_1"), 7, 1, 0)
         norm_step(2)
-        add(nn.relu, inplace_relu=True)
+        add_ew(nn.relu, inplace_relu=True)
 
         n_downsampling = 2
         for i in range(n_downsampling):
@@ -153,23 +197,23 @@ class ResnetGenerator(nn.Module):
             if self.no_antialias:
                 m = Conv(ngf * mult * 2, 3, stride=2, padding=1, use_bias=use_bias,
                          name=f"model_{idx[0]}")
-                add(lambda h, m=m: m(h))
+                conv_step(m, 3, 2, 1)
                 norm_step(idx[0])
-                add(nn.relu, inplace_relu=True)
+                add_ew(nn.relu, inplace_relu=True)
             else:
                 m = Conv(ngf * mult * 2, 3, stride=1, padding=1, use_bias=use_bias,
                          name=f"model_{idx[0]}")
-                add(lambda h, m=m: m(h))
+                conv_step(m, 3, 1, 1)
                 norm_step(idx[0])
-                add(nn.relu, inplace_relu=True)
+                add_ew(nn.relu, inplace_relu=True)
                 d = BlurDownsample()
-                add(lambda h, m=d: m(h))
+                add_ew(lambda h, m=d: m(h))
 
         mult = 2 ** n_downsampling
         for i in range(self.n_blocks):
             blk = ResnetBlock(ngf * mult, self.padding_type, self.norm_type,
                               self.use_dropout, use_bias, name=f"model_{idx[0]}")
-            add(lambda h, m=blk: m(h, train=train))
+            add(lambda h, ms, m=blk: (m(h, train=train, ms=ms), ms))
 
         for i in range(n_downsampling):
             mult = 2 ** (n_downsampling - i)
@@ -177,34 +221,44 @@ class ResnetGenerator(nn.Module):
                 m = ConvTranspose(int(ngf * mult / 2), 3, stride=2, padding=1,
                                   output_padding=1, use_bias=use_bias,
                                   name=f"model_{idx[0]}")
-                add(lambda h, m=m: m(h))
+                # torch ConvTranspose2d(k3, s2, p1, op1): out = 2*in; zero
+                # band inputs contribute nothing, bias band re-zeroed by norm
+                add(lambda h, ms, m=m: (m(h), ms.upsample(2)))
                 norm_step(idx[0])
-                add(nn.relu, inplace_relu=True)
+                add_ew(nn.relu, inplace_relu=True)
             else:
                 u = BlurUpsample()
-                add(lambda h, m=u: m(h))
+                add_ew(lambda h, m=u: m(h))
                 m = Conv(int(ngf * mult / 2), 3, stride=1, padding=1,
                          use_bias=use_bias, name=f"model_{idx[0]}")
-                add(lambda h, m=m: m(h))
+                conv_step(m, 3, 1, 1)
                 norm_step(idx[0])
-                add(nn.relu, inplace_relu=True)
+                add_ew(nn.relu, inplace_relu=True)
 
-        add(lambda h: pad2d(h, 3, "reflect"))
-        add(lambda h, m=Conv(self.output_nc, 7, name=f"model_{idx[0]}"): m(h))
-        add(jnp.tanh)
+        reflect_step(3)
+        final = Conv(self.output_nc, 7, name=f"model_{idx[0]}")
+
+        def final_step(h, ms, m=final):
+            ms2 = ms.downsample(7, 1, 0)
+            return ms2.apply(m(h)), ms2  # no norm follows: re-zero bias band
+        add(final_step)
+        add_ew(jnp.tanh)
 
         layers = list(layers)
         if -1 in layers:
             layers.append(len(steps))
 
+        ms0 = MaskState.maybe(mask)
+        x = ms0.apply(x)
+
         if layers:
             # torch uses ReLU(inplace=True): a stored tap whose *next* step is
             # an inplace relu is mutated before the caller sees it — replicate
             # by storing the relu'd value (p2p_networks.py:318-331 semantics)
-            feat = x
+            feat, ms = x, ms0
             feats = []
             for si, (layer_id, fn, _) in enumerate(steps):
-                feat = fn(feat)
+                feat, ms = fn(feat, ms)
                 if layer_id in layers:
                     mutated = feat
                     if si + 1 < len(steps) and steps[si + 1][2]:
@@ -214,9 +268,9 @@ class ResnetGenerator(nn.Module):
                     return feats
             return feat, feats
 
-        h = x
+        h, ms = x, ms0
         for _, fn, _ in steps:
-            h = fn(h)
+            h, ms = fn(h, ms)
         return h
 
 

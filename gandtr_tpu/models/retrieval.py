@@ -35,13 +35,14 @@ class GemRetrievalNet(nn.Module):
         shape; it is downsampled to the feature stride for masked pooling.
         """
         features, dim = make_features(self.architecture, name="backbone")
-        o = features(x)
         feat_mask = None
         if mask is not None:
-            fh, fw = o.shape[1], o.shape[2]
-            sh = x.shape[1] // fh
-            sw = x.shape[2] // fw
-            feat_mask = mask[:, ::sh, ::sw][:, :fh, :fw]
+            # exact per-layer mask propagation (ops/maskprop.py): valid
+            # features equal the exact-shape forward, and feat_mask is the
+            # floor-semantics downsampled valid rectangle
+            o, feat_mask = features(x, mask=mask)
+        else:
+            o = features(x)
 
         if self.local_whitening:
             lw = nn.Dense(dim, name="lwhiten")
@@ -163,14 +164,13 @@ class GemRetrievalNetAttention(nn.Module):
         from gandtr_tpu.models.extra_layers import ATTENTIONS
         from gandtr_tpu.models.backbones import make_features
         features, dim = make_features(self.architecture, name="backbone")
-        o = features(x)
-        att = ATTENTIONS[self.attention](o, normalize_max=self.normalize_max)
-        o = o * att
         feat_mask = None
         if mask is not None:
-            fh, fw = o.shape[1], o.shape[2]
-            feat_mask = mask[:, ::x.shape[1] // fh,
-                             ::x.shape[2] // fw][:, :fh, :fw]
+            o, feat_mask = features(x, mask=mask)
+        else:
+            o = features(x)
+        att = ATTENTIONS[self.attention](o, normalize_max=self.normalize_max)
+        o = o * att
         if self.pooling == "gem":
             p = self.param("gem_p", nn.initializers.constant(self.gem_p_init), (1,))
             o = pool_ops.gem(o, p=p[0], mask=feat_mask)
