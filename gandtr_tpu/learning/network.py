@@ -45,7 +45,7 @@ class WrappedNet:
             variables["batch_stats"])
 
     def apply(self, variables, x, train=False, ctx=None, mutable=False,
-              rngs=None, model_positions=None, **kwargs):
+              rngs=None, model_positions=None, mask=None, **kwargs):
         """Apply with the stage-appropriate wrapper chain staged around the
         module (network.py:133 dispatch: train wrappers when training).
 
@@ -54,11 +54,25 @@ class WrappedNet:
         wrappers still see the full batch. Used when a pass-through gate can
         only ever select those rows (e.g. the finetune augment generator and
         the 'anc'-only ratio gate): the generator's FLOPs drop to 1/S of the
-        tuple without changing any gated result."""
+        tuple without changing any gated result.
+
+        `mask` ((N, H, W) valid-rectangle mask) enables the exact padded
+        -bucket mode (ops/maskprop.py): the module receives it, mask-aware
+        wrappers (clahepost, cir_ratio_pass_through) track the valid
+        rectangle through ctx['mask_state'], and — when the module transforms
+        images rather than reducing them to descriptors — apply returns
+        (y, out_mask) so callers can chain exactly."""
         wrappers = self.wrappers_train if train else self.wrappers_eval
         call_kw = dict(kwargs)
         if self._accepts_train():
             call_kw["train"] = train and not self.frozen
+        mask_through = [None]
+        if mask is not None:
+            from gandtr_tpu.ops.maskprop import MaskState
+            ctx = dict(ctx or {})
+            in_state = MaskState.maybe(mask)
+            ctx["mask_state"] = in_state
+            ctx["mask_state_in"] = in_state
 
         if self.compute_dtype is not None:
             dt = jnp.dtype(self.compute_dtype)
@@ -71,28 +85,59 @@ class WrappedNet:
 
         updates = {}
 
-        def run_module(xx):
+        def run_module(xx, row_mask=None):
             nonlocal updates
+            kw = dict(call_kw)
+            if mask is not None:
+                kw["mask"] = row_mask if row_mask is not None else mask
             if mutable:
                 out, upd = self.module.apply(variables, xx, mutable=mutable,
-                                             rngs=rngs, **call_kw)
+                                             rngs=rngs, **kw)
                 updates = upd
-                return out
-            return self.module.apply(variables, xx, rngs=rngs, **call_kw)
+            else:
+                out = self.module.apply(variables, xx, rngs=rngs, **kw)
+            if mask is not None and isinstance(out, tuple):
+                # image-transforming module: (y, out_mask) convention
+                out, out_mask = out
+                mask_through[0] = out_mask
+            return out
 
         def forward(xx):
             if model_positions is None:
-                return run_module(xx)
-            sel = jnp.concatenate([xx[p:p + 1] for p in model_positions],
-                                  axis=0)
-            out = run_module(sel)
-            y = xx
-            for j, p in enumerate(model_positions):
-                y = jax.lax.dynamic_update_slice_in_dim(
-                    y, out[j:j + 1].astype(y.dtype), p, axis=0)
-            return y
+                out = run_module(xx)
+            else:
+                sel = jnp.concatenate([xx[p:p + 1] for p in model_positions],
+                                      axis=0)
+                selm = None
+                if mask is not None:
+                    selm = jnp.concatenate([mask[p:p + 1]
+                                            for p in model_positions], axis=0)
+                out = run_module(sel, selm)
+                y = xx
+                for j, p in enumerate(model_positions):
+                    y = jax.lax.dynamic_update_slice_in_dim(
+                        y, out[j:j + 1].astype(y.dtype), p, axis=0)
+                if mask_through[0] is not None:
+                    # scatter the module rows' out-mask into the input mask;
+                    # non-selected rows keep theirs (the ratio gate can only
+                    # pass rows in model_positions, so the blend corrects any
+                    # row the module did not really transform)
+                    full = mask
+                    for j, p in enumerate(model_positions):
+                        full = jax.lax.dynamic_update_slice_in_dim(
+                            full, mask_through[0][j:j + 1].astype(full.dtype),
+                            p, axis=0)
+                    mask_through[0] = full
+                out = y
+            if mask_through[0] is not None:
+                from gandtr_tpu.ops.maskprop import MaskState
+                ctx["mask_state"] = MaskState.maybe(mask_through[0])
+            return out
 
         y = apply_wrapped(wrappers, forward, x, ctx)
+        if mask is not None and mask_through[0] is not None:
+            H, W = y.shape[1], y.shape[2]
+            y = (y, ctx["mask_state"].mask(H, W, jnp.float32))
         if mutable:
             return y, updates
         return y

@@ -74,8 +74,15 @@ def build_finetune_step(models, optimizer, margin=0.75, fakebatch=True,
         x = imgs
         if augment is not None:
             ctx = {"pass_mask": pmask}
-            x = augment.apply(variables["augment"], x, train=True, ctx=ctx,
-                              model_positions=augment_positions)
+            out = augment.apply(variables["augment"], x, train=True, ctx=ctx,
+                                model_positions=augment_positions, mask=msk)
+            if isinstance(out, tuple):
+                # exact padded-bucket mode: the generator changes the valid
+                # rectangle (4·ceil arithmetic) and the ratio gate blends it
+                # per image — embed must pool over the UPDATED rectangle
+                x, msk = out
+            else:
+                x = out
             x = jax.lax.stop_gradient(x)  # frozen generator branch
         evar = {**variables["embed"], "params": embed_params}
         descs = embed.apply(evar, x, train=True, mask=msk)  # (S, D)

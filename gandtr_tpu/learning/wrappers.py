@@ -120,7 +120,17 @@ class CirRatioPassThrough(Wrapper):
 
     def post(self, y, ctx, original):
         mask = ctx["pass_mask"]  # (N,) bool
-        return jnp.where(mask[:, None, None, None], y, original)
+        st = ctx.get("mask_state")
+        if st is not None and st.active:
+            # exact padded-bucket mode: pass-through rows keep the ORIGINAL
+            # valid rectangle, augmented rows the generator-output one
+            from gandtr_tpu.ops.maskprop import MaskState
+            st_in = ctx["mask_state_in"]
+            m = jnp.asarray(mask)
+            hw = (jnp.where(m, st.hw[0], st_in.hw[0]),
+                  jnp.where(m, st.hw[1], st_in.hw[1]))
+            ctx["mask_state"] = MaskState(hw)
+        return jnp.where(jnp.asarray(mask)[:, None, None, None], y, original)
 
 
 class RandomPassThrough(Wrapper):
@@ -218,10 +228,23 @@ class ClahePost(Wrapper):
 
     def post(self, y, ctx, meta):
         y = y * self.meanstd[1] + self.meanstd[0]  # unnormalize to [0,1]
-        # lax.map (scan), not vmap: the TPU CLAHE path is a Pallas kernel and
-        # sequential mapping avoids relying on pallas_call batching rules
-        y = jax.lax.map(lambda im: clahe_ops.image_clahe(
-            im, self.clip_limit, self.grid_size, self.colorspace), y)
+        st = ctx.get("mask_state")
+        if st is not None and st.active:
+            # exact padded-bucket mode: CLAHE tile geometry computed from
+            # each image's valid rectangle (ops/clahe.py clahe_u8_masked) —
+            # identical to the reference's per-image cv2 call on the exact
+            # shape; band pixels are undefined and re-masked downstream
+            h, w = st.hw
+            y = jax.lax.map(
+                lambda args: clahe_ops.image_clahe_masked(
+                    args[0], (args[1], args[2]), self.clip_limit,
+                    self.grid_size, self.colorspace),
+                (y, h, w))
+        else:
+            # lax.map (scan), not vmap: the TPU CLAHE path is a Pallas kernel
+            # and sequential mapping avoids pallas_call batching rules
+            y = jax.lax.map(lambda im: clahe_ops.image_clahe(
+                im, self.clip_limit, self.grid_size, self.colorspace), y)
         return (y - self.meanstd[0]) / self.meanstd[1]
 
 

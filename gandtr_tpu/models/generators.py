@@ -271,6 +271,11 @@ class ResnetGenerator(nn.Module):
         h, ms = x, ms0
         for _, fn, _ in steps:
             h, ms = fn(h, ms)
+        if masked:
+            # image-transforming modules return (y, out_mask) when masked:
+            # the valid rectangle changes (4·ceil(h/4)-style arithmetic, like
+            # the reference generator's output shape on exact inputs)
+            return h, ms.mask(h.shape[1], h.shape[2], h.dtype)
         return h
 
 

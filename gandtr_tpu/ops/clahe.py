@@ -60,11 +60,17 @@ def clahe_u8(img, clip_limit=4.0, grid_size=(8, 8)):
     H, W = img.shape
     ty, tx = grid_size
 
-    # pad right/bottom to tile multiple with BORDER_REFLECT_101
-    tile_h = -(-H // ty)
-    tile_w = -(-W // tx)
-    pad_h = tile_h * ty - H
-    pad_w = tile_w * tx - W
+    # pad right/bottom to tile multiple with BORDER_REFLECT_101. cv2 skips
+    # padding only when BOTH dims divide; otherwise copyMakeBorder pads
+    # `tiles - (size % tiles)` on each axis — a FULL extra tile on an axis
+    # that already divides (clahe.cpp calcLut setup)
+    if H % ty == 0 and W % tx == 0:
+        pad_h = pad_w = 0
+    else:
+        pad_h = ty - (H % ty)
+        pad_w = tx - (W % tx)
+    tile_h = (H + pad_h) // ty
+    tile_w = (W + pad_w) // tx
     padded = jnp.pad(img, ((0, pad_h), (0, pad_w)), mode="reflect")
 
     tile_area = tile_h * tile_w
@@ -119,6 +125,111 @@ def clahe_u8(img, clip_limit=4.0, grid_size=(8, 8)):
     bot = b(l21 * (1 - xa_)) + b(l22 * xa_)
     res = b(top * (1 - ya_)) + b(bot * ya_)
     return _round_half_even_u8(res)
+
+
+def clahe_u8_masked(img, hw, clip_limit=4.0, grid_size=(8, 8)):
+    """CLAHE of the valid top-left (h, w) rectangle of a padded buffer,
+    exactly as cv2 would compute it on the EXACT (h, w) image.
+
+    Tile geometry, histograms, clip limits, LUT scales, and interpolation
+    coordinates are all computed from the traced valid sizes — band pixels
+    contribute nothing (histogram weights) and receive undefined values
+    (callers re-mask). Matches cv2's f32 arithmetic op-for-op: f32 division
+    for lutScale, truncating int cast for the clip limit, barriered mul/sub
+    so XLA cannot FMA-contract the coordinate chain.
+
+    img: (H, W) uint8; hw: traced (h, w) int32 scalars. Images smaller than
+    one tile row/col (h < grid or w < grid) take multi-bounce REFLECT_101
+    paths cv2 resolves differently — callers should not bucket such images.
+    """
+    if isinstance(grid_size, int):
+        grid_size = (grid_size, grid_size)
+    H, W = img.shape
+    ty, tx = grid_size
+    h, w = hw
+    h = jnp.asarray(h, jnp.int32)
+    w = jnp.asarray(w, jnp.int32)
+    # cv2 pads only when some dim doesn't divide — and then pads
+    # `tiles - (size % tiles)` on BOTH axes, a full extra tile on an axis
+    # that already divides (clahe.cpp calcLut setup)
+    both_div = ((h % ty) == 0) & ((w % tx) == 0)
+    pad_h = jnp.where(both_div, 0, ty - (h % ty))
+    pad_w = jnp.where(both_div, 0, tx - (w % tx))
+    tile_h = (h + pad_h) // ty
+    tile_w = (w + pad_w) // tx
+    ph = h + pad_h  # dynamic padded extent, <= H + ty
+    pw = w + pad_w
+
+    # virtual BORDER_REFLECT_101-padded image on a static buffer
+    HV, WV = H + ty, W + tx
+    yv = jnp.arange(HV, dtype=jnp.int32)
+    xv = jnp.arange(WV, dtype=jnp.int32)
+    ry = jnp.clip(jnp.where(yv < h, yv, 2 * h - 2 - yv), 0, H - 1)
+    rx = jnp.clip(jnp.where(xv < w, xv, 2 * w - 2 - xv), 0, W - 1)
+    virt = img[ry[:, None], rx[None, :]]
+    wgt = (yv[:, None] < ph) & (xv[None, :] < pw)
+    tid = (jnp.clip(yv // tile_h, 0, ty - 1)[:, None] * tx
+           + jnp.clip(xv // tile_w, 0, tx - 1)[None, :])
+    ids = (tid * 256 + virt.astype(jnp.int32)).reshape(-1)
+    hist = jax.ops.segment_sum(wgt.astype(jnp.int32).reshape(-1), ids,
+                               num_segments=ty * tx * 256).reshape(ty * tx, 256)
+
+    area = tile_h * tile_w
+    areaf = area.astype(jnp.float32)
+    if clip_limit > 0:
+        # cv2: int cast truncates; exact in f32 for the shipped clip limits
+        # (1.0, 4.0 — power-of-two multiples of 1/256)
+        climit = jnp.maximum((jnp.float32(clip_limit) * areaf
+                              / 256.0).astype(jnp.int32), 1)
+    else:
+        climit = area
+    hist = _clip_histogram(hist, climit)
+    lut_scale = jnp.float32(255.0) / areaf  # f32 single-rounded, like cv2
+    lut = _round_half_even_u8(
+        jnp.cumsum(hist, axis=-1).astype(jnp.float32) * lut_scale)
+    lut = lut.reshape(ty, tx, 256)
+
+    b = jax.lax.optimization_barrier
+
+    def tile_coords(n, tsize, tcount):
+        inv = jnp.float32(1.0) / tsize.astype(jnp.float32)
+        f = b(jnp.arange(n, dtype=jnp.float32) * inv) - jnp.float32(0.5)
+        i1 = jnp.floor(f).astype(jnp.int32)
+        a = (f - i1.astype(jnp.float32)).astype(jnp.float32)
+        i2 = jnp.clip(i1 + 1, 0, tcount - 1)
+        i1 = jnp.clip(i1, 0, tcount - 1)
+        return i1, i2, a
+
+    ty1, ty2, ya = tile_coords(H, tile_h, ty)
+    tx1, tx2, xa = tile_coords(W, tile_w, tx)
+
+    v = img.astype(jnp.int32)
+    l11 = lut[ty1[:, None], tx1[None, :], v].astype(jnp.float32)
+    l12 = lut[ty1[:, None], tx2[None, :], v].astype(jnp.float32)
+    l21 = lut[ty2[:, None], tx1[None, :], v].astype(jnp.float32)
+    l22 = lut[ty2[:, None], tx2[None, :], v].astype(jnp.float32)
+    xa_ = xa[None, :]
+    ya_ = ya[:, None]
+    top = b(l11 * (1 - xa_)) + b(l12 * xa_)
+    bot = b(l21 * (1 - xa_)) + b(l22 * xa_)
+    res = b(top * (1 - ya_)) + b(bot * ya_)
+    return _round_half_even_u8(res)
+
+
+def channel_clahe_masked(chan, hw, clip_limit, grid_size):
+    u8 = (jnp.clip(chan, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+    out = clahe_u8_masked(u8, hw, clip_limit, grid_size)
+    return out.astype(jnp.float32) / 255.0
+
+
+def image_clahe_masked(img, hw, clip_limit=4.0, grid_size=8, colorspace="lab"):
+    """image_clahe of the valid (h, w) rectangle of a padded (H, W, 3) buffer;
+    colorspace conversions are per-pixel so only the CLAHE channel needs the
+    valid-region geometry. Band pixels are undefined (callers re-mask)."""
+    spc = cs.rgb2normspace(img, colorspace)
+    L = channel_clahe_masked(spc[..., 0], hw, clip_limit, grid_size)
+    spc = spc.at[..., 0].set(L)
+    return cs.normspace2rgb(spc, colorspace)
 
 
 def clahe_u8_dispatch(u8, clip_limit, grid_size):

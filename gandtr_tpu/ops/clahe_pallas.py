@@ -143,10 +143,15 @@ def clahe_u8_pallas(img, clip_limit=4.0, grid_size=(8, 8), interpret=False):
         grid_size = (grid_size, grid_size)
     H, W = img.shape
     ty, tx = grid_size
-    tile_h = -(-H // ty)
-    tile_w = -(-W // tx)
-    pad_h = tile_h * ty - H
-    pad_w = tile_w * tx - W
+    # cv2 pads only when some dim doesn't divide — and then pads a FULL
+    # extra tile on an axis that already divides (clahe.cpp calcLut setup)
+    if H % ty == 0 and W % tx == 0:
+        pad_h = pad_w = 0
+    else:
+        pad_h = ty - (H % ty)
+        pad_w = tx - (W % tx)
+    tile_h = (H + pad_h) // ty
+    tile_w = (W + pad_w) // tx
     padded = jnp.pad(img, ((0, pad_h), (0, pad_w)), mode="reflect").astype(jnp.int32)
 
     tile_area = tile_h * tile_w

@@ -321,8 +321,12 @@ def _make_extract_fn(models, state_ref, images, transform, image_size,
 
     @jax.jit
     def fwd(variables, imgs, masks, pmask):
-        x = augment.apply(variables["augment"], imgs, train=True,
-                          ctx={"pass_mask": pmask})
+        out = augment.apply(variables["augment"], imgs, train=True,
+                            ctx={"pass_mask": pmask}, mask=masks)
+        if isinstance(out, tuple):  # exact bucket mode: updated valid rects
+            x, masks = out
+        else:
+            x = out
         return embed.apply(variables["embed"], x, train=False, mask=masks)
 
     import re as _re

@@ -192,3 +192,99 @@ class TestMaskProp:
         assert np.abs(np.asarray(out[:, :10, :13]) - expect).max() < 1e-5
         # band stays zero
         assert np.abs(np.asarray(out[:, 10:, :])).max() == 0.0
+
+
+class TestFinetunePipelineExact:
+    """Full finetune forward — generator + meanstd/clahe/ratio wrappers +
+    embed — on a padded bucket EQUALS the per-image exact-shape pipeline
+    (reference semantics: each tuple image computed at its own shape,
+    traindataset.py/wrapper.py chains)."""
+
+    def _nets(self):
+        from gandtr_tpu.learning.network import build_single_net
+        aug = build_single_net({
+            "model": {"architecture": "official_resnet_generator",
+                      "ngf": 8, "n_blocks": 2, "input_nc": 3, "output_nc": 3,
+                      "no_antialias": True, "no_antialias_up": True,
+                      "norm_layer": "instance"},
+            "runtime": {
+                "frozen": True,
+                "wrappers": "meanstd_post:[[0.5,0.5,0.5],[0.5,0.5,0.5]]:"
+                            "[[0.485,0.456,0.406],[0.229,0.224,0.225]],"
+                            "clahepost:[[0.5,0.5,0.5],[0.5,0.5,0.5]]:1.0,"
+                            "cir_ratio_pass_through:0.25:anc"}})
+        emb = build_single_net({
+            "model": {"architecture": "cirnet", "cir_architecture": "vgg16",
+                      "pooling": "gem"}})
+        return aug, emb
+
+    def test_bucketed_chain_equals_exact(self):
+        import jax.numpy as jnp
+        aug, emb = self._nets()
+        rng = np.random.RandomState(21)
+        B = 96
+        avar = dict(aug.init(jax.random.PRNGKey(0), jnp.zeros((1, B, B, 3)),
+                             train=False))
+        evar = dict(emb.init(jax.random.PRNGKey(1), jnp.zeros((1, B, B, 3))))
+        shapes = [(96, 77), (61, 96), (96, 96)]
+        gates = [True, False, True]
+        imgs = [np.clip(rng.rand(h, w, 3), 0, 1).astype(np.float32) * 2 - 1
+                for h, w in shapes]  # 0.5-normalized space
+
+        # exact per-image pipeline. The reference's ratio gate is HOST
+        # control flow (wrapper.py:120-146): gated images continue with the
+        # generator OUTPUT (whose shape is the 4-multiple arithmetic of the
+        # input), ungated with the original — then clahe + meanstd either
+        # way (post chain runs innermost-first)
+        clahe_w, meanstd_w = aug.wrappers_train[1], aug.wrappers_train[0]
+        exact = []
+        for im, g in zip(imgs, gates):
+            x = jnp.asarray(im)[None]
+            if g:
+                y = aug.module.apply(avar, x, train=False)
+            else:
+                y = x
+            y = clahe_w.post(y, {}, None)
+            y = meanstd_w.post(y, {}, None)
+            d = emb.apply(evar, y, train=False)
+            exact.append(np.asarray(d[0]))
+
+        # bucketed batch with masks through the SAME nets
+        xb = np.zeros((len(imgs), B, B, 3), np.float32)
+        mb = np.zeros((len(imgs), B, B), np.float32)
+        for i, im in enumerate(imgs):
+            h, w = im.shape[:2]
+            xb[i, :h, :w] = im
+            mb[i, :h, :w] = 1.0
+        out = aug.apply(avar, jnp.asarray(xb), train=True,
+                        ctx={"pass_mask": jnp.asarray(gates)},
+                        mask=jnp.asarray(mb))
+        assert isinstance(out, tuple)
+        y, out_mask = out
+        got = np.asarray(emb.apply(evar, y, train=False, mask=out_mask))
+        for i, e in enumerate(exact):
+            md = np.abs(got[i] - e).max()
+            assert md < 5e-5, (shapes[i], gates[i], md)
+
+    def test_ratio_gate_mask_blend(self):
+        """Pass-through rows keep the ORIGINAL valid rectangle; augmented
+        rows get the generator-output one (4-multiple arithmetic)."""
+        import jax.numpy as jnp
+        aug, _ = self._nets()
+        B = 64
+        avar = dict(aug.init(jax.random.PRNGKey(0), jnp.zeros((1, B, B, 3)),
+                             train=False))
+        rng = np.random.RandomState(3)
+        im = (rng.rand(45, 57, 3).astype(np.float32)) * 2 - 1
+        xb = np.zeros((2, B, B, 3), np.float32)
+        mb = np.zeros((2, B, B), np.float32)
+        for i in range(2):
+            xb[i, :45, :57] = im
+            mb[i, :45, :57] = 1.0
+        y, om = aug.apply(avar, jnp.asarray(xb), train=True,
+                          ctx={"pass_mask": jnp.asarray([True, False])},
+                          mask=jnp.asarray(mb))
+        from gandtr_tpu.ops.maskprop import sizes_from_mask
+        h, w = sizes_from_mask(np.asarray(om))
+        assert (int(h[0]), int(w[0])) == (48, 60)   # generator 4-multiples
+        assert (int(h[1]), int(w[1])) == (45, 57)   # original
