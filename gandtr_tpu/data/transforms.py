@@ -629,12 +629,26 @@ def split_device_transform(transforms_str, mean_std):
             return np.asarray(pic.convert("RGB"))
         return np.asarray(pic)
 
-    def device_fn(x):
+    def device_fn(x, mask=None):
         if clahe_args is not None:
             cl, gs, cspace = clahe_args
-            one = lambda im: clahe_ops.image_clahe(im, cl, gs, cspace)
-            # lax.map (scan), not vmap: the TPU CLAHE path is a Pallas kernel
-            x = jax.lax.map(one, x) if x.ndim == 4 else one(x)
+            if mask is not None:
+                # exact padded-bucket mode: CLAHE geometry from each image's
+                # valid rectangle (ops/clahe.py clahe_u8_masked)
+                from gandtr_tpu.ops.maskprop import MaskState
+                st = MaskState.maybe(mask if mask.ndim == 3 else mask[None])
+                h, w = st.hw
+                one = lambda args: clahe_ops.image_clahe_masked(
+                    args[0], (args[1], args[2]), cl, gs, cspace)
+                if x.ndim == 4:
+                    x = jax.lax.map(one, (x, h, w))
+                else:
+                    x = one((x, h[0], w[0]))
+            else:
+                one = lambda im: clahe_ops.image_clahe(im, cl, gs, cspace)
+                # lax.map (scan), not vmap: the TPU CLAHE path is a Pallas
+                # kernel and sequential mapping avoids batching rules
+                x = jax.lax.map(one, x) if x.ndim == 4 else one(x)
         return (x - jnp.asarray(mean)) / jnp.asarray(std)
 
     return host_fn, device_fn

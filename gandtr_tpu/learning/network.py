@@ -103,8 +103,12 @@ class WrappedNet:
             return out
 
         def forward(xx):
+            scale_mask = None
+            if mask is not None and isinstance(xx, tuple):
+                # multiscale pre emits (scaled_x, scaled_mask) pairs
+                xx, scale_mask = xx
             if model_positions is None:
-                out = run_module(xx)
+                out = run_module(xx, scale_mask)
             else:
                 sel = jnp.concatenate([xx[p:p + 1] for p in model_positions],
                                       axis=0)

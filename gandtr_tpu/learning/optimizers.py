@@ -16,8 +16,11 @@ per-leaf BEFORE the moment updates and the LR multiplier scales per-leaf AFTER
 semantics. Build with `param_group_mults` (architecture tables) or
 `multihead_group_mults` (config parameter_groups).
 """
+from typing import Any, NamedTuple
+
 import optax
 import jax
+import jax.numpy as jnp
 
 
 def _decay_per_leaf(weight_decay, wd_mults):
@@ -118,8 +121,60 @@ def initialize_optimizer(params, group_mults=None):
 
 def set_learning_rate(opt_state, lr):
     """Update the injected learning rate in-place (returns new state pytree)."""
+    if isinstance(opt_state, AlternationState):
+        return opt_state._replace(inner=set_learning_rate(opt_state.inner, lr))
     opt_state.hyperparams["learning_rate"] = lr
     return opt_state
+
+
+class AlternationState(NamedTuple):
+    count: Any   # () int32 — training-step counter (shared semantics)
+    inner: Any   # wrapped optimizer state
+
+
+def alternation_active(count, index, n_optimizers, alternate_iteration):
+    """Whether member `index` is the active optimizer at 0-based training
+    step `count`, per the reference OptimizerAlternation.step() arithmetic
+    (/root/reference/mdir/components/optim/optimizer/optimizer_compositions.py:39-47):
+    the current optimizer advances every `alternate_iteration` calls, so
+    active(t) = (t // n) % K. 0/None = all active every step; negative n
+    behaves like its actual code (k % -n == 0 every step → rotate each step,
+    i.e. like n=1 — the \"-1 = only one optimizer\" comment does not match
+    the code, and the code is authoritative)."""
+    n = alternate_iteration
+    if n in (None, 0):
+        return jnp.asarray(True)
+    n = 1 if n < 0 else int(n)
+    return (jnp.asarray(count, jnp.int32) // n) % n_optimizers == index
+
+
+def alternate_gate(tx, index, n_optimizers, alternate_iteration):
+    """Wrap member `index` of a round-robin OptimizerAlternation.
+
+    Jit-friendly functional form of the reference's stateful rotation: every
+    wrapped optimizer's update() runs each training step (the steps call all
+    optimizers unconditionally), but an inactive member emits ZERO updates
+    and keeps its inner state untouched — exactly \"step() was not called\",
+    including torch-adam bias-correction counts. The step counter lives in
+    the state, so resume restores the rotation phase.
+    """
+    import optax as _optax
+
+    def init(params):
+        return AlternationState(count=jnp.zeros((), jnp.int32),
+                                inner=tx.init(params))
+
+    def update(grads, state, params=None):
+        active = alternation_active(state.count, index, n_optimizers,
+                                    alternate_iteration)
+        new_updates, new_inner = tx.update(grads, state.inner, params)
+        updates = jax.tree_util.tree_map(
+            lambda u: jnp.where(active, u, jnp.zeros_like(u)), new_updates)
+        inner = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(active, a, b), new_inner, state.inner)
+        return updates, AlternationState(count=state.count + 1, inner=inner)
+
+    return _optax.GradientTransformation(init, update)
 
 
 # --- reference parameter-group semantics -----------------------------------

@@ -269,6 +269,21 @@ class CirMultiscaleAggregation(Wrapper):
         self.scales = list(scales)
 
     def pre(self, x, ctx):
+        st = ctx.get("mask_state")
+        if st is not None and st.active:
+            # exact padded-bucket mode: per-image valid-rect resize
+            # (ops/resize.py masked_scale_resize) and a per-scale mask the
+            # module pools with — (x, mask) pairs through the forward
+            from gandtr_tpu.ops.resize import masked_scale_resize
+            items = []
+            for s in self.scales:
+                if s == 1:
+                    xs, sts = x, st
+                else:
+                    xs, sts = masked_scale_resize(x, st, s)
+                items.append((xs, sts.mask(xs.shape[1], xs.shape[2],
+                                           jnp.float32)))
+            return ScaleList(items), None
         if len(self.scales) == 1:
             return ScaleList([x]), None
         return ScaleList([scale_resize(x, s) if s != 1 else x

@@ -45,6 +45,54 @@ def scale_resize(x, scale):
     return bilinear_resize(x, int(H * scale), int(W * scale), scale=scale)
 
 
+def masked_scale_resize(x, state, scale):
+    """Per-image torch-bilinear scale resize of valid top-left rectangles
+    (exact padded-bucket multiscale, ops/maskprop.py).
+
+    F.interpolate(scale_factor=s) semantics per image: output rect
+    (floor(h*s), floor(w*s)), sampling grid (i+0.5)/s - 0.5 — the grid is
+    STATIC (scale-factor form does not depend on the image size); only the
+    boundary clamp to h-1/w-1 is per-image, so two dynamic gathers per axis
+    reproduce the exact-shape resize bit-for-bit on the valid region.
+
+    x: (N, H, W, C); state: MaskState. Returns (y, new_state) with y
+    (N, floor(H*s), floor(W*s), C); band values are garbage (outside the new
+    valid rect — downstream maskers re-zero).
+    """
+    from gandtr_tpu.ops.maskprop import MaskState
+    N, H, W, C = x.shape
+    out_h, out_w = int(H * scale), int(W * scale)
+    h, w = state.hw
+
+    def coords(out_n):
+        src = (np.arange(out_n, dtype=np.float32) + 0.5) \
+            * np.float32(1.0 / scale) - np.float32(0.5)
+        src = np.clip(src, 0.0, None)
+        i0 = np.floor(src).astype(np.int32)
+        frac = np.clip((src - i0).astype(np.float32), 0.0, 1.0)
+        return jnp.asarray(i0), jnp.asarray(frac)
+
+    y0s, wy = coords(out_h)
+    x0s, wx = coords(out_w)
+    y0 = jnp.minimum(y0s[None, :], (h - 1)[:, None])       # (N, out_h)
+    y1 = jnp.minimum(y0s[None, :] + 1, (h - 1)[:, None])
+    x0 = jnp.minimum(x0s[None, :], (w - 1)[:, None])
+    x1 = jnp.minimum(x0s[None, :] + 1, (w - 1)[:, None])
+
+    gy = lambda idx: jnp.take_along_axis(x, idx[:, :, None, None], axis=1)
+    top = gy(y0) * (1 - wy)[None, :, None, None] \
+        + gy(y1) * wy[None, :, None, None]
+    gx = lambda idx: jnp.take_along_axis(top, idx[:, None, :, None], axis=2)
+    out = gx(x0) * (1 - wx)[None, None, :, None] \
+        + gx(x1) * wx[None, None, :, None]
+    # output size floor(h*s): f32 product floor (torch computes in double;
+    # ±1 only if f32 rounds h*s across an integer — impossible for the
+    # shipped scales 1/2 and 1/sqrt(2) at image sizes)
+    h2 = jnp.floor(h.astype(jnp.float32) * np.float32(scale)).astype(jnp.int32)
+    w2 = jnp.floor(w.astype(jnp.float32) * np.float32(scale)).astype(jnp.int32)
+    return out, MaskState((jnp.minimum(h2, out_h), jnp.minimum(w2, out_w)))
+
+
 def nearest_resize(x, out_h, out_w):
     """torch F.interpolate(mode='nearest'): src = floorf(dst * in/out) —
     computed in FLOAT32 like torch's nearest_neighbor_compute_source_index

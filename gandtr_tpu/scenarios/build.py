@@ -188,16 +188,13 @@ def build_gan_experiment(scenario, sample_hw=256, batch_size=None,
     # The reference's OptimizerAlternation round-robin step()
     # (optimizer_compositions.py:39-47) is bypassed by its GAN epochs, which
     # index optimizers directly and step D/G in-step every batch
-    # (gan_epochs.py:88-107) — our jitted steps are golden-parity with that.
-    # alternate_iteration is therefore only meaningful as 1 (every shipped
-    # reference config); refuse other values rather than silently diverging.
+    # (gan_epochs.py:88-107) — every shipped iccv23 config uses 1 (in-step
+    # alternation, golden-parity). alternate_iteration > 1 wires the actual
+    # round-robin as a step-indexed gate around each member optimizer
+    # (learning/optimizers.alternate_gate, differential-tested vs the
+    # reference class in tests/test_optim_differential.py).
     composition = dict(opt_cfg.pop("composition", None) or {})
     alt = composition.get("alternate_iteration", 1)
-    if alt not in (None, 0, 1):
-        raise NotImplementedError(
-            "optimizer composition alternate_iteration=%r: only 1 (in-step "
-            "D->G alternation, as in every reference iccv23 config) is "
-            "supported by the jitted GAN steps" % (alt,))
     optimizers, base_lr = {}, {}
     for name, cfg in opt_cfg.items():
         if cfg is None:
@@ -218,6 +215,16 @@ def build_gan_experiment(scenario, sample_hw=256, batch_size=None,
             mults = None
         optimizers[name], base_lr[name] = initialize_optimizer(dict(cfg),
                                                                group_mults=mults)
+
+    if alt not in (None, 0, 1):
+        # reference OptimizerAlternation: `order` names the rotation; None
+        # optimizers were dropped above (frozen subnets, initialize():71-75)
+        from gandtr_tpu.learning.optimizers import alternate_gate
+        order = [s.strip() for s in str(composition["order"]).split(",")]
+        assert set(order) == set(optimizers), (order, list(optimizers))
+        for i, name in enumerate(order):
+            optimizers[name] = alternate_gate(optimizers[name], i,
+                                              len(order), int(alt))
 
     epochs = int(train_cfg.get("epochs", 1))
     sched_cfg = dict(train_cfg.get("scheduler", {}))

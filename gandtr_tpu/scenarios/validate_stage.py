@@ -71,18 +71,18 @@ def validate(params, data):
         if device_pre is not None:
             transform = host_tf
 
-    def pre(x):
+    def pre(x, mask=None):
         if device_pre is None:
             return x
         xf = x.astype(jnp.float32)
         if x.dtype == jnp.uint8:
             xf = xf / 255.0
-        return device_pre(xf)
+        return device_pre(xf, mask) if mask is not None else device_pre(xf)
 
-    # `shape_bucket` pads images up to multiples and uses masked GeM: far
-    # fewer compiled graphs (one per bucket instead of per exact aspect
-    # ratio) at a tiny descriptor deviation near the padded border; exact
-    # shapes (the reference protocol) remain the default.
+    # `shape_bucket` pads images up to multiples with per-layer re-masking
+    # (ops/maskprop.py): descriptors EQUAL the exact-shape protocol (incl.
+    # CLAHE geometry and multiscale resize, per-image valid rectangles) with
+    # far fewer compiled graphs — one per bucket instead of per aspect ratio.
     shape_bucket = data_cfg.get("shape_bucket")
     batch_size = int((data_cfg.get("loader") or {}).get("batch_size", 1))
     # data-parallel extraction over all local devices (round-robin async
@@ -92,20 +92,9 @@ def validate(params, data):
         devices = jax.local_devices()
 
     if shape_bucket:
-        from gandtr_tpu.learning.wrappers import apply_wrapped
-
         def forward(v, x, mask):
-            def model_fwd(xx):
-                m = mask
-                if xx.shape[1:3] != mask.shape[1:3]:
-                    # multiscale rescales the image; track with the (0/1)
-                    # validity mask at nearest-neighbor resolution
-                    m = jax.image.resize(mask, (mask.shape[0],) + xx.shape[1:3],
-                                         method="nearest")
-                return model.module.apply(v, xx, mask=m)
-
-            return apply_wrapped(model.wrappers_eval, model_fwd, pre(x),
-                                 {"msp": msp})
+            return model.apply(v, pre(x, mask), train=False,
+                               ctx={"msp": msp}, mask=mask)
 
         extractor = ShapeCachedExtractor(forward, variables,
                                          shape_bucket=int(shape_bucket),

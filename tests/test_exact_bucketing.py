@@ -288,3 +288,74 @@ class TestFinetunePipelineExact:
         h, w = sizes_from_mask(np.asarray(om))
         assert (int(h[0]), int(w[0])) == (48, 60)   # generator 4-multiples
         assert (int(h[1]), int(w[1])) == (45, 57)   # original
+
+
+class TestMaskedMultiscale:
+    """Bucketed multiscale aggregation EQUALS the exact-shape protocol —
+    masked_scale_resize reproduces F.interpolate(scale_factor=s) per valid
+    rectangle bit-for-bit (static grid, dynamic boundary clamp)."""
+
+    def test_masked_scale_resize_exact(self):
+        from gandtr_tpu.ops.resize import scale_resize, masked_scale_resize
+        rng = np.random.RandomState(0)
+        for (h, w) in [(100, 73), (64, 64), (47, 101)]:
+            im = rng.rand(h, w, 3).astype(np.float32)
+            for s in [0.5, 1 / np.sqrt(2), np.sqrt(2)]:
+                ex = np.asarray(scale_resize(jnp.asarray(im)[None], s)[0])
+                B = 128
+                buf = np.zeros((1, B, B, 3), np.float32)
+                buf[0, :h, :w] = im
+                st = maskprop.MaskState((jnp.asarray([h], jnp.int32),
+                                         jnp.asarray([w], jnp.int32)))
+                out, st2 = masked_scale_resize(jnp.asarray(buf), st, s)
+                eh, ew = ex.shape[:2]
+                assert (int(st2.hw[0][0]), int(st2.hw[1][0])) == (eh, ew)
+                assert np.abs(np.asarray(out[0, :eh, :ew]) - ex).max() == 0.0
+
+    def test_bucketed_multiscale_eval_equals_exact(self):
+        from gandtr_tpu.learning.network import build_single_net
+        from gandtr_tpu.learning.wrappers import CirMultiscaleAggregation
+        net = build_single_net({"model": {"architecture": "cirnet",
+                                          "cir_architecture": "vgg16",
+                                          "pooling": "gem"}})
+        net.wrappers_eval = [CirMultiscaleAggregation(scales=True)]
+        var = dict(net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))))
+        msp = float(np.asarray(var["params"]["gem_p"])[0])
+        rng = np.random.RandomState(2)
+        for (h, w) in [(96, 67), (53, 96)]:
+            im = rng.rand(h, w, 3).astype(np.float32)
+            ex = np.asarray(net.apply(var, jnp.asarray(im)[None],
+                                      ctx={"msp": msp})[0])
+            buf = np.zeros((1, 96, 96, 3), np.float32)
+            buf[0, :h, :w] = im
+            mb = np.zeros((1, 96, 96), np.float32)
+            mb[0, :h, :w] = 1.0
+            got = np.asarray(net.apply(var, jnp.asarray(buf),
+                                       ctx={"msp": msp},
+                                       mask=jnp.asarray(mb))[0])
+            assert np.abs(got - ex).max() < 1e-5
+
+    def test_device_preprocess_masked_clahe(self):
+        """split_device_transform's in-graph CLAHE uses per-image valid
+        geometry in bucketed mode — equal to host cv2 on the exact shape."""
+        from gandtr_tpu.data.transforms import (split_device_transform,
+                                                initialize_transforms)
+        tf_str = "pil2np | apply_clahe:1.0 | totensor | normalize"
+        ms = [[0.485, 0.456, 0.406], [0.229, 0.224, 0.225]]
+        host_tf = initialize_transforms(tf_str, ms)
+        _, device_pre = split_device_transform(tf_str, ms)
+        rng = np.random.RandomState(5)
+        from PIL import Image
+        h, w = 83, 127
+        raw = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        exact = host_tf(Image.fromarray(raw))
+        buf = np.zeros((1, 160, 160, 3), np.float32)
+        buf[0, :h, :w] = raw.astype(np.float32) / 255.0
+        mb = np.zeros((1, 160, 160), np.float32)
+        mb[0, :h, :w] = 1.0
+        got = np.asarray(device_pre(jnp.asarray(buf), jnp.asarray(mb)))
+        # host numpy vs jitted device differ at float-assoc level in the
+        # [0,1] conversion chain (amplified by /std); the uint8 CLAHE level
+        # is bit-exact (ops/clahe.py fuzz). 5e-5 is far below the 1/255
+        # quantum after normalization (~1.7e-2).
+        assert np.abs(got[0, :h, :w] - exact).max() < 5e-5

@@ -424,3 +424,151 @@ class TestMultiheadConfigGroups:
                                            by_key[k].detach().numpy(),
                                            rtol=2e-5, atol=2e-6,
                                            err_msg=f"{n}/{k}")
+
+
+# ---------------------------------------------------------------------------
+# OptimizerAlternation round-robin (optimizer_compositions.py:39-47)
+# ---------------------------------------------------------------------------
+
+_COMP = "/root/reference/mdir/components/optim/optimizer/optimizer_compositions.py"
+
+
+@pytest.fixture(scope="module")
+def ref_alternation():
+    """Load the reference OptimizerAlternation standalone: its two imports
+    feed only the unused classmethod initialize() and __repr__."""
+    import types
+    src = open(_COMP).read()
+    src = src.replace(
+        "from .base_optimizers import initialize_base_optimizer",
+        "initialize_base_optimizer = None")
+    src = src.replace("from ....tools.utils import indent",
+                      "indent = lambda s, n: s")
+    mod = types.ModuleType("ref_optimizer_compositions")
+    exec(compile(src, _COMP, "exec"), mod.__dict__)
+    return mod
+
+
+@needs_reference
+class TestAlternationDifferential:
+    """Our jitted step-indexed gate (learning/optimizers.alternate_gate)
+    reproduces the reference's stateful round-robin trajectory exactly —
+    including which member's adam/momentum state advances at each step."""
+
+    @pytest.mark.parametrize("alt_n", [2, 3, 1, -1])
+    def test_two_member_rotation(self, ref_alternation, alt_n):
+        import jax
+        import jax.numpy as jnp
+        import optax
+        from gandtr_tpu.learning import optimizers as O
+
+        rng = np.random.RandomState(42 + alt_n)
+        a0 = rng.randn(3, 2).astype(np.float32)
+        b0 = rng.randn(4).astype(np.float32)
+
+        # torch side driven by the reference alternation object
+        ta = torch.nn.Parameter(torch.tensor(a0))
+        tb = torch.nn.Parameter(torch.tensor(b0))
+        alt = ref_alternation.OptimizerAlternation(
+            {"a": torch.optim.SGD([ta], lr=0.1, momentum=0.9),
+             "b": torch.optim.Adam([tb], lr=0.05)},
+            alternate_iteration=alt_n, order="a,b")
+
+        # ours: every member updates every step through its gate
+        txa = O.alternate_gate(O.sgd(0.1, momentum=0.9), 0, 2, alt_n)
+        txb = O.alternate_gate(O.adam(0.05), 1, 2, alt_n)
+        pa, pb = jnp.asarray(a0), jnp.asarray(b0)
+        sa, sb = txa.init(pa), txb.init(pb)
+
+        for step in range(9):
+            ga = rng.randn(*a0.shape).astype(np.float32)
+            gb = rng.randn(*b0.shape).astype(np.float32)
+            alt.zero_grad()
+            ta.grad = torch.tensor(ga)
+            tb.grad = torch.tensor(gb)
+            alt.step()
+
+            ua, sa = txa.update(jnp.asarray(ga), sa, pa)
+            pa = optax.apply_updates(pa, ua)
+            ub, sb = txb.update(jnp.asarray(gb), sb, pb)
+            pb = optax.apply_updates(pb, ub)
+
+            np.testing.assert_allclose(np.asarray(pa), ta.detach().numpy(),
+                                       atol=5e-6, err_msg="step %d" % step)
+            np.testing.assert_allclose(np.asarray(pb), tb.detach().numpy(),
+                                       atol=5e-6, err_msg="step %d" % step)
+
+    def test_three_member_all_active_zero(self, ref_alternation):
+        """alternate_iteration=0: all members step every iteration."""
+        import jax.numpy as jnp
+        import optax
+        from gandtr_tpu.learning import optimizers as O
+
+        rng = np.random.RandomState(7)
+        inits = [rng.randn(2, 2).astype(np.float32) for _ in range(3)]
+        tps = [torch.nn.Parameter(torch.tensor(x)) for x in inits]
+        alt = ref_alternation.OptimizerAlternation(
+            {n: torch.optim.SGD([p], lr=0.2)
+             for n, p in zip("abc", tps)},
+            alternate_iteration=0, order="a,b,c")
+        txs = [O.alternate_gate(O.sgd(0.2), i, 3, 0) for i in range(3)]
+        ps = [jnp.asarray(x) for x in inits]
+        ss = [tx.init(p) for tx, p in zip(txs, ps)]
+        for step in range(4):
+            gs = [rng.randn(2, 2).astype(np.float32) for _ in range(3)]
+            alt.zero_grad()
+            for p, g in zip(tps, gs):
+                p.grad = torch.tensor(g)
+            alt.step()
+            for i in range(3):
+                u, ss[i] = txs[i].update(jnp.asarray(gs[i]), ss[i], ps[i])
+                ps[i] = optax.apply_updates(ps[i], u)
+                np.testing.assert_allclose(np.asarray(ps[i]),
+                                           tps[i].detach().numpy(), atol=1e-6)
+
+    def test_frozen_none_member_stays_out(self, ref_alternation):
+        """A None-configured optimizer is dropped from the rotation (the
+        reference freezes that subnet, initialize():71-75) — the remaining
+        members rotate among themselves and the frozen params never move."""
+        import jax.numpy as jnp
+        import optax
+        from gandtr_tpu.learning import optimizers as O
+
+        rng = np.random.RandomState(3)
+        a0 = rng.randn(2).astype(np.float32)
+        b0 = rng.randn(2).astype(np.float32)
+        c0 = rng.randn(2).astype(np.float32)  # frozen
+        ta, tb = (torch.nn.Parameter(torch.tensor(x)) for x in (a0, b0))
+        alt = ref_alternation.OptimizerAlternation(
+            {"a": torch.optim.SGD([ta], lr=0.1),
+             "b": torch.optim.SGD([tb], lr=0.1)},
+            alternate_iteration=2, order="a,b")
+        txa = O.alternate_gate(O.sgd(0.1), 0, 2, 2)
+        txb = O.alternate_gate(O.sgd(0.1), 1, 2, 2)
+        pa, pb, pc = (jnp.asarray(x) for x in (a0, b0, c0))
+        sa, sb = txa.init(pa), txb.init(pb)
+        for step in range(6):
+            ga, gb = (rng.randn(2).astype(np.float32) for _ in range(2))
+            alt.zero_grad()
+            ta.grad = torch.tensor(ga)
+            tb.grad = torch.tensor(gb)
+            alt.step()
+            ua, sa = txa.update(jnp.asarray(ga), sa, pa)
+            pa = optax.apply_updates(pa, ua)
+            ub, sb = txb.update(jnp.asarray(gb), sb, pb)
+            pb = optax.apply_updates(pb, ub)
+        np.testing.assert_allclose(np.asarray(pa), ta.detach().numpy(), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(pb), tb.detach().numpy(), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(pc), c0)
+
+    def test_set_learning_rate_through_gate(self):
+        """Per-epoch schedules reach the inner injected hyperparams."""
+        import jax.numpy as jnp
+        from gandtr_tpu.learning import optimizers as O
+        tx, base = O.initialize_optimizer({"algorithm": "sgd", "lr": 0.1,
+                                           "momentum": 0.9,
+                                           "weight_decay": 0.0})
+        gated = O.alternate_gate(tx, 0, 2, 2)
+        st = gated.init(jnp.zeros((3,)))
+        st2 = O.set_learning_rate(st, 0.01)
+        assert float(st2.inner.hyperparams["learning_rate"]) == 0.01
