@@ -70,13 +70,13 @@ class HubModel:
 
 
 def _checkpoint_net_state(state):
-    """Validate + unwrap the reference checkpoint nesting:
-    {"net": {"type", "frozen", "network_params", "model_state"}}
-    (mdir/learning/network.py:212-219, checkpoints.py:58-107). Plain
-    state-dict files (no "net" key) pass through as {"model_state": state}."""
-    if "net" not in state:
-        return {"model_state": state}
-    net = state["net"]
+    """Validate + unwrap a loaded network checkpoint. Real reference FILES
+    store the FLAT {"type", "frozen", "network_params", "model_state"} dict
+    (Checkpoints.load_network adds the "net" wrapper at load time,
+    checkpoints.py:209-220); utils/io.normalize_network_checkpoint handles
+    flat, wrapped, and plain-state-dict layouts."""
+    from gandtr_tpu.utils.io import normalize_network_checkpoint
+    net = normalize_network_checkpoint(state)["net"]
     missing = {"model_state"} - set(net)
     if missing:
         raise KeyError(f"Checkpoint 'net' entry missing {missing}; "

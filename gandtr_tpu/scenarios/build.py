@@ -106,8 +106,8 @@ def _load_pretrained_into(variables, model_cfg, name):
         return variables
     # the checkpoint IS present: an incomplete import must fail loudly here,
     # not degrade to random weights behind a warning
-    if "net" in state:
-        state = state["net"]["model_state"]
+    from gandtr_tpu.utils.io import normalize_network_checkpoint
+    state = normalize_network_checkpoint(state)["net"]["model_state"]
     key_map = ti.key_map_for_architecture(model_cfg.get("architecture", ""))
     return ti.convert_torch_state(variables, state, key_map=key_map,
                                   strict=False, min_coverage=1.0)

@@ -93,9 +93,9 @@ def build_finetune_experiment(params, directory=None, db=None, images=None):
                 # e.g. hedngan_generator_X.pth in train/hedngan.yml's finetune
                 from gandtr_tpu.utils.io import load_torch_checkpoint
                 from gandtr_tpu.utils import torch_import as ti
+                from gandtr_tpu.utils.io import normalize_network_checkpoint
                 state = load_torch_checkpoint(augment_path)
-                if "net" in state:
-                    state = state["net"]["model_state"]
+                state = normalize_network_checkpoint(state)["net"]["model_state"]
                 variables["augment"] = ti.convert_torch_state(
                     variables["augment"], state, strict=False)
             else:

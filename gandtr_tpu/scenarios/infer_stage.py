@@ -391,23 +391,32 @@ def _load_network(net_cfg):
     net_cfg = dict(net_cfg)
     net_cfg.pop("type", None)
     path = net_cfg.pop("path", None)
+    ckpt_state = None
+    if path and str(path).endswith((".pth", ".pt")):
+        from gandtr_tpu.utils.io import (load_torch_checkpoint,
+                                         normalize_network_checkpoint)
+        ckpt_state = normalize_network_checkpoint(
+            load_torch_checkpoint(resolve_path(path)))["net"]
+        if "model" not in net_cfg:
+            # reference path-only network config: the model is rebuilt from
+            # the CHECKPOINT's own network_params with the config runtime as
+            # overlay (mdir/learning/__init__.py:9-13 ->
+            # network.py initialize_network(None, device, state, runtime))
+            params_from_ckpt = dict(ckpt_state.get("network_params") or {})
+            if "model" in params_from_ckpt:
+                net_cfg["model"] = dict(params_from_ckpt["model"])
     net = build_single_net(net_cfg)
     x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
     variables = dict(net.init(jax.random.PRNGKey(0), x0))
-    if path:
-        path = resolve_path(path)
-        if path.endswith((".pth", ".pt")):
-            from gandtr_tpu.utils.io import load_torch_checkpoint
-            from gandtr_tpu.utils import torch_import as ti
-            state = load_torch_checkpoint(path)
-            if "net" in state:
-                state = state["net"]["model_state"]
-            arch = (net_cfg.get("model") or {}).get("architecture")
-            variables = ti.convert_torch_state(
-                variables, state, key_map=ti.key_map_for_architecture(arch),
-                strict=False, min_coverage=1.0)
-        else:
-            variables = load_network_file(path, variables)
+    if ckpt_state is not None:
+        from gandtr_tpu.utils import torch_import as ti
+        arch = (net_cfg.get("model") or {}).get("architecture")
+        variables = ti.convert_torch_state(
+            variables, ckpt_state["model_state"],
+            key_map=ti.key_map_for_architecture(arch),
+            strict=False, min_coverage=1.0)
+    elif path:
+        variables = load_network_file(resolve_path(path), variables)
     return net, variables
 
 

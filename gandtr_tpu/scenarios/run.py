@@ -8,6 +8,7 @@ Usage: python -m gandtr_tpu.scenarios.run <target|list|validate> scenario.yml
 """
 import argparse
 import copy
+import io
 import os
 import sys
 
@@ -235,7 +236,11 @@ def main(argv=None):
     scenario_name = derive_scenario_name(args.scenario)
     stdin_data = None
     if not sys.stdin.isatty():
-        stdin_data = [x.strip() for x in sys.stdin.readlines() if x.strip()]
+        try:
+            stdin_data = [x.strip() for x in sys.stdin.readlines()
+                          if x.strip()]
+        except (OSError, ValueError, io.UnsupportedOperation):
+            stdin_data = None  # non-tty without readable stdin (test harness)
     run_target(scenario, args.action, scenario_name, stdin_data)
     return 0
 

@@ -106,16 +106,36 @@ def validate(params, data):
         extractor = ShapeCachedExtractor(forward, variables, devices=devices)
 
     metadata = {}
-    datasets = val_cfg.get("datasets") or list(val_cfg.keys())
     dir_main = resolve_path(val_cfg.get("dir_main", "data/test"))
-    for ds in datasets:
-        if not isinstance(ds, str) or ds in ("type", "dir_main", "datasets"):
-            continue
+    # two accepted validation forms: the simplified {dir_main, datasets}
+    # list, and the reference's MultiCriterialValidation tree of
+    # SingleValidation entries with cirdatasetap criteria (parameters/
+    # eval.yml in the reference repo — per-dataset image_size in the
+    # criterion, optim/score/cirscore.py:38-45)
+    plan = []  # (name, dataset, image_size)
+    for ds in (val_cfg.get("datasets") or ()):
+        plan.append((ds, ds, image_size))
+    if not plan:
+        for key, sub in val_cfg.items():
+            if not isinstance(sub, dict):
+                continue
+            crit = dict(sub.get("criterion") or {})
+            if crit.get("type", "cirdatasetap") != "cirdatasetap":
+                raise NotImplementedError(
+                    "validation criterion %r" % crit.get("type"))
+            plan.append((key, crit.get("dataset", key),
+                         int(crit.get("image_size", image_size))))
+        if not plan:
+            plan = [(ds, ds, image_size) for ds in val_cfg
+                    if isinstance(ds, str)
+                    and ds not in ("type", "dir_main", "datasets",
+                                   "decisive_criterion")]
+    for name, ds, imsize in plan:
         cfg = configdataset(ds, dir_main)
-        metrics, _, _, _ = evaluate_dataset(extractor, cfg, image_size,
+        metrics, _, _, _ = evaluate_dataset(extractor, cfg, imsize,
                                             transform, batch_size=batch_size)
         for mk, mv in metrics.items():
-            metadata[f"{ds}/validation/score_avg:{mk}"] = mv
+            metadata[f"{name}/validation/score_avg:{mk}"] = mv
         print(">> %s: %s" % (ds, {k: round(100 * v, 2) for k, v in metrics.items()}))
     return (
         {"metadata": {"validation": metadata}},

@@ -119,6 +119,40 @@ def load_torch_checkpoint(path_or_url):
     return conv(obj)
 
 
+def normalize_network_checkpoint(state):
+    """Normalize a loaded network checkpoint to the reference's in-memory
+    layout `{"net": {...}, <embedded-net-name>: {...}, ...}`.
+
+    The reference stores a network FILE as the FLAT dict
+    {"type", "frozen", "network_params", "model_state"[, "_networks_included"]}
+    and Checkpoints.load_network wraps it at load time
+    (/root/reference/mdir/learning/checkpoints.py:209-220), splicing
+    `_networks_included` as sibling nets. Accepts three layouts:
+    the flat reference file, an already-wrapped {"net": ...} dict, and a
+    plain parameter state-dict (wrapped as {"net": {"model_state": ...}}).
+
+    (Found by the cross-engine oracle: our loaders previously required the
+    "net" wrapper INSIDE the file, which real published .pth files do not
+    have — tests/test_cross_engine_oracle.py.)
+    """
+    if not isinstance(state, dict):
+        raise TypeError("checkpoint is not a dict: %r" % type(state))
+    if "net" in state:
+        out = dict(state)
+        net = dict(out["net"])
+        included = net.pop("_networks_included", {}) or {}
+        assert "net" not in included
+        out["net"] = net
+        out.update(included)
+        return out
+    if "model_state" in state:
+        net = dict(state)
+        included = net.pop("_networks_included", {}) or {}
+        assert "net" not in included
+        return {"net": net, **included}
+    return {"net": {"model_state": state}}
+
+
 def load_pickle(path_or_url):
     import pickle
     with open(fetch(path_or_url), "rb") as f:

@@ -28,14 +28,17 @@ from gandtr_tpu.utils import torch_import as ti
 
 def _save_reference_checkpoint(path, model_state, network_params, frozen=False):
     """Write a checkpoint byte-faithful to Checkpoints.save_epoch's per-net
-    files (reference checkpoints.py:58-107 + network.py:212-219)."""
-    state = {"net": {
+    FILES (reference checkpoints.py:58-107 + network.py:212-219): the file
+    stores the FLAT dict; the "net" wrapper is added at LOAD time
+    (checkpoints.py:209-220 — pinned by the cross-engine oracle, which loads
+    this very fixture through the reference's own Checkpoints.load_network)."""
+    state = {
         "type": "SingleNetwork",
         "frozen": frozen,
         "network_params": network_params,
         "model_state": {k: torch.as_tensor(np.asarray(v))
                         for k, v in model_state.items()},
-    }}
+    }
     torch.save(state, str(path))
 
 
@@ -100,7 +103,7 @@ class TestEmbeddingPretrained:
         drive `.transform` — incl. the transforms->augmentations rename."""
         tm, p, m, P, ckpt, lw = _vgg16_gem_fixture(tmp_path)
         state = torch.load(str(ckpt), weights_only=False)
-        data = state["net"]["network_params"]["runtime"]["data"]
+        data = state["network_params"]["runtime"]["data"]
         # rename as the reference runtime would carry post-hub fixup, and use
         # a distinctive pipeline (no CLAHE) + mean_std
         data["augmentations"] = data.pop("transforms")
@@ -132,8 +135,8 @@ class TestEmbeddingPretrained:
         produce random-weight descriptors."""
         tm, p, m, P, ckpt, lw = _vgg16_gem_fixture(tmp_path)
         state = torch.load(str(ckpt), weights_only=False)
-        state["net"]["model_state"] = {
-            "module." + k: v for k, v in state["net"]["model_state"].items()}
+        state["model_state"] = {
+            "module." + k: v for k, v in state["model_state"].items()}
         bad = tmp_path / "bad.pth"
         torch.save(state, str(bad))
         with pytest.raises(ti.ImportCoverageError):
