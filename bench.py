@@ -3,12 +3,14 @@ plus GeM-VGG16 descriptor extraction at the 1024px eval protocol, plus the
 serving index search (exact top-10 over a 100k descriptor database), plus
 the full HED^N-GAN training step (batch 10 @256², the published protocol).
 
-Prints the PRIMARY metric as the FIRST JSON line (the driver parses it):
-{"metric", "value", "unit", "vs_baseline"}; the descriptor metric follows as
-a second JSON line (BASELINE.json's second named metric), then the index
-search metric (vs_baseline there = speedup over the reference's host-numpy
-ranking measured on this host), then the train-step metric (vs_baseline
-there = MFU against this chip's bf16 roofline for the step's exact FLOPs).
+Prints the PRIMARY metric as BOTH the FIRST and the LAST JSON line (the
+round-2 artifact showed the driver records the LAST line; emitting the
+generator line at both ends makes either parse the intended headline).
+Every line self-describes its vs_baseline semantics via "baseline_kind":
+"fraction_of_target" (generator + descriptor lines: value / 5xA100 north
+star), "speedup_vs_host" (index search vs the reference's numpy ranking on
+this host), or "mfu" (train step vs this chip's bf16 roofline for the
+step's exact FLOPs).
 
 Baseline note: the reference (mohwald/gandtr) publishes no throughput numbers
 (BASELINE.md). The driver's north star is ≥5× A100 images/sec/chip on v5e for
@@ -43,6 +45,16 @@ enable_from_env(default_on=True)
 
 A100_ESTIMATE_IMG_S = 400.0
 TARGET = 5 * A100_ESTIMATE_IMG_S
+
+_PRIMARY = {}  # re-emitted as the LAST line (driver parses last)
+
+
+def emit(metric, value, unit, vs_baseline, baseline_kind, primary=False):
+    line = {"metric": metric, "value": value, "unit": unit,
+            "vs_baseline": vs_baseline, "baseline_kind": baseline_kind}
+    if primary:
+        _PRIMARY.update(line)
+    print(json.dumps(line), flush=True)
 
 
 def main():
@@ -91,14 +103,14 @@ def main():
     assert np.isfinite(acc)
 
     img_s = batch / best
-    print(json.dumps({
-        "metric": "generator_inference_images_per_sec_per_chip_256px",
-        "value": round(img_s, 2),
-        "unit": "img/s/chip",
-        "vs_baseline": round(img_s / TARGET, 4),
-    }), flush=True)
+    emit("generator_inference_images_per_sec_per_chip_256px",
+         round(img_s, 2), "img/s/chip", round(img_s / TARGET, 4),
+         "fraction_of_target", primary=True)
 
     bench_descriptors()
+    # the driver records the LAST printed line (BENCH_r02 evidence): close
+    # with the primary generator metric so the headline is the intended one
+    print(json.dumps(_PRIMARY), flush=True)
 
 
 # A100 torch estimate for GeM-VGG16 descriptor extraction @1024²: the VGG16
@@ -142,14 +154,47 @@ def bench_descriptors():
         best = min(best, (time.perf_counter() - t0) / ITERS)
 
     img_s = batch / best
-    print(json.dumps({
-        "metric": "gem_vgg16_descriptors_per_sec_1024px",
-        "value": round(img_s, 2),
-        "unit": "img/s/chip",
-        "vs_baseline": round(img_s / DESC_TARGET, 4),
-    }), flush=True)
+    emit("gem_vgg16_descriptors_per_sec_1024px", round(img_s, 2),
+         "img/s/chip", round(img_s / DESC_TARGET, 4), "fraction_of_target")
 
+    bench_r101_descriptors()
     bench_index_search()
+
+
+def bench_r101_descriptors():
+    """GeM ResNet-101 @1024² f32 — BASELINE.json's literally-named north-star
+    config ("GeM-ResNet101 descriptor extraction"). Batch 2: throughput is
+    flat in batch from 2 (compute-bound; docs/PERF.md R101 sweep 203/202/199
+    at 2/4/8), so the smallest memory footprint wins."""
+    from gandtr_tpu.models.retrieval import GemRetrievalNet
+
+    model = GemRetrievalNet(architecture="resnet101", pooling="gem")
+    batch, hw = 2, 1024
+    x = jax.random.uniform(jax.random.PRNGKey(0), (batch, hw, hw, 3),
+                           jnp.float32)
+    variables = model.init(jax.random.PRNGKey(1), x[:1])
+
+    ITERS = 15
+
+    @jax.jit
+    def timed_loop(v, z):
+        def body(i, acc):
+            y = model.apply(v, z + i.astype(z.dtype) * 1e-4)
+            return acc + jnp.sum(y.astype(jnp.float32))
+        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+
+    assert np.isfinite(float(timed_loop(variables, x)))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(timed_loop(variables, x))
+        best = min(best, (time.perf_counter() - t0) / ITERS)
+
+    img_s = batch / best
+    # same 5xA100 north-star form as VGG16: R101 @1024² is ~1.06 TFLOP/img;
+    # batched fp16 torch at ~20% of A100 tensor peak ~ 60 img/s, x5 = 300
+    emit("gem_resnet101_descriptors_per_sec_1024px", round(img_s, 2),
+         "img/s/chip", round(img_s / 300.0, 4), "fraction_of_target")
 
 
 def bench_index_search():
@@ -198,12 +243,8 @@ def bench_index_search():
     assert ranks.shape == (N, Q)
     ref_qps = Q / ref_best
 
-    print(json.dumps({
-        "metric": "index_search_queries_per_sec_100k_db",
-        "value": round(qps, 1),
-        "unit": "queries/s/chip",
-        "vs_baseline": round(qps / ref_qps, 2),
-    }), flush=True)
+    emit("index_search_queries_per_sec_100k_db", round(qps, 1),
+         "queries/s/chip", round(qps / ref_qps, 2), "speedup_vs_host")
 
     bench_train_step()
 
@@ -282,12 +323,8 @@ def bench_train_step():
         best = min(best, (time.perf_counter() - t0) / ITERS)
 
     img_s = B / best
-    print(json.dumps({
-        "metric": "hedngan_train_images_per_sec_per_chip_256px",
-        "value": round(img_s, 2),
-        "unit": "img/s/chip",
-        "vs_baseline": round(img_s / TRAIN_ROOFLINE_IMG_S, 4),
-    }), flush=True)
+    emit("hedngan_train_images_per_sec_per_chip_256px", round(img_s, 2),
+         "img/s/chip", round(img_s / TRAIN_ROOFLINE_IMG_S, 4), "mfu")
 
 
 # The tunnel chip can transiently wedge (FAILED_PRECONDITION, then HANGS on

@@ -256,9 +256,33 @@ def infer(params, data):
     out_type = out_cfg.pop("type", "image")
 
     data_cfg = dict(params.pop("data", {}))
+    if isinstance(data_cfg.get("test"), dict):
+        # reference nested form (whitening.yml / infer configs):
+        # data.test.{dataset: {name, image_dir, image_size}, loader, ...}
+        nested = dict(data_cfg["test"])
+        ds = dict(nested.pop("dataset", {}) or {})
+        name = ds.pop("name", None)
+        if name not in (None, "CirImageList"):
+            raise NotImplementedError("infer dataset %r" % name)
+        data_cfg = {**nested, **ds}
+
+    net_cfg = dict(params.pop("network"))
+    model, variables = _load_network(net_cfg)
+    model_cfg = model.loaded_model_cfg
+
+    # transform defaults come from the network's own data params — for
+    # checkpoint-loaded nets, the CHECKPOINT's runtime data (reference
+    # stages/infer.py:32: {**network.network_params.runtime['data'],
+    # **params['data']['test']})
+    net_defaults = model.data_params if isinstance(model.data_params, dict) \
+        else {}
     image_dir = resolve_path(data_cfg.pop("image_dir", ""))
-    tf_str = data_cfg.get("transforms", "pil2np | totensor | normalize")
-    mean_std = data_cfg.get("mean_std", [[0.5] * 3, [0.5] * 3])
+    tf_str = data_cfg.get("transforms",
+                          net_defaults.get("transforms",
+                                           "pil2np | totensor | normalize"))
+    mean_std = data_cfg.get("mean_std",
+                            net_defaults.get("mean_std",
+                                             [[0.5] * 3, [0.5] * 3]))
     transforms = initialize_transforms(tf_str, mean_std)
 
     # Fused device IO (default on): ship decoded uint8 images and run the
@@ -271,9 +295,8 @@ def infer(params, data):
         if device_pre is not None:
             transforms = host_tf
 
-    net_cfg = dict(params.pop("network"))
-    model_cfg = dict(net_cfg.get("model") or {})
-    model, variables = _load_network(net_cfg)
+    # (network was loaded above, before transform resolution, so checkpoint
+    # data defaults could flow into the transforms)
 
     # multiscale aggregation power (reference wrapper.py:249-252) — used by
     # a `cirmultiscale` runtime wrapper (the whitening.yml protocol)
@@ -405,6 +428,16 @@ def _load_network(net_cfg):
             params_from_ckpt = dict(ckpt_state.get("network_params") or {})
             if "model" in params_from_ckpt:
                 net_cfg["model"] = dict(params_from_ckpt["model"])
+            # data defaults (transforms/mean_std) flow from the checkpoint
+            # like the reference's net_defaults merges (stages/infer.py:32,
+            # learning/validation.py:36-50); the config overrides per key.
+            # Wrappers do NOT flow — the reference merges data only.
+            ck_data = dict((params_from_ckpt.get("runtime") or {})
+                           .get("data") or {})
+            if ck_data:
+                rt = dict(net_cfg.get("runtime") or {})
+                rt["data"] = {**ck_data, **(rt.get("data") or {})}
+                net_cfg["runtime"] = rt
     net = build_single_net(net_cfg)
     x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
     variables = dict(net.init(jax.random.PRNGKey(0), x0))
@@ -417,6 +450,9 @@ def _load_network(net_cfg):
             strict=False, min_coverage=1.0)
     elif path:
         variables = load_network_file(resolve_path(path), variables)
+    # effective model config (checkpoint-adopted for path-only configs) —
+    # consumers like multiscale_msp need the real pooling/whitening flags
+    net.loaded_model_cfg = dict(net_cfg.get("model") or {})
     return net, variables
 
 
