@@ -72,7 +72,17 @@ def build_finetune_experiment(params, directory=None, db=None, images=None):
     augment = build_single_net(augment_cfg)
 
     embed_cfg = dict(net_cfg["embed"])
-    embed_cfg.pop("path", None)
+    embed_path = embed_cfg.pop("path", None)
+    if embed_path and "model" not in embed_cfg:
+        # reference path-form subnet (network.py:163-185): model params come
+        # from the checkpoint; runtime from the config (or checkpoint when
+        # 'load_from_checkpoint')
+        from gandtr_tpu.utils.io import (load_torch_checkpoint,
+                                         normalize_network_checkpoint)
+        _ck = normalize_network_checkpoint(
+            load_torch_checkpoint(resolve_path(embed_path)))["net"]
+        embed_cfg["model"] = dict(
+            (_ck.get("network_params") or {}).get("model") or {})
     embed = build_single_net(embed_cfg)
 
     models = {"augment": augment, "embed": embed}
@@ -86,6 +96,17 @@ def build_finetune_experiment(params, directory=None, db=None, images=None):
         "augment": dict(augment.init(rng, x0, train=False)),
         "embed": dict(embed.init(rng, x0)),
     }
+    if embed_path:
+        from gandtr_tpu.utils.io import (load_torch_checkpoint,
+                                         normalize_network_checkpoint)
+        from gandtr_tpu.utils import torch_import as ti
+        _st = normalize_network_checkpoint(
+            load_torch_checkpoint(resolve_path(embed_path)))["net"]
+        variables["embed"] = ti.convert_torch_state(
+            variables["embed"], _st["model_state"],
+            key_map=ti.key_map_for_architecture(
+                embed_cfg.get("model", {}).get("architecture", "")),
+            strict=False, min_coverage=1.0)
     if augment_path:
         try:
             if str(augment_path).endswith(".pth"):

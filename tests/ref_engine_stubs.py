@@ -15,6 +15,8 @@ def install():
     if "torchvision" in sys.modules:
         return sys.modules["torchvision"]
     tv = types.ModuleType("torchvision"); tv.__path__ = []
+    tv.__file__ = __file__  # CodeVersion reads module __file__/__version__
+    tv.__version__ = "0.0-stub"
     tvm = types.ModuleType("torchvision.models")
     tvt = types.ModuleType("torchvision.transforms")
     tvtf = types.ModuleType("torchvision.transforms.functional")
