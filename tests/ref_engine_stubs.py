@@ -90,4 +90,20 @@ def install():
     sys.modules.update({"torchvision": tv, "torchvision.models": tvm,
                         "torchvision.transforms": tvt,
                         "torchvision.transforms.functional": tvtf})
+
+    # torchviz stub: the graphviz `dot` binary is absent on this image; the
+    # reference renders an architecture-graph blob at train start
+    # (network.py:262-280) and only needs a readable PNG at fname+".png"
+    tvz = types.ModuleType("torchviz")
+    tvzd = types.ModuleType("torchviz.dot")
+
+    class _FakeDot:
+        def render(self, fname, cleanup=True):
+            from PIL import Image as _I
+            _I.new("RGB", (4, 4)).save(fname + ".png")
+
+    tvzd.make_dot = lambda *a, **k: _FakeDot()
+    tvz.dot = tvzd
+    sys.modules["torchviz"] = tvz
+    sys.modules["torchviz.dot"] = tvzd
     return tv
