@@ -161,10 +161,19 @@ class FakeBatch(Wrapper):
     config-driven composition parity."""
 
     def pre(self, x, ctx):
+        if x.ndim <= 4:
+            # plain image batch passes through — the reference only flattens
+            # 2-D LISTS of tensors (wrapper.py:295-305 preprocess returns the
+            # input unchanged otherwise); caught by the micro-train oracle:
+            # mining extraction feeds (N, H, W, C) through the same wrapped
+            # net and must not fold the batch into height
+            return x, None
         shape = x.shape
         return x.reshape((-1,) + shape[2:]), shape
 
     def post(self, y, ctx, shape):
+        if shape is None:
+            return y
         return y.reshape(shape[:2] + y.shape[1:])
 
 

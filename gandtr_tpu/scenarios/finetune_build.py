@@ -65,6 +65,25 @@ def build_finetune_experiment(params, directory=None, db=None, images=None):
 
     augment_cfg = dict(net_cfg["augment"])
     augment_path = augment_cfg.pop("path", None)
+    if augment_path and "model" not in augment_cfg and \
+            str(augment_path).endswith((".pth", ".pt")) and \
+            os.path.exists(resolve_path(str(augment_path))):
+        # reference path-form subnet (network.py:163-185): model params from
+        # the checkpoint; runtime 'load_from_checkpoint' adopts its runtime
+        from gandtr_tpu.utils.io import (load_torch_checkpoint,
+                                         normalize_network_checkpoint)
+        _ck = normalize_network_checkpoint(
+            load_torch_checkpoint(resolve_path(str(augment_path))))["net"]
+        _ck_params = dict(_ck.get("network_params") or {})
+        augment_cfg["model"] = dict(_ck_params.get("model") or {})
+        rt = augment_cfg.get("runtime")
+        if rt == "load_from_checkpoint":
+            augment_cfg["runtime"] = dict(_ck_params.get("runtime") or {})
+        elif isinstance(rt, dict):
+            augment_cfg["runtime"] = {
+                k: (dict(_ck_params.get("runtime") or {}).get(k)
+                    if v == "load_from_checkpoint" else v)
+                for k, v in rt.items()}
     augment_cfg.setdefault("model", {"architecture": "official_resnet_generator",
                                      "no_antialias": True, "no_antialias_up": True,
                                      "input_nc": 3, "output_nc": 3, "n_blocks": 9,
