@@ -29,6 +29,14 @@ needs_reference = pytest.mark.skipif(
 
 @pytest.fixture(scope="module")
 def ref_engine():
+    # earlier differential tests register STUB 'mdir'/'cirtorch'/'daan'
+    # parent packages for standalone-file loading (e.g.
+    # test_compound_losses_differential) and leave them in sys.modules —
+    # purge them so the REAL reference engine imports cleanly; later
+    # differential tests re-stub via setdefault/_load and are unaffected
+    for k in list(sys.modules):
+        if k.split(".")[0] in ("mdir", "cirtorch", "daan"):
+            del sys.modules[k]
     import ref_engine_stubs
     ref_engine_stubs.install()
     if _REF not in sys.path:
