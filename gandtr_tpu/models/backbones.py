@@ -62,6 +62,7 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x, ms=None):
+        bare = ms is None  # direct calls get the plain tensor back
         ms = ms if ms is not None else MaskState(None)
         identity = x
         h = Conv(self.planes, 1, use_bias=False, name="conv1")(x)
@@ -79,7 +80,8 @@ class Bottleneck(nn.Module):
             identity = Conv(self.planes * 4, 1, stride=self.stride, use_bias=False,
                             name="downsample_0")(x)
             identity = BatchNorm(name="downsample_1")(identity, use_running_average=True)
-        return out_ms.apply(nn.relu(h + identity)), out_ms
+        out = out_ms.apply(nn.relu(h + identity))
+        return out if bare else (out, out_ms)
 
 
 RESNET_LAYERS = {"resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3),

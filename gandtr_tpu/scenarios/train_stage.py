@@ -72,9 +72,17 @@ def _notrain(training, state, start_epoch):
 
 def _stage_metadata(events, directory):
     """Stage metadata like the reference's learning metadata property
-    (learning.py:76-81): metrics + best_epoch + resources + code version."""
+    (learning.py:76-81): metrics + best_epoch + resources + code version.
+    `metrics_series` carries the per-epoch value lists like the reference's
+    `events.metadata.metadata()` (eventprocessor metadata keeper) — the
+    last-epoch scalars stay under `metrics` for existing consumers."""
     from gandtr_tpu.utils.stats import CodeVersion, ResourceUsage
+    series = {}
+    for key, by_epoch in getattr(events.metadata, "metrics", {}).items():
+        if isinstance(by_epoch, dict) and by_epoch:
+            series[key] = [by_epoch[e] for e in sorted(by_epoch)]
     return {"metrics": events.history[-1]["metrics"] if events.history else {},
+            "metrics_series": series,
             "best_epoch": events.metadata.best_epoch(),
             "resource_usage": ResourceUsage().snapshot(),
             "code_version": CodeVersion().snapshot(),

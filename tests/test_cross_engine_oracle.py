@@ -625,12 +625,14 @@ class TestCrossEngineTrain:
                      ref["metrics"]["train/learning/loss:total_avg.4"]]
         ref_val = [float(v) for v in
                    ref["metrics"]["val/learning/loss:total_avg.4"]]
-        # ours reports the LAST values in stage metadata; per-epoch series
-        # live in the events — compare the final epoch of each plus val
-        assert abs(ref_train[-1]
-                   - float(ours["metrics"]["train/learning/total"])) < 2e-4
-        assert abs(ref_val[-1]
-                   - float(ours["metrics"]["val/learning/loss:total"])) < 2e-4
+        our_train = [float(v) for v in
+                     ours["metrics_series"]["train/learning/total"]]
+        our_val = [float(v) for v in
+                   ours["metrics_series"]["val/learning/loss:total"]]
+        assert len(our_train) == len(ref_train)
+        assert len(our_val) == len(ref_val)
+        np.testing.assert_allclose(our_train, ref_train, atol=2e-4)
+        np.testing.assert_allclose(our_val, ref_val, atol=2e-4)
 
     def test_real_lr_best_epoch_matches(self, train_ws):
         ref = self._run_ref(train_ws, 1e-4, "lr")
