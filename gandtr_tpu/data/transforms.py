@@ -641,6 +641,8 @@ def split_device_transform(transforms_str, mean_std):
                 one = lambda args: clahe_ops.image_clahe_masked(
                     args[0], (args[1], args[2]), cl, gs, cspace)
                 if x.ndim == 4:
+                    # lax.map: vmap measured slower on chip and flips ±1 u8
+                    # ties under CPU jit (see learning/wrappers.ClahePost)
                     x = jax.lax.map(one, (x, h, w))
                 else:
                     x = one((x, h[0], w[0]))

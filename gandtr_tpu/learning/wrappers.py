@@ -244,6 +244,10 @@ class ClahePost(Wrapper):
             # identical to the reference's per-image cv2 call on the exact
             # shape; band pixels are undefined and re-masked downstream
             h, w = st.hw
+            # lax.map, not vmap: measured on chip — vmap compiled SLOWER
+            # (122 vs 109 ms finetune T=1) and flips ±1 u8 ties under CPU
+            # jit (FMA contraction past the barriers); serial is faster AND
+            # bit-exact (docs/PERF.md round-3 masked-cost note)
             y = jax.lax.map(
                 lambda args: clahe_ops.image_clahe_masked(
                     args[0], (args[1], args[2]), self.clip_limit,
