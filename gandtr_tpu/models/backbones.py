@@ -39,15 +39,21 @@ class VGG16Features(nn.Module):
         ms = MaskState.maybe(mask)
         x = ms.apply(x)  # re-zero the (normalized) pad band at the input
         idx = 0
-        for item in VGG16_CFG:
+        for li, item in enumerate(VGG16_CFG):
             if item == "M":
                 x, ms = masked_max_pool(x, ms, 2, 2)
                 idx += 1
             else:
                 x = Conv(item, 3, padding=1, name=f"features_{idx}")(x)
+                x = nn.relu(x)
                 # bias makes the band nonzero; re-zero so the next 3x3 conv
-                # sees exact-shape zero-padding semantics at the valid border
-                x = ms.apply(nn.relu(x))
+                # sees exact-shape zero-padding at the valid border. SKIP
+                # when a pool follows: masked_max_pool -inf-masks the band
+                # itself, so the extra HBM pass buys nothing (measured 2x
+                # masked-forward cost before this cut, docs/PERF.md)
+                nxt = VGG16_CFG[li + 1] if li + 1 < len(VGG16_CFG) else None
+                if nxt != "M":
+                    x = ms.apply(x)
                 idx += 2
         if mask is None:
             return x
@@ -80,7 +86,12 @@ class Bottleneck(nn.Module):
             identity = Conv(self.planes * 4, 1, stride=self.stride, use_bias=False,
                             name="downsample_0")(x)
             identity = BatchNorm(name="downsample_1")(identity, use_running_average=True)
-        out = out_ms.apply(nn.relu(h + identity))
+        # NO band re-zero here: the next block's only spatial op (conv2) is
+        # preceded by ms.apply, its 1x1 convs don't mix spatially, and the
+        # strided downsample 1x1 maps band positions to band positions — the
+        # valid region stays exact while the band carries (finite) garbage.
+        # ResNetFeatures re-zeroes once at the end for feature consumers.
+        out = nn.relu(h + identity)
         return out if bare else (out, out_ms)
 
 
