@@ -124,6 +124,10 @@ class ResNetFeatures(nn.Module):
                                    name=f"layer{li}_{bi}")(h, ms)
         if mask is None:
             return h
+        # blocks leave (finite) garbage in the band (see Bottleneck note);
+        # consumers like attention take spatial maxima over the whole map, so
+        # re-zero ONCE here — the single pass the per-block cut saved 30x of
+        h = ms.apply(h)
         return h, ms.mask(h.shape[1], h.shape[2], h.dtype)
 
 

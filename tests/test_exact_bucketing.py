@@ -359,3 +359,21 @@ class TestMaskedMultiscale:
         # is bit-exact (ops/clahe.py fuzz). 5e-5 is far below the 1/255
         # quantum after normalization (~1.7e-2).
         assert np.abs(got[0, :h, :w] - exact).max() < 5e-5
+
+
+def test_bucketed_equals_exact_attention_resnet():
+    """Attention takes spatial maxima over the WHOLE feature map — pins the
+    final band re-zero in ResNetFeatures (blocks leave garbage in the band
+    after the per-block re-zero cut; a pooling-only mask would not catch
+    normalize_max contamination)."""
+    rng = np.random.RandomState(13)
+    net = GemRetrievalNetAttention(architecture="resnet50")
+    var = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    imgs = [rng.randn(h, w, 3).astype(np.float32)
+            for h, w in [(45, 64), (64, 37)]]
+    exact = [np.asarray(net.apply(var, jnp.asarray(im)[None])[0])
+             for im in imgs]
+    xb, mb = _bucketed_inputs(imgs, 64)
+    got = np.asarray(net.apply(var, xb, mask=mb))
+    for i, e in enumerate(exact):
+        assert np.abs(got[i] - e).max() < 1e-5
