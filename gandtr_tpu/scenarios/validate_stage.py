@@ -50,13 +50,26 @@ def validate(params, data):
                 # shared reference rule (wrapper.py:249-252): plain GeM nets
                 # only — NOT mere gem_p presence (a whitened/regional model
                 # still carries gem_p but aggregates with msp=1)
-                msp = multiscale_msp(net_cfg.get("model"), variables)
+                # effective model cfg: for path-only configs the model was
+                # rebuilt from the checkpoint's network_params (_load_network)
+                msp = multiscale_msp(getattr(model, "loaded_model_cfg", None)
+                                     or net_cfg.get("model"), variables)
     model.wrappers_eval = eval_wrappers
 
+    # transform defaults come from the network's own data params — for
+    # checkpoint-loaded nets, the CHECKPOINT's runtime data (reference
+    # validation.py:36 net_defaults merge into cirdatasetap); the published
+    # eval pipeline as the last resort
+    net_defaults = model.data_params if isinstance(model.data_params, dict) \
+        else {}
     tf_str = data_cfg.get("transforms",
-                          "pil2np | apply_clahe:1.0 | totensor | normalize")
+                          net_defaults.get(
+                              "transforms",
+                              "pil2np | apply_clahe:1.0 | totensor | normalize"))
     mean_std = data_cfg.get("mean_std",
-                            [[0.485, 0.456, 0.406], [0.229, 0.224, 0.225]])
+                            net_defaults.get(
+                                "mean_std",
+                                [[0.485, 0.456, 0.406], [0.229, 0.224, 0.225]]))
     transform = initialize_transforms(tf_str, mean_std)
     image_size = int(data_cfg.get("image_size", 1024))
 
