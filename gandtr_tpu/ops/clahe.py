@@ -204,6 +204,44 @@ def clahe_u8_masked(img, hw, clip_limit=4.0, grid_size=(8, 8)):
     tx1, tx2, xa = tile_coords(W, tile_w, tx)
 
     v = img.astype(jnp.int32)
+    try:
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    except Exception:
+        on_tpu = False
+    if on_tpu:
+        # TPU: per-pixel LUT lookups as an exact one-hot MXU matmul + one-hot
+        # corner selection — 2.6x faster than the XLA gather form on chip
+        # (10.6 -> 4.1 ms/img) with the SAME ±1-tie class (the gather form is
+        # also ±1 on this backend: both measured, docs/PERF.md). The CPU
+        # branch below keeps the gather form, which is bit-exact vs cv2
+        # under CPU jit (40-shape fuzz, worst 0) — the one-hot lerp layout
+        # flips rare ties ±1 there.
+        lutf = lut.reshape(ty * tx, 256)
+        onehot = (v.reshape(-1)[:, None]
+                  == jnp.arange(256, dtype=jnp.int32)[None, :]) \
+            .astype(jnp.bfloat16)
+        # u8 LUT values <= 255 are exact in bf16; one-hot products select a
+        # single exact term under f32 accumulation
+        P = jnp.dot(onehot, lutf.astype(jnp.bfloat16).T,
+                    preferred_element_type=jnp.float32)       # (HW, 64)
+        tiles = jnp.arange(ty * tx, dtype=jnp.int32)[None, :]
+
+        def corner(tyi, txi):
+            t = (tyi[:, None] * tx + txi[None, :]).reshape(-1)
+            oh = (t[:, None] == tiles).astype(jnp.float32)
+            return jnp.sum(P * oh, axis=1)
+
+        l11 = corner(ty1, tx1)
+        l12 = corner(ty1, tx2)
+        l21 = corner(ty2, tx1)
+        l22 = corner(ty2, tx2)
+        xa_ = jnp.broadcast_to(xa[None, :], img.shape).reshape(-1)
+        ya_ = jnp.broadcast_to(ya[:, None], img.shape).reshape(-1)
+        top = b(l11 * (1 - xa_)) + b(l12 * xa_)
+        bot = b(l21 * (1 - xa_)) + b(l22 * xa_)
+        res = b(top * (1 - ya_)) + b(bot * ya_)
+        return _round_half_even_u8(res).reshape(img.shape)
+
     l11 = lut[ty1[:, None], tx1[None, :], v].astype(jnp.float32)
     l12 = lut[ty1[:, None], tx2[None, :], v].astype(jnp.float32)
     l21 = lut[ty2[:, None], tx1[None, :], v].astype(jnp.float32)
