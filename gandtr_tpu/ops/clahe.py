@@ -127,7 +127,8 @@ def clahe_u8(img, clip_limit=4.0, grid_size=(8, 8)):
     return _round_half_even_u8(res)
 
 
-def clahe_u8_masked(img, hw, clip_limit=4.0, grid_size=(8, 8)):
+def clahe_u8_masked(img, hw, clip_limit=4.0, grid_size=(8, 8),
+                    interp="auto"):
     """CLAHE of the valid top-left (h, w) rectangle of a padded buffer,
     exactly as cv2 would compute it on the EXACT (h, w) image.
 
@@ -204,11 +205,13 @@ def clahe_u8_masked(img, hw, clip_limit=4.0, grid_size=(8, 8)):
     tx1, tx2, xa = tile_coords(W, tile_w, tx)
 
     v = img.astype(jnp.int32)
-    try:
-        on_tpu = jax.default_backend() not in ("cpu", "gpu")
-    except Exception:
-        on_tpu = False
-    if on_tpu:
+    if interp == "auto":
+        try:
+            on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        except Exception:
+            on_tpu = False
+        interp = "onehot" if on_tpu else "gather"
+    if interp == "onehot":
         # TPU: per-pixel LUT lookups as an exact one-hot MXU matmul + one-hot
         # corner selection — 2.6x faster than the XLA gather form on chip
         # (10.6 -> 4.1 ms/img) with the SAME ±1-tie class (the gather form is

@@ -377,3 +377,30 @@ def test_bucketed_equals_exact_attention_resnet():
     got = np.asarray(net.apply(var, xb, mask=mb))
     for i, e in enumerate(exact):
         assert np.abs(got[i] - e).max() < 1e-5
+
+
+def test_masked_clahe_onehot_interp_matches_gather():
+    """The TPU interpolation form (one-hot MXU matmul selection) agrees with
+    the CPU gather form within the documented ±1 u8 tie class — both are
+    exact LUT selections; only the lerp's vectorization layout differs
+    (docs/PERF.md round-3 one-hot section). Forced on CPU so CI covers the
+    branch the backend dispatch hides."""
+    from gandtr_tpu.ops.clahe import clahe_u8_masked
+    rng = np.random.RandomState(4)
+    H = W = 192
+    worst = 0
+    for (h, w) in [(155, 120), (120, 184), (160, 96)]:
+        img = rng.randint(0, 256, (h, w), np.uint8)
+        buf = np.zeros((H, W), np.uint8)
+        buf[:h, :w] = img
+        a = np.asarray(clahe_u8_masked(jnp.asarray(buf),
+                                       (jnp.int32(h), jnp.int32(w)), 1.0,
+                                       (8, 8), interp="gather"))[:h, :w]
+        b = np.asarray(clahe_u8_masked(jnp.asarray(buf),
+                                       (jnp.int32(h), jnp.int32(w)), 1.0,
+                                       (8, 8), interp="onehot"))[:h, :w]
+        d = np.abs(a.astype(int) - b.astype(int))
+        worst = max(worst, int(d.max()))
+        # ties are rare: the overwhelming majority of pixels must be equal
+        assert (d > 0).mean() < 1e-3
+    assert worst <= 1, worst
