@@ -138,13 +138,15 @@ def alternation_active(count, index, n_optimizers, alternate_iteration):
     (/root/reference/mdir/components/optim/optimizer/optimizer_compositions.py:39-47):
     the current optimizer advances every `alternate_iteration` calls, so
     active(t) = (t // n) % K. 0/None = all active every step; negative n
-    behaves like its actual code (k % -n == 0 every step → rotate each step,
-    i.e. like n=1 — the \"-1 = only one optimizer\" comment does not match
-    the code, and the code is authoritative)."""
+    behaves like abs(n): Python's negative-divisor modulo makes
+    `current_iteration % n == 0` true exactly every |n| calls (t % -2 is 0
+    for even t), so the rotation cadence is |n| — the \"-1 = only one
+    optimizer\" comment does not match the code, and the code is
+    authoritative."""
     n = alternate_iteration
     if n in (None, 0):
         return jnp.asarray(True)
-    n = 1 if n < 0 else int(n)
+    n = abs(int(n))
     return (jnp.asarray(count, jnp.int32) // n) % n_optimizers == index
 
 

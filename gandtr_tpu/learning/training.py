@@ -30,7 +30,16 @@ def _aux_state_dict(state):
 
 
 def set_epoch_lr(opt_state, base_lr, factor):
-    """Inject this epoch's learning rate into an inject_hyperparams state."""
+    """Inject this epoch's learning rate into an inject_hyperparams state.
+
+    Gated members of an OptimizerAlternation (alternate_iteration > 1) are
+    wrapped in AlternationState(count, inner); the hyperparams live on the
+    inner state, so unwrap recursively (mirrors optimizers.set_learning_rate).
+    """
+    from gandtr_tpu.learning.optimizers import AlternationState
+    if isinstance(opt_state, AlternationState):
+        return opt_state._replace(
+            inner=set_epoch_lr(opt_state.inner, base_lr, factor))
     return opt_state._replace(hyperparams={
         **opt_state.hyperparams,
         "learning_rate": jnp.asarray(base_lr * factor, jnp.float32)})

@@ -455,7 +455,7 @@ class TestAlternationDifferential:
     reproduces the reference's stateful round-robin trajectory exactly —
     including which member's adam/momentum state advances at each step."""
 
-    @pytest.mark.parametrize("alt_n", [2, 3, 1, -1])
+    @pytest.mark.parametrize("alt_n", [2, 3, 1, -1, -2, -3])
     def test_two_member_rotation(self, ref_alternation, alt_n):
         import jax
         import jax.numpy as jnp
@@ -572,3 +572,20 @@ class TestAlternationDifferential:
         st = gated.init(jnp.zeros((3,)))
         st2 = O.set_learning_rate(st, 0.01)
         assert float(st2.inner.hyperparams["learning_rate"]) == 0.01
+
+    def test_set_epoch_lr_through_gate(self):
+        """The training-loop schedule path (training.set_epoch_lr) must also
+        unwrap AlternationState — a GAN scenario combining alternate_iteration
+        > 1 with an LR scheduler hits this every epoch (round-3 ADVICE)."""
+        import jax.numpy as jnp
+        from gandtr_tpu.learning import optimizers as O
+        from gandtr_tpu.learning.training import set_epoch_lr
+        tx, base = O.initialize_optimizer({"algorithm": "adam", "lr": 0.2,
+                                           "weight_decay": 0.0})
+        gated = O.alternate_gate(tx, 1, 2, 3)
+        st = gated.init(jnp.zeros((2, 2)))
+        st2 = set_epoch_lr(st, base, 0.5)
+        assert float(st2.inner.hyperparams["learning_rate"]) == pytest.approx(
+            base * 0.5)
+        # rotation phase must survive the LR injection
+        assert int(st2.count) == int(st.count)
