@@ -9,7 +9,11 @@ staged in the jitted forward (wrapper.py:197-263, 308-322), on-device
 
 XLA static shapes vs variable-resolution images: extraction compiles one graph
 per unique image shape (cached); pass `shape_bucket` to round spatial dims up
-to a multiple with masked pooling instead (faster, approximate near borders).
+to a multiple with exact masked compute (ops/maskprop.py: zero-pad re-masking
+per layer, masked pooling/IN stats, boundary-clamped reflect pads) — bucketed
+descriptors equal exact-shape ones to <=1e-5 including gradients
+(tests/test_exact_bucketing.py), so bucketing is purely a compile-count
+optimization.
 """
 import os
 import pickle

@@ -55,9 +55,10 @@ class ResnetBlock(nn.Module):
 
     Submodule names track the torch conv_block Sequential indices.
 
-    At bf16 inference on TPU the whole block dispatches to the fused Pallas
-    kernel (ops/resblock_pallas.py): one VMEM-resident pass instead of XLA's
-    per-op HBM round-trips. Same parameter tree either way.
+    Runs through XLA's conv emitter. A fused Pallas block kernel was built
+    and REJECTED on measurement (ops/resblock_pallas.py, dispatch-disabled:
+    44% vs 81% MXU — docs/PERF.md "fused ResNet-block"); XLA's emitter wins
+    here.
     """
     dim: int
     padding_type: str = "reflect"
