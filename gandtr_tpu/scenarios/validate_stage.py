@@ -119,6 +119,11 @@ def validate(params, data):
         extractor = ShapeCachedExtractor(forward, variables, devices=devices)
 
     metadata = {}
+    # effective-config snapshot: record the bucket mode so compared/resumed
+    # runs can't silently mix bucketed and exact-shape extraction (they are
+    # numerically equal, but the record keeps provenance auditable)
+    metadata["config:data.shape_bucket"] = (
+        int(shape_bucket) if shape_bucket else None)
     dir_main = resolve_path(val_cfg.get("dir_main", "data/test"))
     # two accepted validation forms: the simplified {dir_main, datasets}
     # list, and the reference's MultiCriterialValidation tree of

@@ -251,3 +251,86 @@ def test_score_validation_events(synth_dataset):
     assert "val/validation/roxford5k/dataset:eval" in agg
     assert events.metadata.is_last_best() is True
     assert events.metadata.best_epoch() == 1
+
+
+@pytest.fixture(scope="module")
+def synth_dataset_mixed(tmp_path_factory):
+    """Mixed-shape census: db/query images with different aspect ratios, so
+    aspect-preserving resize yields heterogeneous (H, W) and the bucketed
+    path actually pads (the exactness claim under test)."""
+    root = tmp_path_factory.mktemp("test_data_mixed")
+    ds_dir = root / "roxford5k"
+    jpg = ds_dir / "jpg"
+    jpg.mkdir(parents=True)
+    rng = np.random.RandomState(5)
+    shapes = [(48, 48), (40, 56), (56, 40), (32, 60), (60, 32), (44, 52),
+              (52, 44), (36, 58)]
+    imlist, gnd_groups = [], []
+    for i, (h, w) in enumerate(shapes):
+        name = f"db{i}"
+        base = 0.15 if i < 4 else 0.75
+        arr = np.clip(rng.rand(h, w, 3) * 0.2 + base, 0, 1)
+        Image.fromarray((arr * 255).astype(np.uint8)).save(jpg / f"{name}.jpg")
+        imlist.append(name)
+        gnd_groups.append(0 if i < 4 else 1)
+    qimlist, gnd = [], []
+    for qi, (grp, (h, w)) in enumerate(zip([0, 1], [(42, 54), (54, 42)])):
+        name = f"q{qi}"
+        base = 0.15 if grp == 0 else 0.75
+        arr = np.clip(rng.rand(h, w, 3) * 0.2 + base, 0, 1)
+        Image.fromarray((arr * 255).astype(np.uint8)).save(jpg / f"{name}.jpg")
+        qimlist.append(name)
+        easy = [i for i, g in enumerate(gnd_groups) if g == grp]
+        gnd.append({"easy": np.asarray(easy[:3]), "hard": np.asarray(easy[3:]),
+                    "junk": np.asarray([]), "bbx": [0, 0, float(w), float(h)]})
+    with open(ds_dir / "gnd_roxford5k.pkl", "wb") as f:
+        pickle.dump({"imlist": imlist, "qimlist": qimlist, "gnd": gnd}, f)
+    return str(root)
+
+
+def test_eval_default_bucket_and_exactness(synth_dataset_mixed):
+    """Round-4 default flip: the iccv23 eval parameters carry
+    shape_bucket: 64, and on a mixed-shape census bucketed mAPs EQUAL the
+    exact-shape protocol's (descriptor-level exactness is proven in
+    test_exact_bucketing; this pins it at the validate-stage level plus the
+    effective-config snapshot in the output metadata)."""
+    import yaml
+    from gandtr_tpu.scenarios.validate_stage import validate
+
+    cfg_path = os.path.join(
+        os.path.dirname(__file__), "..", "gandtr_tpu", "scenarios", "configs",
+        "iccv23", "parameters", "eval.yml")
+    with open(cfg_path) as f:
+        eval_params = yaml.safe_load(f)
+    assert eval_params["data"]["shape_bucket"] == 64
+
+    def run(shape_bucket):
+        params = {
+            "network": {
+                "type": "SingleNetwork",
+                "model": {"architecture": "cirnet",
+                          "cir_architecture": "vgg16",
+                          "pooling": "gem", "local_whitening": False,
+                          "whitening": False},
+                "runtime": {"wrappers": {"eval": {
+                    "1_cirmultiscale": {"scales": True}}}},
+            },
+            "data": {"image_size": 64, "shape_bucket": shape_bucket,
+                     "transforms":
+                         "pil2np | apply_clahe:1.0 | totensor | normalize",
+                     "mean_std": [[0.485, 0.456, 0.406],
+                                  [0.229, 0.224, 0.225]]},
+            "validation": {"dir_main": synth_dataset_mixed,
+                           "datasets": ["roxford5k"]},
+        }
+        (result,) = validate(params, ())
+        return result["metadata"]["validation"]
+
+    m_exact = run(None)
+    m_bucket = run(32)  # small bucket so the tiny census still pads
+    assert m_exact["config:data.shape_bucket"] is None
+    assert m_bucket["config:data.shape_bucket"] == 32
+    for k in m_exact:
+        if "map" in k:
+            np.testing.assert_allclose(m_bucket[k], m_exact[k], atol=1e-6,
+                                       err_msg=k)
