@@ -178,7 +178,9 @@ class L1Loss:
     reduction: str = "mean"
 
     def __call__(self, x, target):
-        return _reduce(jnp.abs(x - target), self.reduction)
+        # torch tie subgradient (0 at exact zeros) — see ops/losses.l1_loss
+        d = x - target
+        return _reduce(jnp.where(d == 0, 0.0, jnp.abs(d)), self.reduction)
 
 
 @dataclasses.dataclass

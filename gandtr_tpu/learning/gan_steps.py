@@ -152,15 +152,39 @@ def build_hedgan_step(models, optimizers, weights):
     return step
 
 
-def build_hedngan_step(models, optimizers, weights):
+def build_hedngan_step(models, optimizers, weights, concat_student=False,
+                       external_targets=False, emit_targets=False):
     """HED^N-GAN (edges_epochs.py:61-121): D step, student-detector
     distillation step (pre-sigmoid, from the frozen teacher), then G step
-    against the updated student."""
+    against the updated student.
+
+    concat_student (OPT-IN, default off): run the E-step's two student
+    forwards (real_X, fake_Y) as ONE batch-2N forward. HED is per-sample
+    (convs/relu/maxpool/bilinear, no cross-batch ops) so the math is the two
+    separate forwards, and on chip it measured 145.6 -> 127.7 ms/step
+    (1.14x, scripts/perf_hedngan_concat.py). It is NOT the protocol default
+    because of a tie-subgradient hazard: the student is initialized EQUAL to
+    the frozen teacher, so at the start of training real_M - target_M == 0
+    bit-exactly (separate forwards of identical nets are bit-identical, both
+    here and in torch) and the L1 subgradient is exactly 0 — but the
+    batch-2N graph tiles reductions differently, perturbing real_M by ulps
+    and flipping sign(0) into correlated +-1s: an O(1) spurious gradient on
+    the first E steps. Safe once the student has drifted (|real_M -
+    target_M| >> ulp); tests/test_multistep_golden.py pins both the drifted
+    grad equality and the tie semantics.
+
+    external_targets: the step takes a 4th argument — a precomputed
+    target_M — and skips the frozen teacher's forward (the cross-epoch
+    teacher-target cache for deterministic data pipelines; see
+    learning/teacher_cache.py and docs/PERF.md "frozen-teacher caching" for
+    why the published protocol cannot benefit). emit_targets: return
+    target_M in the debug dict so a cache can store it without a second
+    teacher forward."""
     w_adv = weights.get("adversarial", 1.0)
     w_edge = weights.get("edge", 5.0)
     w_hed = weights.get("hed", 1.0)
 
-    def step(state, real_X, real_Y):
+    def step(state, real_X, real_Y, *ext):
         rng, _ = jax.random.split(state.rng)
         variables = dict(state.variables)
         G, D = models["generator_X"], models["discriminator_Y"]
@@ -191,14 +215,27 @@ def build_hedngan_step(models, optimizers, weights):
             {**variables["discriminator_Y"], "params": d_params}, d_bs)
 
         # (2) detector distillation step (edges_epochs.py:105-121)
-        target_M = jax.lax.stop_gradient(
-            H_t.apply(variables["detector_frozen"], real_X, train=False,
-                      no_sigmoid=True))
+        if external_targets:
+            (target_M,) = ext
+            target_M = jax.lax.stop_gradient(target_M)
+        else:
+            assert not ext
+            target_M = jax.lax.stop_gradient(
+                H_t.apply(variables["detector_frozen"], real_X, train=False,
+                          no_sigmoid=True))
 
         def e_loss_fn(h_params):
             hvar = {**variables["detector"], "params": h_params}
-            real_M = H_s.apply(hvar, real_X, train=False, no_sigmoid=True)
-            fake_M = H_s.apply(hvar, fake_Y_sg, train=False, no_sigmoid=True)
+            if concat_student:
+                n = real_X.shape[0]
+                both_M = H_s.apply(hvar,
+                                   jnp.concatenate([real_X, fake_Y_sg], 0),
+                                   train=False, no_sigmoid=True)
+                real_M, fake_M = both_M[:n], both_M[n:]
+            else:
+                real_M = H_s.apply(hvar, real_X, train=False, no_sigmoid=True)
+                fake_M = H_s.apply(hvar, fake_Y_sg, train=False,
+                                   no_sigmoid=True)
             e_real = w_hed * L.l1_loss(real_M, target_M)
             e_fake = w_hed * L.l1_loss(fake_M, target_M)
             return e_real + e_fake, (e_real, e_fake)
@@ -247,6 +284,8 @@ def build_hedngan_step(models, optimizers, weights):
         debug = {"real_X": real_X[-1], "real_Y": real_Y[-1],
                  "fake_Y": fake_Y_sg[-1], "real_E": real_E[-1],
                  "fake_E": fake_E_dbg, "real_E_check": real_E_check}
+        if emit_targets:
+            debug["target_M"] = target_M
         new_state = GanState(
             variables=variables,
             opt_states={**state.opt_states, "discriminator_Y": d_opt,

@@ -20,7 +20,17 @@ import jax.numpy as jnp
 # ---------------------------------------------------------------------------
 
 def l1_loss(x, target):
-    return jnp.mean(jnp.abs(x - target))
+    """Mean absolute error with torch's tie subgradient: d|0|/dx = 0.
+
+    jnp.abs alone back-props 1.0 at exact zeros; torch.nn.L1Loss gives 0.
+    The difference is live in HED^N-GAN distillation, where the student is
+    INITIALIZED equal to the frozen teacher so real_M - target_M == 0
+    bit-exactly on every pixel of the first step (edges_epochs.py:107-121) —
+    with abs-grad-1 semantics the whole first E step gets a spurious O(1)
+    gradient. The where() routes the cotangent to the constant branch at
+    ties, matching torch exactly; forward value is unchanged."""
+    d = x - target
+    return jnp.mean(jnp.where(d == 0, 0.0, jnp.abs(d)))
 
 
 def mse_loss(x, target):

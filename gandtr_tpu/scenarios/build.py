@@ -258,7 +258,17 @@ def build_gan_experiment(scenario, sample_hw=256, batch_size=None,
     elif family == "hedgan":
         step = gan_steps.build_hedgan_step(models.nets, optimizers, weights)
     else:
-        step = gan_steps.build_hedngan_step(models.nets, optimizers, weights)
+        # opt-in knobs (default off = reference-exact; see the builder's
+        # docstring and docs/PERF.md round-4 for why neither is the default)
+        concat = bool(it_cfg.get("concat_student", False))
+        cache_cfg = it_cfg.get("cache_teacher_targets", False)
+        step = gan_steps.build_hedngan_step(
+            models.nets, optimizers, weights, concat_student=concat,
+            emit_targets=bool(cache_cfg))
+        if cache_cfg:
+            ext_step = gan_steps.build_hedngan_step(
+                models.nets, optimizers, weights, concat_student=concat,
+                external_targets=True)
 
     # data parallelism is the first-class default (SURVEY §2.11): when more
     # than one device is visible and the batch divides, the step shards the
@@ -273,6 +283,17 @@ def build_gan_experiment(scenario, sample_hw=256, batch_size=None,
                          .get("batch_size", 0) or 0)
     step, state = _maybe_data_parallel(step, state, par_cfg, batch_size_cfg,
                                        num_batch_args=2)
+    batch_to_args = lambda b: (jnp.asarray(b[0]), jnp.asarray(b[1]))  # noqa: E731
+    if family == "hedngan" and it_cfg.get("cache_teacher_targets", False):
+        from gandtr_tpu.learning.teacher_cache import TeacherTargetCachingStep
+        cache_cfg = it_cfg["cache_teacher_targets"]
+        ext_step, _ = _maybe_data_parallel(ext_step, state, par_cfg,
+                                           batch_size_cfg, num_batch_args=3)
+        step = TeacherTargetCachingStep(
+            step, ext_step,
+            max_items=(cache_cfg.get("max_items", 64)
+                       if isinstance(cache_cfg, dict) else 64))
+        batch_to_args = step.batch_to_args
 
     # data loader
     loader = None
@@ -346,7 +367,7 @@ def build_gan_experiment(scenario, sample_hw=256, batch_size=None,
             seed=int(train_cfg.get("seed", 0)),
             optimizers_base_lr=base_lr, schedules=schedules, events=events,
             checkpoints=checkpoints, frozen=frozen, validations=validations,
-            batch_to_args=lambda b: (jnp.asarray(b[0]), jnp.asarray(b[1])),
+            batch_to_args=batch_to_args,
             profile_dir=out_cfg.get("profile"),
             mean_std=(data_cfg.get("train") or {}).get(
                 "mean_std", models["generator_X"].data_params.get("mean_std")),
