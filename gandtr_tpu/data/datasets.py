@@ -304,10 +304,20 @@ class Loader:
 
 
 def stack_collate(items):
-    """Stack tuple positions: [(a1, b1), (a2, b2)] -> (stack(a), stack(b))."""
+    """Stack sequence positions: [(a1, b1), (a2, b2)] -> (stack(a), stack(b)).
+
+    Items may be tuples (CirTuples: imgs/masks/labels/pmask) or LISTS — the
+    transform chain returns lists for multi-image datasets
+    (RandomDomainsPair / *ImageTuple), and torch's default_collate transposes
+    both. Round-4's GAN-train cross-engine oracle caught that lists fell
+    through untransposed: batch_to_args then read b[0] = ITEM 0 (its [X, Y]
+    stacked as a pseudo-batch) instead of the X batch — every GAN train
+    batch read through a Loader was mispaired, and batch_size 1 raised."""
     first = items[0]
-    if isinstance(first, tuple) and len(first) > 1 and isinstance(first[0], np.ndarray):
-        return tuple(np.stack([it[i] for it in items]) for i in range(len(first)))
+    if isinstance(first, (tuple, list)) and len(first) > 1 \
+            and isinstance(first[0], np.ndarray):
+        return tuple(np.stack([it[i] for it in items])
+                     for i in range(len(first)))
     if isinstance(first, np.ndarray):
         return np.stack(items)
     return items

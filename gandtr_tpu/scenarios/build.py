@@ -113,6 +113,42 @@ def _load_pretrained_into(variables, model_cfg, name):
                                   strict=False, min_coverage=1.0)
 
 
+def _adopt_path_members(net_cfg):
+    """Rewrite path-form NetworkSet members in place; return staged torch
+    model_states keyed by member name (reference network.py:165-186)."""
+    from gandtr_tpu.utils.io import (normalize_network_checkpoint,
+                                     resolve_path)
+    path_states = {}
+    for name, sub in list(net_cfg.items()):
+        if not isinstance(sub, dict) or not sub.get("path"):
+            continue
+        p = str(sub["path"])
+        if not p.endswith((".pth", ".pt")):
+            continue
+        ck = normalize_network_checkpoint(
+            load_torch_checkpoint(resolve_path(p)))["net"]
+        ckp = dict(ck.get("network_params") or {})
+        sub = dict(sub)
+        sub.pop("path")
+        runtime = sub.get("runtime", "load_from_checkpoint")
+        if runtime == "load_from_checkpoint":
+            runtime = copy.deepcopy(dict(ckp.get("runtime") or {}))
+        else:
+            ck_rt = dict(ckp.get("runtime") or {})
+            runtime = {k: (copy.deepcopy(ck_rt.get(k))
+                           if v == "load_from_checkpoint" else v)
+                       for k, v in dict(runtime).items()}
+        if "model" in sub:
+            assert sub["model"] == ckp.get("model"), \
+                "%r != %r" % (sub["model"], ckp.get("model"))
+        sub["model"] = copy.deepcopy(dict(ckp["model"]))
+        sub["runtime"] = runtime
+        sub.pop("initialize", None)  # weights come from the checkpoint
+        path_states[name] = ck["model_state"]
+        net_cfg[name] = sub
+    return path_states
+
+
 def build_gan_experiment(scenario, sample_hw=256, batch_size=None,
                          directory=None, data_override=None):
     """Returns dict with models, step (jitted), state, training, loaders.
@@ -131,6 +167,14 @@ def build_gan_experiment(scenario, sample_hw=256, batch_size=None,
     config_snapshot = copy.deepcopy({
         "validation": learn_cfg.get("validation"),
         "datasets": data_cfg})
+
+    # reference path-form NetworkSet members ({type: SingleNetwork,
+    # path: ckpt.pth}) — rebuild the model config from the checkpoint's own
+    # network_params and stage the weights for post-init import (reference
+    # network.py:165-186 incl. the runtime "load_from_checkpoint" forms and
+    # the model-equality assert); lets GAN training warm-start from
+    # checkpoints exactly like the reference engine
+    path_states = _adopt_path_members(net_cfg)
 
     models, init_specs = build_model_set(net_cfg)
 
@@ -179,6 +223,13 @@ def build_gan_experiment(scenario, sample_hw=256, batch_size=None,
         if isinstance(sub, dict) and "model" in sub and name in variables:
             variables[name] = _load_pretrained_into(variables[name],
                                                     sub["model"], name)
+    # checkpoint weights for path-form members (after init, before aliasing)
+    for name, state in path_states.items():
+        arch = (net_cfg[name].get("model") or {}).get("architecture", "")
+        variables[name] = ti.convert_torch_state(
+            variables[name], state,
+            key_map=ti.key_map_for_architecture(arch),
+            strict=False, min_coverage=1.0)
     if "detector_frozen" in variables and "detector" in variables:
         variables["detector_frozen"] = jax.tree_util.tree_map(
             lambda x: x, variables["detector"])

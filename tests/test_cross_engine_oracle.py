@@ -645,3 +645,214 @@ class TestCrossEngineTrain:
         # identical fixture weights: epoch 1 (pre-divergence) must agree
         # (the later epochs re-mine with drifted weights — chaotic)
         assert len(ref_train) == 4
+
+
+def _write_gan_pairs(root):
+    """Deterministic GAN train data: a pregenerated-tuples pkl whose idx
+    '0_1' form has NO sampling randomness in either engine
+    (tuple_datasets.py:125-135 — Random(0) is only used for 'any' slots),
+    with FIXED 32x32 image sizes so batches collate identically."""
+    from PIL import Image
+    imdir = os.path.join(root, "data/train/gan_pairs")
+    os.makedirs(imdir, exist_ok=True)
+    rng = np.random.RandomState(9)
+    tuples = []
+    for i in range(4):
+        names = []
+        for dom, base in (("day", 0.6), ("night", 0.2)):
+            name = "%s%d.png" % (dom, i)
+            arr = np.clip(rng.rand(32, 32, 3) * 0.3 + base, 0, 1)
+            Image.fromarray((arr * 255).astype(np.uint8)).save(
+                os.path.join(imdir, name))
+            names.append(name)
+        tuples.append(names)
+    pkl_path = os.path.join(root, "data/train/gan_pairs.pkl")
+    with open(pkl_path, "wb") as f:
+        pickle.dump({"train": tuples}, f)
+    return pkl_path, imdir
+
+
+def _write_cyclegan_ckpts(root):
+    """Four flat-format .pth fixtures (2 generators + 2 discriminators) so
+    BOTH engines train from identical weights — from-scratch inits differ
+    between torch and jax by construction."""
+    from test_models_parity import (build_torch_resnet_generator,
+                                    build_torch_discriminator, seq_state)
+    g_model = {"architecture": "official_resnet_generator", "ngf": 8,
+               "n_blocks": 1, "input_nc": 3, "output_nc": 3,
+               "no_antialias": True, "no_antialias_up": True,
+               "norm_layer": "instance"}
+    d_model = {"architecture": "official_p2p_discriminator", "ndf": 8,
+               "n_layers": 2, "input_nc": 3, "no_antialias": True,
+               "norm_layer": "instance"}
+    runtime = {"data": {"transforms": "pil2np | totensor | normalize",
+                        "mean_std": [[0.5, 0.5, 0.5], [0.5, 0.5, 0.5]]},
+               "wrappers": ""}
+    paths = {}
+    for i, name in enumerate(("generator_X", "generator_Y")):
+        torch.manual_seed(20 + i)
+        tm = build_torch_resnet_generator(n_blocks=1, norm="instance", ngf=8)
+        paths[name] = os.path.join(root, name + ".pth")
+        torch.save({"type": "SingleNetwork", "frozen": False,
+                    "network_params": {"model": dict(g_model),
+                                       "runtime": runtime},
+                    "model_state": {k: torch.as_tensor(np.asarray(v))
+                                    for k, v in seq_state(
+                                        tm, prefix="model.").items()}},
+                   paths[name])
+    for i, name in enumerate(("discriminator_X", "discriminator_Y")):
+        torch.manual_seed(30 + i)
+        tm = build_torch_discriminator(ndf=8, n_layers=2, norm="instance")
+        paths[name] = os.path.join(root, name + ".pth")
+        torch.save({"type": "SingleNetwork", "frozen": False,
+                    "network_params": {"model": dict(d_model),
+                                       "runtime": {"data": {},
+                                                   "wrappers": ""}},
+                    "model_state": {k: torch.as_tensor(np.asarray(v))
+                                    for k, v in seq_state(
+                                        tm, prefix="model.").items()}},
+                   paths[name])
+    return paths
+
+
+def _gan_train_params(ckdir, pkl_path, imdir, ckpts, lr, epochs=3):
+    """One shared CycleGAN train scenario (reference train_cyclegan.yml
+    structure, micro-sized) driven through BOTH engines."""
+    opt = {"algorithm": "adam", "lr": lr, "beta1": 0.5, "beta2": 0.999,
+           "weight_decay": 0}
+    nets = ("generator_X", "generator_Y", "discriminator_X",
+            "discriminator_Y")
+    multihead = {"loss": "multihead_loss",
+                 "weights": {"adversarial": 1, "cycle": 10},
+                 "normalize_weights": False,
+                 "adversarial": {"loss": "mse"}, "cycle": {"loss": "l1"}}
+    return {
+        "network": {
+            "type": "NetworkSet",
+            **{n: {"type": "SingleNetwork", "path": ckpts[n],
+                   "runtime": "load_from_checkpoint"} for n in nets},
+        },
+        "learning": {
+            "type": "TrainValLearning",
+            "checkpoints": {"directory": ckdir, "checkpoint_every": 1,
+                            "store_every": 10,
+                            "directory_epoch_regex": None},
+            "training": {
+                "type": "EpochTraining", "epochs": epochs, "seed": 0,
+                "deterministic": False,
+                "criterion": {
+                    "loss": "cycle_loss",
+                    "loss_G_X": __import__("copy").deepcopy(multihead),
+                    "loss_G_Y": __import__("copy").deepcopy(multihead),
+                    "loss_D_X": {"loss": "discriminator_loss",
+                                 "criterion": {"loss": "mse"}},
+                    "loss_D_Y": {"loss": "discriminator_loss",
+                                 "criterion": {"loss": "mse"}}},
+                "optimizer": {
+                    "composition": {"type": "alternation",
+                                    "order": "generator_X,generator_Y,"
+                                             "discriminator_X,"
+                                             "discriminator_Y",
+                                    "alternate_iteration": 1},
+                    **{n: dict(opt) for n in nets}},
+                "scheduler": {
+                    "composition": {"type": "set"},
+                    **{n: {"algorithm": "lambda_p2p", "n_epochs_decay": 1}
+                       for n in nets}},
+                "epoch_iteration": {"type": "SupervisedCycleGanEpoch",
+                                    "data": "train", "criterion": "default",
+                                    "pool_size": 50},
+            },
+            "validation": False,
+        },
+        "output": {"learning": {"progress": {"print_each": 100,
+                                             "print_each_val": 1000}}},
+        "data": {
+            "train": {
+                "dataset": {"name": "PregeneratedImageTuple",
+                            "dataset": pkl_path, "data_key": "train",
+                            "image_dir": imdir, "idx": "0_1"},
+                "loader": {"batch_size": 4},
+                "transforms": "pil2np | totensor | normalize",
+                "mean_std": [[0.5, 0.5, 0.5], [0.5, 0.5, 0.5]],
+            },
+        },
+    }
+
+
+@needs_reference
+class TestCrossEngineGanTrain:
+    """Micro CycleGAN `train` through BOTH engines on identical fixture
+    checkpoints and deterministic pregenerated pairs (VERDICT r3 next #2).
+
+    Determinism design: identical weights via flat .pth fixtures (from-
+    scratch init RNGs differ between engines); idx '0_1' pregenerated tuples
+    (no sampling); batch_size == dataset size so the torch sampler's
+    permutation vs ours only reorders WITHIN one batch — every loss is a
+    batch mean and the discriminator pools stay below pool_size (store +
+    return input, gan_image_pool.py:52-56), so per-step losses are
+    permutation-invariant. At lr≈0 the whole trajectory is then equal to
+    float noise; BN is absent (instance norm) so no stat drift either."""
+
+    @pytest.fixture(scope="class")
+    def gan_ws(self, ref_engine, workspace):
+        root = workspace["root"]
+        pkl_path, imdir = _write_gan_pairs(root)
+        ckpts = _write_cyclegan_ckpts(root)
+        return {"root": root, "pkl": pkl_path, "ims": imdir, "ckpts": ckpts}
+
+    def _run_ref(self, ws, lr, tag):
+        import copy
+        import mdir.stages
+        out = mdir.stages.train.train(copy.deepcopy(_gan_train_params(
+            os.path.join(ws["root"], "gan_ref_" + tag), ws["pkl"], ws["ims"],
+            ws["ckpts"], lr)), ())
+        return out[0]
+
+    def _run_ours(self, ws, lr, tag):
+        import copy
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        from gandtr_tpu.scenarios.train_stage import train as our_train
+        params = copy.deepcopy(_gan_train_params(
+            os.path.join(ws["root"], "gan_our_" + tag), ws["pkl"], ws["ims"],
+            ws["ckpts"], lr))
+        params["sample_hw"] = 32
+        out = our_train(params, ())
+        return out[0]
+
+    @pytest.fixture(scope="class")
+    def lr0_runs(self, gan_ws):
+        return (self._run_ref(gan_ws, 1e-12, "lr0"),
+                self._run_ours(gan_ws, 1e-12, "lr0"))
+
+    def test_zero_lr_gan_trajectories_equal(self, gan_ws, lr0_runs):
+        ref, ours = lr0_runs
+        keys = ("total", "netG_X_total", "netG_Y_total", "netD_X_total",
+                "netD_Y_total")
+        for key in keys:
+            ref_k = [k for k in ref["metrics"]
+                     if k.startswith("train/learning/loss:%s_avg" % key)]
+            assert ref_k, (key, sorted(ref["metrics"]))
+            ref_series = [float(v) for v in ref["metrics"][ref_k[0]]]
+            our_series = [float(v) for v in
+                          ours["metrics_series"]["train/learning/" + key]]
+            assert len(our_series) == len(ref_series) == 3, key
+            np.testing.assert_allclose(our_series, ref_series, atol=3e-4,
+                                       err_msg=key)
+
+    def test_checkpoint_bookkeeping_matches(self, gan_ws, lr0_runs):
+        """Both engines GC to the same per-net survivors: every net keeps
+        exactly epoch_03 + last (checkpoint_every 1, store_every 10 — only
+        the final epoch survives GC), in each engine's file format."""
+        nets = ("generator_X", "generator_Y", "discriminator_X",
+                "discriminator_Y")
+        for eng, ext in (("gan_ref_lr0", ".pth"), ("gan_our_lr0", ".ckpt")):
+            d = os.path.join(gan_ws["root"], eng, "epochs")
+            assert os.path.isdir(d), d
+            names = os.listdir(d)
+            for net in nets:
+                epochs = sorted(n for n in names
+                                if n.startswith(net + "_epoch"))
+                assert epochs == ["%s_epoch_03%s" % (net, ext)], (eng, epochs)
+                assert "%s_last%s" % (net, ext) in names, (eng, net)
