@@ -267,6 +267,7 @@ class EventBroker:
         self.streamers = list(streamers)
         self.sinks = list(sinks)
         self.metadata = metadata or MetadataKeeper()
+        self.iter_keys = set()  # scalar keys logged with an iteration index
         self._epoch_acc = defaultdict(list)
         self._epoch_hists = {}
         self.histograms = defaultdict(dict)  # key -> {epoch: {subkey: hist}}
@@ -286,6 +287,8 @@ class EventBroker:
         for s in self.streamers:
             s.register(epoch, iteration, epoch_size, key, value, dtype)
         if dtype.startswith("scalar"):
+            if iteration is not None:
+                self.iter_keys.add(key)
             self._epoch_acc[(key, dtype)].append(float(value))
         elif dtype.startswith("weight/"):
             data = value if isinstance(value, dict) else {"values": value}
@@ -375,8 +378,37 @@ class EventBroker:
                              histograms=self.histograms)
         return aggregated
 
+    def ref_metadata(self):
+        """Per-epoch series under the REFERENCE's metadata() key forms
+        (eventprocessor.py:84-92,119-120: `section:subkey` + aggregation
+        suffix), for drop-in consumers of the reference's stage metadata.
+
+        Losses are per-iteration streams in the reference (train AND
+        validation batches), so every scalar/loss key gets the `loss:` label
+        and `_avg.4`; scores keep their key and carry `_avg.4` only when
+        they were iteration-logged here (per-query APs) — once-per-epoch
+        score dicts aggregate as None (suffix '') in the reference."""
+        out = {}
+        for key, dtype in self.metadata.dtypes.items():
+            if dtype not in ("scalar/loss", "scalar/score"):
+                continue
+            series = self.metadata.series(key)
+            if dtype == "scalar/loss":
+                if ":" in key.rsplit("/", 1)[-1]:
+                    base = key
+                else:
+                    head, _, name = key.rpartition("/")
+                    base = "%s/loss:%s" % (head, name) if head \
+                        else "loss:%s" % name
+                out[base + "_avg.4"] = series
+            else:
+                suffix = "_avg.4" if key in self.iter_keys else ""
+                out[key + suffix] = series
+        return out
+
     def state_dict(self):
         return {"history": self.history, "metadata": self.metadata.state_dict(),
+                "iter_keys": sorted(self.iter_keys),
                 "histograms": {
                     k: {e: {sk: (np.asarray(c).tolist(),
                                  np.asarray(n).tolist())
@@ -386,6 +418,7 @@ class EventBroker:
 
     def load_state_dict(self, state):
         self.history = state["history"]
+        self.iter_keys = set(state.get("iter_keys") or ())
         self.metadata.load_state_dict(state["metadata"])
         self.histograms = defaultdict(dict)
         for k, v in (state.get("histograms") or {}).items():

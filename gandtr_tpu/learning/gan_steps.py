@@ -448,15 +448,24 @@ def build_cyclegan_step(models, optimizers, weights_GX=None, weights_GY=None):
             pred_fake_X, dy_bs = _apply(DY, variables["discriminator_Y"], fake_X, train=True)
             advx, _ = L.discriminator_loss(pred_fake_Y, True, L.mse_loss)
             advy, _ = L.discriminator_loss(pred_fake_X, True, L.mse_loss)
-            loss_GX = w_adv_x * advx + w_cyc_x * L.l1_loss(rec_X, real_X)
-            loss_GY = w_adv_y * advy + w_cyc_y * L.l1_loss(rec_Y, real_Y)
-            aux = (loss_GX, loss_GY, fake_Y, fake_X, rec_X, rec_Y,
+            # WEIGHTED partials, logged under the reference's MultiheadLoss
+            # key forms (compound_losses.py:88-92 — partial[loss] carries the
+            # weight; gan_epochs.py:113-116 logs netG_X_<head>)
+            adv_X = w_adv_x * advx
+            cyc_X = w_cyc_x * L.l1_loss(rec_X, real_X)
+            adv_Y = w_adv_y * advy
+            cyc_Y = w_cyc_y * L.l1_loss(rec_Y, real_Y)
+            loss_GX = adv_X + cyc_X
+            loss_GY = adv_Y + cyc_Y
+            aux = (loss_GX, loss_GY, adv_X, cyc_X, adv_Y, cyc_Y,
+                   fake_Y, fake_X, rec_X, rec_Y,
                    gx_bs2, gy_bs2, dx_bs, dy_bs)
             return loss_GX + loss_GY, aux
 
         (g_total, aux), grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
             (variables["generator_X"]["params"], variables["generator_Y"]["params"]))
-        (loss_GX, loss_GY, fake_Y, fake_X, rec_X, rec_Y,
+        (loss_GX, loss_GY, adv_X, cyc_X, adv_Y, cyc_Y,
+         fake_Y, fake_X, rec_X, rec_Y,
          gx_bs, gy_bs, dx_bs, dy_bs) = aux
         gx_grads, gy_grads = grads
         gx_params, gx_opt = _update(optimizers["generator_X"],
@@ -495,6 +504,8 @@ def build_cyclegan_step(models, optimizers, weights_GX=None, weights_GY=None):
 
         metrics = {"total": g_total + dx_loss + dy_loss,
                    "netG_X_total": loss_GX, "netG_Y_total": loss_GY,
+                   "netG_X_adversarial": adv_X, "netG_X_cycle": cyc_X,
+                   "netG_Y_adversarial": adv_Y, "netG_Y_cycle": cyc_Y,
                    "netD_X_total": dx_loss, "netD_Y_total": dy_loss}
         debug = {"real_X": real_X[-1], "fake_Y": fake_Y_sg[-1],
                  "rec_X": jax.lax.stop_gradient(rec_X)[-1],

@@ -81,7 +81,16 @@ def _stage_metadata(events, directory):
     for key, by_epoch in getattr(events.metadata, "metrics", {}).items():
         if isinstance(by_epoch, dict) and by_epoch:
             series[key] = [by_epoch[e] for e in sorted(by_epoch)]
-    return {"metrics": events.history[-1]["metrics"] if events.history else {},
+    # "metrics" merges the last-epoch flat scalars (our original contract)
+    # with the REFERENCE's metadata() key forms carrying per-epoch series
+    # ("train/learning/loss:total_avg.4": [...]) so reference report
+    # consumers read our stage metadata drop-in (eventprocessor.py:119-120;
+    # key-form equality is asserted in the cross-engine oracles). The key
+    # families cannot collide: reference forms always carry ':'+suffix.
+    metrics = dict(events.history[-1]["metrics"] if events.history else {})
+    if hasattr(events, "ref_metadata"):
+        metrics.update(events.ref_metadata())
+    return {"metrics": metrics,
             "metrics_series": series,
             "best_epoch": events.metadata.best_epoch(),
             "resource_usage": ResourceUsage().snapshot(),

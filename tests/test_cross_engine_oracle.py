@@ -841,6 +841,22 @@ class TestCrossEngineGanTrain:
             np.testing.assert_allclose(our_series, ref_series, atol=3e-4,
                                        err_msg=key)
 
+    def test_ref_metadata_key_forms_drop_in(self, gan_ws, lr0_runs):
+        """Our stage metadata carries the reference's metadata() key forms
+        (eventprocessor.py:84-92): a consumer reading the reference's
+        `metrics` dict by key works on ours unchanged, with equal series."""
+        ref, ours = lr0_runs
+        ref_loss_keys = [k for k in ref["metrics"]
+                         if k.startswith("train/learning/loss:")]
+        assert ref_loss_keys
+        missing = [k for k in ref_loss_keys if k not in ours["metrics"]]
+        assert not missing, (missing, sorted(ours["metrics"]))
+        for k in ref_loss_keys:
+            np.testing.assert_allclose(
+                [float(v) for v in ours["metrics"][k]],
+                [float(v) for v in ref["metrics"][k]], atol=3e-4,
+                err_msg=k)
+
     def test_checkpoint_bookkeeping_matches(self, gan_ws, lr0_runs):
         """Both engines GC to the same per-net survivors: every net keeps
         exactly epoch_03 + last (checkpoint_every 1, store_every 10 — only
