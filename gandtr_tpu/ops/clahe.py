@@ -210,7 +210,15 @@ def clahe_u8_masked(img, hw, clip_limit=4.0, grid_size=(8, 8),
             on_tpu = jax.default_backend() not in ("cpu", "gpu")
         except Exception:
             on_tpu = False
-        interp = "onehot" if on_tpu else "gather"
+        interp = "pallas" if on_tpu else "gather"
+    if interp == "pallas":
+        # round-4: dynamic-geometry Pallas kernel — one-hot MXU lookup +
+        # explicit (non-FMA) lerp, tie-exact like the static kernel and
+        # faster than the XLA one-hot matmul (docs/PERF.md round-4 CLAHE)
+        from gandtr_tpu.ops.clahe_pallas import masked_interp_pallas
+        return masked_interp_pallas(
+            img, lut.reshape(ty * tx, 256).astype(jnp.float32),
+            tile_h, tile_w, (ty, tx))
     if interp == "onehot":
         # TPU: per-pixel LUT lookups as an exact one-hot MXU matmul + one-hot
         # corner selection — 2.6x faster than the XLA gather form on chip

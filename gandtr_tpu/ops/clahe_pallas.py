@@ -236,3 +236,103 @@ def clahe_u8_pallas(img, clip_limit=4.0, grid_size=(8, 8), interpret=False):
             out = jax.lax.dynamic_update_slice(out, res[:rl], (rs, cs))
 
     return out[:H, :W].astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Round-4: dynamic-geometry masked interpolation (the bucketed CLAHE path).
+#
+# All of the per-image geometry (cv2 recomputes tile sizes from each image's
+# exact (h, w)) enters through TWO traced scalars — the kernel itself is
+# shape-static over the padded bucket buffer, so one compiled kernel serves
+# every image in a bucket. Per-pixel LUT lookup is a one-hot MXU matmul
+# (u8 LUT values <= 255 are exact in bf16; a one-hot row selects a single
+# exact term under f32 accumulation) followed by a one-hot corner selection,
+# and the bilinear chain is explicit mul/add — Mosaic does not FMA-contract
+# it (the static kernel above is bit-exact vs cv2 on chip, tpu_smoke), which
+# kills the XLA path's ±1 round-half-even tie class.
+# ---------------------------------------------------------------------------
+
+
+def _coords_dyn(pos, tsize_f32, tcount):
+    """cv2's f32 coordinate chain for dynamic tile sizes: x*(1/ts) - 0.5,
+    floor/frac, clip — all single-rounded f32 ops (no FMA in Mosaic)."""
+    inv = jnp.float32(1.0) / tsize_f32
+    f = pos.astype(jnp.float32) * inv - jnp.float32(0.5)
+    i1 = jnp.floor(f)
+    a = f - i1
+    i1 = i1.astype(jnp.int32)
+    i2 = jnp.clip(i1 + 1, 0, tcount - 1)
+    i1 = jnp.clip(i1, 0, tcount - 1)
+    return i1, i2, a
+
+
+def _masked_interp_kernel(geom_ref, img_ref, luts_ref, out_ref, *,
+                          bh, bw, ty, tx):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    tile_h = geom_ref[0, 0]
+    tile_w = geom_ref[0, 1]
+    T = ty * tx
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bh, 1), 0) + i * bh
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, bw), 1) + j * bw
+    y1, y2, ya = _coords_dyn(rows, tile_h.astype(jnp.float32), ty)
+    x1, x2, xa = _coords_dyn(cols, tile_w.astype(jnp.float32), tx)
+
+    vals = img_ref[:, :]                                   # (bh, bw) int32
+    bins = jax.lax.broadcasted_iota(jnp.int32, (bh, bw, 256), 2)
+    oh = (vals.reshape(bh, bw, 1) == bins).astype(jnp.bfloat16)
+    # (bh*bw, 256) @ (256, T): every pixel's value looked up in ALL tiles
+    P = jax.lax.dot_general(
+        oh.reshape(bh * bw, 256), luts_ref[:, :].astype(jnp.bfloat16),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).reshape(bh, bw, T)
+
+    tiles = jax.lax.broadcasted_iota(jnp.int32, (bh, bw, T), 2)
+
+    def corner(tyi, txi):
+        t = tyi * tx + txi                                  # (bh, bw)
+        oht = (t.reshape(bh, bw, 1) == tiles).astype(jnp.float32)
+        return jnp.sum(P * oht, axis=2)                     # (bh, bw)
+
+    l11 = corner(y1, x1)
+    l12 = corner(y1, x2)
+    l21 = corner(y2, x1)
+    l22 = corner(y2, x2)
+    top = l11 * (jnp.float32(1.0) - xa) + l12 * xa
+    bot = l21 * (jnp.float32(1.0) - xa) + l22 * xa
+    res = top * (jnp.float32(1.0) - ya) + bot * ya
+    out_ref[:, :] = jnp.clip(jnp.round(res), 0.0, 255.0).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("grid_size", "block",
+                                             "interpret"))
+def masked_interp_pallas(img, luts, tile_h, tile_w, grid_size=(8, 8),
+                         block=(8, 256), interpret=False):
+    """Per-pixel LUT interpolation for the MASKED (dynamic-geometry) CLAHE.
+
+    img: (H, W) uint8/int32 padded bucket buffer; luts: (ty*tx, 256) f32;
+    tile_h/tile_w: traced int32 scalars (cv2 geometry of the image's valid
+    rect). Returns (H, W) uint8. Band pixels get defined-but-meaningless
+    values (their coords extrapolate the last tiles) — callers re-mask."""
+    ty, tx = grid_size
+    H, W = img.shape
+    bh, bw = block
+    Hp = -(-H // bh) * bh
+    Wp = -(-W // bw) * bw
+    buf = jnp.zeros((Hp, Wp), jnp.int32).at[:H, :W].set(img.astype(jnp.int32))
+    geom = jnp.asarray([[tile_h, tile_w]], jnp.int32)
+    out = pl.pallas_call(
+        functools.partial(_masked_interp_kernel, bh=bh, bw=bw, ty=ty, tx=tx),
+        out_shape=jax.ShapeDtypeStruct((Hp, Wp), jnp.int32),
+        grid=(Hp // bh, Wp // bw),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((bh, bw), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((ty * tx, 256), lambda i, j: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((bh, bw), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(geom, buf, luts)
+    return out[:H, :W].astype(jnp.uint8)
