@@ -49,6 +49,39 @@ def _round_half_even_u8(x):
     return jnp.clip(jnp.round(x), 0, 255).astype(jnp.uint8)
 
 
+def _div_f32_correct(a, b):
+    """Correctly-rounded f32 division a/b (round-4 tie-source fix).
+
+    XLA-TPU lowers f32 division to a reciprocal approximation that can be 1
+    ulp off (measured: 255/2070 -> 0.12318841 vs the correctly-rounded
+    0.123188406) — the ONLY source of the masked-CLAHE ±1 u8 tie class (LUT
+    scale shifts; CDF, coords, and the Pallas lerp are exact). One Newton
+    correction with an exact Dekker two-product residual repairs it using
+    only f32 ops: hi+lo == q0*b exactly (split halves multiply exactly), so
+    r = a - q0*b is exact and q0 + r/b rounds to the nearest f32.
+    """
+    bar = jax.lax.optimization_barrier  # each step must round separately —
+    # FMA contraction of the split/products would break their exactness
+    a = jnp.asarray(a, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+    q0 = bar(a / b)
+    # Dekker split (f32: 24-bit mantissa -> 12+12)
+    c = jnp.float32(4097.0)  # 2^12 + 1
+
+    def split(x):
+        t = bar(c * x)
+        hi = bar(t - bar(t - x))
+        return hi, bar(x - hi)
+
+    q_hi, q_lo = split(q0)
+    b_hi, b_lo = split(b)
+    p = bar(q0 * b)
+    err = bar(bar(bar(bar(q_hi * b_hi) - p) + bar(q_hi * b_lo))
+              + bar(q_lo * b_hi)) + bar(q_lo * b_lo)
+    r = bar(bar(a - p) - bar(err))   # exact residual a - q0*b
+    return q0 + r / b
+
+
 @partial(jax.jit, static_argnames=("clip_limit", "grid_size"))
 def clahe_u8(img, clip_limit=4.0, grid_size=(8, 8)):
     """CLAHE on a single-channel uint8 image. img: (H, W) uint8 -> (H, W) uint8.
@@ -185,7 +218,9 @@ def clahe_u8_masked(img, hw, clip_limit=4.0, grid_size=(8, 8),
     else:
         climit = area
     hist = _clip_histogram(hist, climit)
-    lut_scale = jnp.float32(255.0) / areaf  # f32 single-rounded, like cv2
+    # correctly-rounded f32 division (XLA-TPU's approx divide was the ±1 u8
+    # tie source — _div_f32_correct docstring); multiply+round are exact
+    lut_scale = _div_f32_correct(jnp.float32(255.0), areaf)
     lut = _round_half_even_u8(
         jnp.cumsum(hist, axis=-1).astype(jnp.float32) * lut_scale)
     lut = lut.reshape(ty, tx, 256)
@@ -193,7 +228,9 @@ def clahe_u8_masked(img, hw, clip_limit=4.0, grid_size=(8, 8),
     b = jax.lax.optimization_barrier
 
     def tile_coords(n, tsize, tcount):
-        inv = jnp.float32(1.0) / tsize.astype(jnp.float32)
+        # correctly-rounded reciprocal (defensive — measured exact for the
+        # diagnostic shape, but the approx divide is the known tie source)
+        inv = _div_f32_correct(jnp.float32(1.0), tsize.astype(jnp.float32))
         f = b(jnp.arange(n, dtype=jnp.float32) * inv) - jnp.float32(0.5)
         i1 = jnp.floor(f).astype(jnp.int32)
         a = (f - i1.astype(jnp.float32)).astype(jnp.float32)
@@ -210,11 +247,13 @@ def clahe_u8_masked(img, hw, clip_limit=4.0, grid_size=(8, 8),
             on_tpu = jax.default_backend() not in ("cpu", "gpu")
         except Exception:
             on_tpu = False
-        interp = "pallas" if on_tpu else "gather"
+        interp = "onehot" if on_tpu else "gather"
     if interp == "pallas":
-        # round-4: dynamic-geometry Pallas kernel — one-hot MXU lookup +
-        # explicit (non-FMA) lerp, tie-exact like the static kernel and
-        # faster than the XLA one-hot matmul (docs/PERF.md round-4 CLAHE)
+        # round-4 dynamic-geometry Pallas interp kernel — kept as a measured
+        # REJECTION for dispatch: 5.44 vs the one-hot form's 4.30 ms/img
+        # @384² on chip, and the tie-exactness it was built for turned out
+        # to live upstream (_div_f32_correct fixed the real source, making
+        # the one-hot form bit-exact too — docs/PERF.md round-4 CLAHE)
         from gandtr_tpu.ops.clahe_pallas import masked_interp_pallas
         return masked_interp_pallas(
             img, lut.reshape(ty * tx, 256).astype(jnp.float32),
@@ -222,11 +261,13 @@ def clahe_u8_masked(img, hw, clip_limit=4.0, grid_size=(8, 8),
     if interp == "onehot":
         # TPU: per-pixel LUT lookups as an exact one-hot MXU matmul + one-hot
         # corner selection — 2.6x faster than the XLA gather form on chip
-        # (10.6 -> 4.1 ms/img) with the SAME ±1-tie class (the gather form is
-        # also ±1 on this backend: both measured, docs/PERF.md). The CPU
-        # branch below keeps the gather form, which is bit-exact vs cv2
-        # under CPU jit (40-shape fuzz, worst 0) — the one-hot lerp layout
-        # flips rare ties ±1 there.
+        # (10.6 -> 4.1 ms/img) and BIT-EXACT vs cv2 since round 4: the ±1 u8
+        # tie class all TPU forms shared came from XLA-TPU's approximate f32
+        # divide in the LUT scale (not the lerp) and is fixed by
+        # _div_f32_correct — 8-shape chip fuzz worst 0 (docs/PERF.md). The
+        # CPU branch below keeps the gather form, bit-exact under CPU jit
+        # (40-shape fuzz, worst 0) — the one-hot lerp layout can flip rare
+        # ties ±1 under XLA-CPU's FMA contraction.
         lutf = lut.reshape(ty * tx, 256)
         onehot = (v.reshape(-1)[:, None]
                   == jnp.arange(256, dtype=jnp.int32)[None, :]) \

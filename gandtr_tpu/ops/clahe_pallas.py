@@ -253,10 +253,30 @@ def clahe_u8_pallas(img, clip_limit=4.0, grid_size=(8, 8), interpret=False):
 # ---------------------------------------------------------------------------
 
 
+def _div_f32_correct_kernel(a, b):
+    """Correctly-rounded f32 division for Mosaic (no barriers needed — the
+    Mosaic backend does not FMA-contract; see ops/clahe._div_f32_correct for
+    the XLA version and the measured TPU approx-divide tie source)."""
+    q0 = a / b
+    c = jnp.float32(4097.0)
+
+    def split(x):
+        t = c * x
+        hi = t - (t - x)
+        return hi, x - hi
+
+    q_hi, q_lo = split(q0)
+    b_hi, b_lo = split(b)
+    p = q0 * b
+    err = ((q_hi * b_hi - p) + q_hi * b_lo + q_lo * b_hi) + q_lo * b_lo
+    r = (a - p) - err
+    return q0 + r / b
+
+
 def _coords_dyn(pos, tsize_f32, tcount):
     """cv2's f32 coordinate chain for dynamic tile sizes: x*(1/ts) - 0.5,
     floor/frac, clip — all single-rounded f32 ops (no FMA in Mosaic)."""
-    inv = jnp.float32(1.0) / tsize_f32
+    inv = _div_f32_correct_kernel(jnp.float32(1.0), tsize_f32)
     f = pos.astype(jnp.float32) * inv - jnp.float32(0.5)
     i1 = jnp.floor(f)
     a = f - i1

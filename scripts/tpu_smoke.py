@@ -42,6 +42,40 @@ def clahe_bitexact():
     assert bad == 0, "CLAHE mismatches: %d px" % bad
 
 
+def masked_clahe_bitexact():
+    """Round-4: the MASKED (dynamic-geometry, bucketed) CLAHE is bit-exact
+    vs cv2 on chip — the ±1 u8 tie class was XLA-TPU's approximate f32
+    divide in the LUT scale, fixed by clahe._div_f32_correct."""
+    import cv2
+    from gandtr_tpu.ops import clahe as C
+    rng = np.random.RandomState(3)
+    bad = 0
+    for (h, w) in [(41, 57), (359, 361), (320, 361), (257, 384)]:
+        B = 64
+        H, W = -(-h // B) * B, -(-w // B) * B
+        img = np.zeros((H, W), np.uint8)
+        img[:h, :w] = rng.randint(0, 256, (h, w), np.uint8)
+        want = cv2.createCLAHE(clipLimit=4.0, tileGridSize=(8, 8)).apply(
+            img[:h, :w])
+        got = np.asarray(C.clahe_u8_masked(
+            jnp.asarray(img), (jnp.int32(h), jnp.int32(w)), 4.0,
+            (8, 8)))[:h, :w]
+        bad += int((got != want).sum())
+    assert bad == 0, "masked CLAHE mismatches: %d px" % bad
+
+
+def div_f32_correct_on_chip():
+    """The corrected division equals host-correct f32 division for ALL
+    integer operands in range (the plain TPU divide is ~34% off by 1 ulp)."""
+    from gandtr_tpu.ops.clahe import _div_f32_correct
+    rng = np.random.RandomState(0)
+    areas = np.unique(rng.randint(16, 70000, 20000)).astype(np.float32)
+    got = np.asarray(jax.jit(
+        lambda a: _div_f32_correct(jnp.float32(255.0), a))(jnp.asarray(areas)))
+    ref = (np.float32(255.0) / areas).astype(np.float32)
+    assert (got != ref).sum() == 0
+
+
 def fastconv_exact():
     from gandtr_tpu.models import initialize_model
     from gandtr_tpu.ops import fastconv
@@ -126,6 +160,8 @@ def gan_step_runs():
 def main():
     print("platform:", jax.devices()[0].platform, jax.devices()[0], flush=True)
     check("clahe_pallas bit-exact", clahe_bitexact)
+    check("masked clahe bit-exact", masked_clahe_bitexact)
+    check("f32 div correctly rounded", div_f32_correct_on_chip)
     check("fastconv exact rewrite", fastconv_exact)
     check("exact_topk ties", topk_exact)
     check("hedngan step finite", gan_step_runs)

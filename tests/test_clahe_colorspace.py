@@ -113,3 +113,36 @@ class TestClahe:
         close = np.abs(ours - ref) < 3e-2
         assert close.mean() > 0.985
         np.testing.assert_allclose(ours, ref, atol=1e-1)
+
+
+class TestDivF32Correct:
+    """Round-4 tie-source fix: XLA-TPU's f32 divide is a reciprocal
+    approximation (1 ulp off on ~34% of integer operands — the ONLY source
+    of the masked-CLAHE ±1 u8 tie class). The Dekker-corrected division must
+    equal correctly-rounded division everywhere; on CPU (already correct)
+    that means exact agreement with the plain op."""
+
+    def test_matches_plain_division_on_cpu(self):
+        import jax
+        import jax.numpy as jnp
+        from gandtr_tpu.ops.clahe import _div_f32_correct
+        rng = np.random.RandomState(0)
+        b = np.unique(rng.randint(16, 70000, 20000)).astype(np.float32)
+        for a in (255.0, 1.0):
+            got = np.asarray(jax.jit(
+                lambda bb, aa=a: _div_f32_correct(jnp.float32(aa), bb))(
+                    jnp.asarray(b)))
+            ref = (np.float32(a) / b).astype(np.float32)
+            assert (got != ref).sum() == 0
+
+    def test_non_integer_operands(self):
+        import jax
+        import jax.numpy as jnp
+        from gandtr_tpu.ops.clahe import _div_f32_correct
+        rng = np.random.RandomState(1)
+        a = rng.rand(5000).astype(np.float32) * 1000 + 1e-3
+        b = rng.rand(5000).astype(np.float32) * 1000 + 1e-3
+        got = np.asarray(jax.jit(_div_f32_correct)(jnp.asarray(a),
+                                                   jnp.asarray(b)))
+        ref = (a / b).astype(np.float32)
+        assert (got != ref).sum() == 0
