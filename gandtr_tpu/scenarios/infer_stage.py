@@ -343,33 +343,65 @@ def infer(params, data):
                        sink.normspace in (None, "rgb") and
                        data_cfg.get("device_postprocess", False))
 
-    def full_forward(v, x):
+    # `data.shape_bucket`: round spatial dims up to multiples with the EXACT
+    # masked compute (ops/maskprop.py) — one compiled graph per bucket
+    # instead of per image shape, same compile-wall win as the eval default
+    # (REPRODUCE.md measured table). Descriptor output only: image sinks
+    # would write band pixels.
+    shape_bucket = data_cfg.get("shape_bucket")
+    if shape_bucket and out_type == "image":
+        raise ValueError("data.shape_bucket needs an embedding-type output "
+                         "(image sinks would include pad-band pixels)")
+
+    def full_forward(v, x, m=None):
         if device_pre is not None:
             xf = x.astype(jnp.float32)
             if x.dtype == jnp.uint8:
                 xf = xf / 255.0
-            x = device_pre(xf)
-        y = model.apply(v, x, train=False, ctx={"msp": msp}, **fwd_kwargs)
+            x = device_pre(xf, m) if m is not None else device_pre(xf)
+        kw = dict(fwd_kwargs)
+        if m is not None:
+            kw["mask"] = m
+        y = model.apply(v, x, train=False, ctx={"msp": msp}, **kw)
         if device_post:
             from gandtr_tpu.data.transforms import device_quantize_rgb
             y = device_quantize_rgb(y, mean_std)
         return y
 
-    def flush(bucket_names, bucket_arrs):
-        """Run one fixed-size batch: same-shape images batch together (the
-        reference's DataLoader batching, output.py); the tail is padded to the
-        batch size so only ONE graph per (shape, batch_size) compiles."""
+    def _pad_bucket(arr):
+        b = int(shape_bucket)
+        H, W = arr.shape[:2]
+        Hp, Wp = -(-H // b) * b, -(-W // b) * b
+        padded = np.pad(arr, ((0, Hp - H), (0, Wp - W)) +
+                        ((0, 0),) * (arr.ndim - 2))
+        mask = np.zeros((Hp, Wp), np.float32)
+        mask[:H, :W] = 1.0
+        return padded, mask
+
+    def flush(bucket_names, bucket_items):
+        """Run one fixed-size batch: same-shape (or same-bucket) images batch
+        together (the reference's DataLoader batching, output.py); the tail
+        is padded to the batch size so only ONE graph per (shape, batch_size)
+        compiles."""
         n = len(bucket_names)
-        arrs = bucket_arrs + [bucket_arrs[-1]] * (batch_size - n)
-        x = jnp.asarray(np.stack(arrs))
-        key = x.shape
-        if key not in jit_cache:
-            jit_cache[key] = jax.jit(full_forward)
-        out = np.asarray(jit_cache[key](variables, x))
+        items = bucket_items + [bucket_items[-1]] * (batch_size - n)
+        if shape_bucket:
+            x = jnp.asarray(np.stack([a for a, _ in items]))
+            m = jnp.asarray(np.stack([mm for _, mm in items]))
+            key = x.shape + (True,)
+            if key not in jit_cache:
+                jit_cache[key] = jax.jit(full_forward)
+            out = np.asarray(jit_cache[key](variables, x, m))
+        else:
+            x = jnp.asarray(np.stack(items))
+            key = x.shape
+            if key not in jit_cache:
+                jit_cache[key] = jax.jit(full_forward)
+            out = np.asarray(jit_cache[key](variables, x))
         mix = out_type == "image" and sink.needs_input
         for i in range(n):
             if mix:
-                sink.add(bucket_names[i], out[i], input_nhwc=bucket_arrs[i])
+                sink.add(bucket_names[i], out[i], input_nhwc=items[i])
             else:
                 sink.add(bucket_names[i], out[i])
 
@@ -383,15 +415,20 @@ def infer(params, data):
         return transforms(img)
 
     from gandtr_tpu.eval.retrieval import _prefetched
-    buckets = {}  # per-shape accumulation
+    buckets = {}  # per-shape (or per-bucket) accumulation
     for i, arr in _prefetched(len(names), load,
                               depth=max(8, batch_size)):
-        bucket = buckets.setdefault(arr.shape, ([], []))
+        if shape_bucket:
+            item = _pad_bucket(arr)
+            key = item[0].shape
+        else:
+            item, key = arr, arr.shape
+        bucket = buckets.setdefault(key, ([], []))
         bucket[0].append(names[i])
-        bucket[1].append(arr)
+        bucket[1].append(item)
         if len(bucket[0]) == batch_size:
             flush(*bucket)
-            buckets.pop(arr.shape)
+            buckets.pop(key)
     for shape in list(buckets):
         flush(*buckets.pop(shape))
     sink.close()

@@ -374,3 +374,38 @@ def test_multiscale_infer_matches_manual_aggregation(imgdir):
     want = v / np.linalg.norm(v)
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
     assert abs(np.linalg.norm(got) - 1) < 1e-5
+
+
+def test_embedding_shape_bucket_equals_exact(tmp_path):
+    """`data.shape_bucket` on the embedding path (round 4): padded-bucket
+    masked compute equals exact-shape descriptors (ops/maskprop.py), with
+    one compiled graph per bucket — the whiten protocol's compile-wall fix
+    (REPRODUCE.md measured table)."""
+    rng = np.random.RandomState(7)
+    d = tmp_path / "ims"
+    d.mkdir()
+    names = []
+    for i, hw in enumerate([(33, 47), (47, 33), (40, 40), (25, 61)]):
+        Image.fromarray((rng.rand(*hw, 3) * 255).astype(np.uint8)
+                        ).save(d / f"b{i}.png")
+        names.append(f"b{i}.png")
+    params = {
+        "network": dict(EMB_NET),
+        "data": {"image_dir": str(d) + "/*",
+                 "transforms": "pil2np | totensor | normalize",
+                 "mean_std": [[0.485, 0.456, 0.406], [0.229, 0.224, 0.225]],
+                 "loader": {"batch_size": 2}},
+        "output": {"type": "embedding", "dimensions": 512},
+    }
+    (exact,) = infer({**params, "data": dict(params["data"])}, (names,))
+    bucketed = {**params, "data": {**params["data"], "shape_bucket": 32}}
+    (got,) = infer(bucketed, (names,))
+    assert got["names"] == names
+    np.testing.assert_allclose(got["vecs"], exact["vecs"], atol=2e-5)
+
+    # image sinks must refuse the bucket (band pixels would be written)
+    import pytest as _pytest
+    bad = {**params, "data": {**params["data"], "shape_bucket": 32},
+           "output": {"type": "image", "directory": str(tmp_path / "o")}}
+    with _pytest.raises(ValueError):
+        infer(bad, (names,))
