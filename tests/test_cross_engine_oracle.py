@@ -872,3 +872,173 @@ class TestCrossEngineGanTrain:
                                 if n.startswith(net + "_epoch"))
                 assert epochs == ["%s_epoch_03%s" % (net, ext)], (eng, epochs)
                 assert "%s_last%s" % (net, ext) in names, (eng, net)
+
+
+def _write_hedngan_ckpts(root, ref_hed_module):
+    """Generator + discriminator + full-width HED detector fixtures. The
+    detector state comes from the REFERENCE's own HedInterpolation class (its
+    registry takes no width argument), seeded — teacher and student load the
+    SAME file, so the distillation starts exactly ON the L1 tie."""
+    from test_models_parity import (build_torch_resnet_generator,
+                                    build_torch_discriminator, seq_state)
+    runtime_g = {"data": {"transforms": "pil2np | totensor | normalize",
+                          "mean_std": [[0.5, 0.5, 0.5], [0.5, 0.5, 0.5]]},
+                 "wrappers": ""}
+    paths = {}
+    torch.manual_seed(41)
+    tg = build_torch_resnet_generator(n_blocks=1, norm="batch", ngf=8)
+    paths["generator_X"] = os.path.join(root, "hng_gen.pth")
+    torch.save({"type": "SingleNetwork", "frozen": False,
+                "network_params": {
+                    "model": {"architecture": "official_resnet_generator",
+                              "ngf": 8, "n_blocks": 1, "input_nc": 3,
+                              "output_nc": 3, "no_antialias": True,
+                              "no_antialias_up": True, "norm_layer": "batch"},
+                    "runtime": runtime_g},
+                "model_state": {k: torch.as_tensor(np.asarray(v))
+                                for k, v in seq_state(
+                                    tg, prefix="model.").items()}},
+               paths["generator_X"])
+    torch.manual_seed(42)
+    td = build_torch_discriminator(ndf=8, n_layers=2, norm="batch")
+    paths["discriminator_Y"] = os.path.join(root, "hng_d.pth")
+    torch.save({"type": "SingleNetwork", "frozen": False,
+                "network_params": {
+                    "model": {"architecture": "official_p2p_discriminator",
+                              "ndf": 8, "n_layers": 2, "input_nc": 3,
+                              "no_antialias": True, "norm_layer": "batch"},
+                    "runtime": {"data": {}, "wrappers": ""}},
+                "model_state": {k: torch.as_tensor(np.asarray(v))
+                                for k, v in seq_state(
+                                    td, prefix="model.").items()}},
+               paths["discriminator_Y"])
+    torch.manual_seed(43)
+    th = ref_hed_module.HedInterpolation()
+    paths["detector"] = os.path.join(root, "hng_hed.pth")
+    torch.save({"type": "SingleNetwork", "frozen": False,
+                "network_params": {
+                    "model": {"architecture": "hed_interpolation"},
+                    "runtime": {"data": {}, "wrappers": ""}},
+                "model_state": th.state_dict()}, paths["detector"])
+    return paths
+
+
+def _hedngan_train_params(ckdir, pkl_path, imdir, ckpts, lr, epochs=3):
+    adam = {"algorithm": "adam", "lr": lr, "beta1": 0.5, "beta2": 0.999,
+            "weight_decay": 0}
+    return {
+        "network": {
+            "type": "NetworkSet",
+            "generator_X": {"type": "SingleNetwork",
+                            "path": ckpts["generator_X"],
+                            "runtime": "load_from_checkpoint"},
+            "discriminator_Y": {"type": "SingleNetwork",
+                                "path": ckpts["discriminator_Y"],
+                                "runtime": "load_from_checkpoint"},
+            "detector": {"type": "SingleNetwork", "path": ckpts["detector"],
+                         "runtime": "load_from_checkpoint"},
+            "detector_frozen": {"type": "SingleNetwork",
+                                "path": ckpts["detector"],
+                                "runtime": {"frozen": True, "wrappers": "",
+                                            "data": {}}},
+        },
+        "learning": {
+            "type": "TrainValLearning",
+            "checkpoints": {"directory": ckdir, "checkpoint_every": 1,
+                            "store_every": 10,
+                            "directory_epoch_regex": None},
+            "training": {
+                "type": "EpochTraining", "epochs": epochs, "seed": 0,
+                "deterministic": False,
+                "criterion": {
+                    "loss": "multihead_loss",
+                    "weights": {"adversarial": 1, "edge": 5, "hed": 1},
+                    "normalize_weights": False,
+                    "adversarial": {"loss": "discriminator_loss",
+                                    "criterion": {"loss": "mse"}},
+                    "edge": {"loss": "l1"}, "hed": {"loss": "l1"}},
+                "optimizer": {
+                    "composition": {"type": "alternation",
+                                    "order": "discriminator_Y,generator_X,"
+                                             "detector",
+                                    "alternate_iteration": 1},
+                    "generator_X": dict(adam),
+                    "discriminator_Y": dict(adam),
+                    "detector": {"algorithm": "adam", "lr": lr, "beta1": 0.9,
+                                 "beta2": 0.999, "weight_decay": 0.0002}},
+                "scheduler": {
+                    "composition": {"type": "set"},
+                    **{n: {"algorithm": "lambda_p2p", "n_epochs_decay": 1}
+                       for n in ("generator_X", "discriminator_Y",
+                                 "detector")}},
+                "epoch_iteration": {"type": "SupervisedHEDNGANEpoch",
+                                    "data": "train", "criterion": "default"},
+            },
+            "validation": False,
+        },
+        "output": {"learning": {"progress": {"print_each": 100,
+                                             "print_each_val": 1000}}},
+        "data": {
+            "train": {
+                "dataset": {"name": "PregeneratedImageTuple",
+                            "dataset": pkl_path, "data_key": "train",
+                            "image_dir": imdir, "idx": "0_1"},
+                "loader": {"batch_size": 4},
+                "transforms": "pil2np | totensor | normalize",
+                "mean_std": [[0.5, 0.5, 0.5], [0.5, 0.5, 0.5]],
+            },
+        },
+    }
+
+
+@needs_reference
+class TestCrossEngineHedNGanTrain:
+    """Micro HED^N-GAN `train` through BOTH engines (round-4 extension of
+    the CycleGAN oracle; same determinism design). The teacher and student
+    detectors load the SAME checkpoint, so the run starts exactly on the
+    distillation L1 tie — E_real must be EXACTLY 0 on the first epoch in
+    both engines (torch's tie subgradient semantics; ops/losses.l1_loss
+    round-4 fix), pinning the tie behavior at the engine level."""
+
+    @pytest.fixture(scope="class")
+    def hng_ws(self, ref_engine, workspace):
+        import mdir.components.model.network.hed as ref_hed
+        root = workspace["root"]
+        pkl_path, imdir = _write_gan_pairs(root)
+        ckpts = _write_hedngan_ckpts(root, ref_hed)
+        return {"root": root, "pkl": pkl_path, "ims": imdir, "ckpts": ckpts}
+
+    def test_zero_lr_hedngan_trajectories_equal(self, hng_ws):
+        import copy
+        import mdir.stages
+        ref = mdir.stages.train.train(copy.deepcopy(_hedngan_train_params(
+            os.path.join(hng_ws["root"], "hng_ref"), hng_ws["pkl"],
+            hng_ws["ims"], hng_ws["ckpts"], 1e-12)), ())[0]
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        from gandtr_tpu.scenarios.train_stage import train as our_train
+        params = copy.deepcopy(_hedngan_train_params(
+            os.path.join(hng_ws["root"], "hng_our"), hng_ws["pkl"],
+            hng_ws["ims"], hng_ws["ckpts"], 1e-12))
+        params["sample_hw"] = 32
+        ours = our_train(params, ())[0]
+
+        for key in ("total", "D_real", "D_fake", "G_gan", "G_hed", "E_real",
+                    "E_fake"):
+            ref_k = [k for k in ref["metrics"]
+                     if k.startswith("train/learning/loss:%s_avg" % key)]
+            assert ref_k, (key, sorted(ref["metrics"]))
+            ref_series = [float(v) for v in ref["metrics"][ref_k[0]]]
+            our_series = [float(v) for v in
+                          ours["metrics_series"]["train/learning/" + key]]
+            assert len(our_series) == len(ref_series) == 3, key
+            np.testing.assert_allclose(our_series, ref_series, atol=3e-4,
+                                       err_msg=key)
+        # the engine-level tie pin: identical teacher/student checkpoints
+        # put epoch 1 exactly ON the L1 tie — E_real must be EXACTLY 0 in
+        # both engines (later epochs drift by ~lr=1e-12 legitimately)
+        for eng_series in (
+                ours["metrics_series"]["train/learning/E_real"],
+                ref["metrics"][[k for k in ref["metrics"] if k.startswith(
+                    "train/learning/loss:E_real_avg")][0]]):
+            assert float(eng_series[0]) == 0.0, list(eng_series)
