@@ -409,3 +409,57 @@ def test_embedding_shape_bucket_equals_exact(tmp_path):
            "output": {"type": "image", "directory": str(tmp_path / "o")}}
     with _pytest.raises(ValueError):
         infer(bad, (names,))
+
+
+def test_multistep_whitening_bucketed_equals_exact(imgdir, tmp_path):
+    """whitening.yml now defaults `data.shape_bucket: 64` (round 4): the
+    bucketed multistep whiten — including the protocol's MULTISCALE
+    wrappers with the mask threaded per scale — must learn the same Lw as
+    the exact-shape run."""
+    rng = np.random.RandomState(9)
+    cids = []
+    for i in range(6):
+        cid = "%040d" % (8881000 + i)
+        sub = imgdir / cid[-2:] / cid[-4:-2] / cid[-6:-4]
+        os.makedirs(sub, exist_ok=True)
+        hw = [(33, 47), (47, 33), (40, 40)][i % 3]
+        Image.fromarray((rng.rand(*hw, 3) * 255).astype(np.uint8)
+                        ).save(sub / cid, format="PNG")
+        cids.append(cid)
+    pkl_path = tmp_path / "whiten_bucket.pkl"
+    with open(pkl_path, "wb") as f:
+        pickle.dump({"cids": cids, "qidxs": [0, 1], "pidxs": [3, 4]}, f)
+
+    net = {**EMB_NET, "runtime": {"wrappers": "cirmultiscale:True",
+                                  "data": {}}}
+    base_data = {"image_dir": str(imgdir) + "/*",
+                 "transforms": "pil2np | totensor | normalize",
+                 "mean_std": [[0.485, 0.456, 0.406], [0.229, 0.224, 0.225]],
+                 "loader": {"batch_size": 2}}
+
+    # descriptor-level equality through the MULTISCALE string-wrapper path
+    # (the actual new surface; Lw's P is an ill-conditioned amplifier of
+    # float noise on a 6-image census, so it is smoked rather than compared)
+    paths = ["/".join([c[-2:], c[-4:-2], c[-6:-4], c]) for c in cids]
+
+    def embed(shape_bucket):
+        params = {"network": dict(net),
+                  "data": {**base_data,
+                           **({"shape_bucket": shape_bucket}
+                              if shape_bucket else {})},
+                  "output": {"type": "embedding", "dimensions": 512}}
+        (meta,) = infer(params, (paths,))
+        return meta["vecs"]
+
+    np.testing.assert_allclose(embed(32), embed(None), atol=2e-5)
+
+    params = {
+        "whitening": {"type": "lw", "dataset_pkl": str(pkl_path),
+                      "directory": ""},
+        "network": dict(net),
+        "data": {**base_data, "shape_bucket": 32},
+        "output": {"dimensions": 512},
+    }
+    (meta,) = infer_and_learn_whitening(params, ())
+    lw = meta["whitening"]
+    assert np.isfinite(lw["m"]).all() and np.isfinite(lw["P"]).all()
