@@ -161,7 +161,7 @@ def clahe_u8(img, clip_limit=4.0, grid_size=(8, 8)):
 
 
 def clahe_u8_masked(img, hw, clip_limit=4.0, grid_size=(8, 8),
-                    interp="auto"):
+                    interp="auto", hist_form="band"):
     """CLAHE of the valid top-left (h, w) rectangle of a padded buffer,
     exactly as cv2 would compute it on the EXACT (h, w) image.
 
@@ -194,19 +194,66 @@ def clahe_u8_masked(img, hw, clip_limit=4.0, grid_size=(8, 8),
     ph = h + pad_h  # dynamic padded extent, <= H + ty
     pw = w + pad_w
 
-    # virtual BORDER_REFLECT_101-padded image on a static buffer
-    HV, WV = H + ty, W + tx
-    yv = jnp.arange(HV, dtype=jnp.int32)
-    xv = jnp.arange(WV, dtype=jnp.int32)
-    ry = jnp.clip(jnp.where(yv < h, yv, 2 * h - 2 - yv), 0, H - 1)
-    rx = jnp.clip(jnp.where(xv < w, xv, 2 * w - 2 - xv), 0, W - 1)
-    virt = img[ry[:, None], rx[None, :]]
-    wgt = (yv[:, None] < ph) & (xv[None, :] < pw)
-    tid = (jnp.clip(yv // tile_h, 0, ty - 1)[:, None] * tx
-           + jnp.clip(xv // tile_w, 0, tx - 1)[None, :])
-    ids = (tid * 256 + virt.astype(jnp.int32)).reshape(-1)
-    hist = jax.ops.segment_sum(wgt.astype(jnp.int32).reshape(-1), ids,
-                               num_segments=ty * tx * 256).reshape(ty * tx, 256)
+    def tid_of(ys, xs):
+        return (jnp.clip(ys // tile_h, 0, ty - 1) * tx
+                + jnp.clip(xs // tile_w, 0, tx - 1))
+
+    if hist_form == "band":
+        # round-4: the cv2 pad is at most one GRID cell (ty/tx <= 8 rows/
+        # cols, `tiles - size%tiles`), so instead of materializing the
+        # (H+ty, W+tx) virtual reflected image with a full 2-D gather, the
+        # histogram sums four partitions of the padded rect: the valid
+        # region (no gather at all) + an <=ty-row reflected band + an
+        # <=tx-col reflected band + the <=ty*tx corner. Same ids/weights
+        # element-for-element as the virtual-image form (bit-identical
+        # histograms); kills the dominant gather (chip-measured,
+        # docs/PERF.md round-4 CLAHE histogram).
+        yv = jnp.arange(H, dtype=jnp.int32)
+        xv = jnp.arange(W, dtype=jnp.int32)
+        # (1) valid region: every pixel at its own position
+        w_main = ((yv[:, None] < h) & (xv[None, :] < w))
+        ids_main = (tid_of(yv[:, None], xv[None, :]) * 256
+                    + img.astype(jnp.int32)).reshape(-1)
+        # (2) bottom band: positions (h+j, x), x < w, j < pad_h
+        jb = jnp.arange(ty, dtype=jnp.int32)
+        ry_b = jnp.clip(h - 2 - jb, 0, H - 1)
+        band_b = img[ry_b, :]                                # (ty, W) gather
+        w_b = ((jb[:, None] < pad_h) & (xv[None, :] < w))
+        ids_b = (tid_of((h + jb)[:, None], xv[None, :]) * 256
+                 + band_b.astype(jnp.int32)).reshape(-1)
+        # (3) right band: positions (y, w+k), y < h, k < pad_w
+        kb = jnp.arange(tx, dtype=jnp.int32)
+        rx_b = jnp.clip(w - 2 - kb, 0, W - 1)
+        band_r = img[:, rx_b]                                # (H, tx) gather
+        w_r = ((yv[:, None] < h) & (kb[None, :] < pad_w))
+        ids_r = (tid_of(yv[:, None], (w + kb)[None, :]) * 256
+                 + band_r.astype(jnp.int32)).reshape(-1)
+        # (4) corner: positions (h+j, w+k), j < pad_h, k < pad_w
+        corner = img[ry_b[:, None], rx_b[None, :]]           # (ty, tx)
+        w_c = ((jb[:, None] < pad_h) & (kb[None, :] < pad_w))
+        ids_c = (tid_of((h + jb)[:, None], (w + kb)[None, :]) * 256
+                 + corner.astype(jnp.int32)).reshape(-1)
+        ids = jnp.concatenate([ids_main, ids_b, ids_r, ids_c])
+        wgt = jnp.concatenate([w_main.reshape(-1), w_b.reshape(-1),
+                               w_r.reshape(-1), w_c.reshape(-1)])
+        hist = jax.ops.segment_sum(
+            wgt.astype(jnp.int32), ids,
+            num_segments=ty * tx * 256).reshape(ty * tx, 256)
+    else:
+        # virtual BORDER_REFLECT_101-padded image on a static buffer
+        HV, WV = H + ty, W + tx
+        yv = jnp.arange(HV, dtype=jnp.int32)
+        xv = jnp.arange(WV, dtype=jnp.int32)
+        ry = jnp.clip(jnp.where(yv < h, yv, 2 * h - 2 - yv), 0, H - 1)
+        rx = jnp.clip(jnp.where(xv < w, xv, 2 * w - 2 - xv), 0, W - 1)
+        virt = img[ry[:, None], rx[None, :]]
+        wgt = (yv[:, None] < ph) & (xv[None, :] < pw)
+        tid = (jnp.clip(yv // tile_h, 0, ty - 1)[:, None] * tx
+               + jnp.clip(xv // tile_w, 0, tx - 1)[None, :])
+        ids = (tid * 256 + virt.astype(jnp.int32)).reshape(-1)
+        hist = jax.ops.segment_sum(
+            wgt.astype(jnp.int32).reshape(-1), ids,
+            num_segments=ty * tx * 256).reshape(ty * tx, 256)
 
     area = tile_h * tile_w
     areaf = area.astype(jnp.float32)
