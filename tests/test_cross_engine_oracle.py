@@ -1042,3 +1042,106 @@ class TestCrossEngineHedNGanTrain:
                 ref["metrics"][[k for k in ref["metrics"] if k.startswith(
                     "train/learning/loss:E_real_avg")][0]]):
             assert float(eng_series[0]) == 0.0, list(eng_series)
+
+
+@needs_reference
+class TestCrossEngineHedGanTrain:
+    """Micro HED-GAN (frozen single detector, no distillation) through both
+    engines — the third GAN family at the engine level; with CycleGAN and
+    HED^N-GAN this covers every published iccv23 family shape except CUT."""
+
+    @pytest.fixture(scope="class")
+    def hg_ws(self, ref_engine, workspace):
+        import mdir.components.model.network.hed as ref_hed
+        root = workspace["root"]
+        pkl_path, imdir = _write_gan_pairs(root)
+        ckpts = _write_hedngan_ckpts(root, ref_hed)
+        return {"root": root, "pkl": pkl_path, "ims": imdir, "ckpts": ckpts}
+
+    def test_zero_lr_hedgan_trajectories_equal(self, hg_ws):
+        import copy
+        lr = 1e-12
+        adam = {"algorithm": "adam", "lr": lr, "beta1": 0.5, "beta2": 0.999,
+                "weight_decay": 0}
+        params = {
+            "network": {
+                "type": "NetworkSet",
+                "generator_X": {"type": "SingleNetwork",
+                                "path": hg_ws["ckpts"]["generator_X"],
+                                "runtime": "load_from_checkpoint"},
+                "discriminator_Y": {"type": "SingleNetwork",
+                                    "path": hg_ws["ckpts"]["discriminator_Y"],
+                                    "runtime": "load_from_checkpoint"},
+                "detector": {"type": "SingleNetwork",
+                             "path": hg_ws["ckpts"]["detector"],
+                             "runtime": {"frozen": True, "wrappers": "",
+                                         "data": {}}},
+            },
+            "learning": {
+                "type": "TrainValLearning",
+                "checkpoints": {"directory": None, "checkpoint_every": 1,
+                                "store_every": 10,
+                                "directory_epoch_regex": None},
+                "training": {
+                    "type": "EpochTraining", "epochs": 3, "seed": 0,
+                    "deterministic": False,
+                    "criterion": {
+                        "loss": "multihead_loss",
+                        "weights": {"adversarial": 1, "edge": 5},
+                        "normalize_weights": False,
+                        "adversarial": {"loss": "discriminator_loss",
+                                        "criterion": {"loss": "mse"}},
+                        "edge": {"loss": "l1"}},
+                    "optimizer": {
+                        "composition": {"type": "alternation",
+                                        "order": "discriminator_Y,"
+                                                 "generator_X",
+                                        "alternate_iteration": 1},
+                        "generator_X": dict(adam),
+                        "discriminator_Y": dict(adam)},
+                    "scheduler": {
+                        "composition": {"type": "set"},
+                        **{n: {"algorithm": "lambda_p2p", "n_epochs_decay": 1}
+                           for n in ("generator_X", "discriminator_Y")}},
+                    "epoch_iteration": {"type": "SupervisedHEDGANEpoch",
+                                        "data": "train",
+                                        "criterion": "default"},
+                },
+                "validation": False,
+            },
+            "output": {"learning": {"progress": {"print_each": 100,
+                                                 "print_each_val": 1000}}},
+            "data": {
+                "train": {
+                    "dataset": {"name": "PregeneratedImageTuple",
+                                "dataset": hg_ws["pkl"], "data_key": "train",
+                                "image_dir": hg_ws["ims"], "idx": "0_1"},
+                    "loader": {"batch_size": 4},
+                    "transforms": "pil2np | totensor | normalize",
+                    "mean_std": [[0.5, 0.5, 0.5], [0.5, 0.5, 0.5]],
+                },
+            },
+        }
+        import mdir.stages
+        refp = copy.deepcopy(params)
+        refp["learning"]["checkpoints"]["directory"] = os.path.join(
+            hg_ws["root"], "hg_ref")
+        ref = mdir.stages.train.train(refp, ())[0]
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        from gandtr_tpu.scenarios.train_stage import train as our_train
+        ourp = copy.deepcopy(params)
+        ourp["learning"]["checkpoints"]["directory"] = os.path.join(
+            hg_ws["root"], "hg_our")
+        ourp["sample_hw"] = 32
+        ours = our_train(ourp, ())[0]
+        for key in ("total", "D_real", "D_fake", "G_gan", "G_hed"):
+            ref_k = [k for k in ref["metrics"]
+                     if k.startswith("train/learning/loss:%s_avg" % key)]
+            assert ref_k, (key, sorted(ref["metrics"]))
+            ref_series = [float(v) for v in ref["metrics"][ref_k[0]]]
+            our_series = [float(v) for v in
+                          ours["metrics_series"]["train/learning/" + key]]
+            assert len(our_series) == len(ref_series) == 3, key
+            np.testing.assert_allclose(our_series, ref_series, atol=3e-4,
+                                       err_msg=key)
