@@ -1,7 +1,9 @@
 """Benchmark: batched day→night generator inference at 256×256 on one chip,
 plus GeM-VGG16 descriptor extraction at the 1024px eval protocol, plus the
 serving index search (exact top-10 over a 100k descriptor database), plus
-the full HED^N-GAN training step (batch 10 @256², the published protocol).
+the full HED^N-GAN training step (batch 10 @256², the published protocol),
+plus the descriptor fine-tune tuple step (T=5 tuples @364² incl. masked
+cv2-exact CLAHE — the path rounds 3-4 optimized 523→255 ms).
 
 Prints the PRIMARY metric as BOTH the FIRST and the LAST JSON line (the
 round-2 artifact showed the driver records the LAST line; emitting the
@@ -325,6 +327,88 @@ def bench_train_step():
     img_s = B / best
     emit("hedngan_train_images_per_sec_per_chip_256px", round(img_s, 2),
          "img/s/chip", round(img_s / TRAIN_ROOFLINE_IMG_S, 4), "mfu")
+
+    bench_finetune_tuple_step()
+
+
+# Fine-tune tuple-step FLOPs (XLA cost_analysis of the full jitted step at
+# T=5 tuples × 7 images @364², CPU lowering — scripts/flops_finetune.py):
+# frozen generator on the pass-through anchors + masked CLAHE (band
+# histogram + one-hot MXU interp) + bf16 GeM-VGG16 embed fwd/bwd +
+# contrastive + Adam. vs_baseline is MFU against this chip's 197 TFLOP/s
+# bf16 peak for the step's exact FLOPs, like the train-step line.
+FINETUNE_STEP_TFLOP = 11.18  # per step at T=5 (0.3195 TFLOP/image)
+FINETUNE_ROOFLINE_IMG_S = 197.0 / (FINETUNE_STEP_TFLOP / 35.0)
+
+
+def bench_finetune_tuple_step():
+    """Descriptor fine-tune step at the published protocol shapes (VERDICT
+    r4 #3 — the path rounds 3-4 optimized, now driver-visible): T=5 tuples
+    of 7 images @364² (finetune.yml batch 5), frozen 9-block generator on
+    the 25%-ratio anchors → masked cv2-exact CLAHE (ClahePost,
+    wrapper.py:325-348) → bf16 GeM-VGG16 → contrastive → Adam, one jitted
+    graph with fakebatch semantics (supervised_epoch.py:58-85)."""
+    from gandtr_tpu.learning.network import build_single_net
+    from gandtr_tpu.learning.optimizers import initialize_optimizer
+    from gandtr_tpu.learning import supervised
+
+    T, S, HW = 5, 7, 364
+    augment = build_single_net({
+        "model": {"architecture": "official_resnet_generator", "n_blocks": 9,
+                  "no_antialias": True, "no_antialias_up": True,
+                  "norm_layer": "instance"},
+        "runtime": {"frozen": True,
+                    "wrappers": "meanstd_post:[[0.5,0.5,0.5],[0.5,0.5,0.5]]:"
+                                "[[0.485,0.456,0.406],[0.229,0.224,0.225]],"
+                                "clahepost:[[0.485,0.456,0.406],"
+                                "[0.229,0.224,0.225]]:1.0,"
+                                "cir_ratio_pass_through:0.25:anc",
+                    "data": {}}})
+    embed = build_single_net({
+        "model": {"architecture": "cirnet", "cir_architecture": "vgg16",
+                  "pooling": "gem", "local_whitening": False,
+                  "whitening": False},
+        "runtime": {"wrappers": "", "data": {}, "dtype": "bfloat16"}})
+    models = {"augment": augment, "embed": embed}
+    x0 = jax.random.uniform(jax.random.PRNGKey(0), (S, HW, HW, 3)) * 2 - 1
+    variables = {
+        "augment": dict(augment.init(jax.random.PRNGKey(1), x0, train=False)),
+        "embed": dict(embed.init(jax.random.PRNGKey(2), x0))}
+    tx, _ = initialize_optimizer({"algorithm": "adam", "lr": 5e-7,
+                                  "beta1": 0.9, "beta2": 0.999,
+                                  "weight_decay": 0.0005})
+    state = supervised.make_finetune_state(variables, tx)
+    step = supervised.build_finetune_step(models, tx, margin=0.75,
+                                          augment_positions=(0,))
+
+    imgs = jax.random.uniform(jax.random.PRNGKey(3),
+                              (T, S, HW, HW, 3)) * 2 - 1
+    masks = jnp.ones((T, S, HW, HW))
+    labels = jnp.tile(jnp.asarray([-1.0, 1.0, 0, 0, 0, 0, 0]), (T, 1))
+    pmask = jnp.zeros((T, S), bool).at[:, 0].set(True)
+    ITERS = 5
+
+    @jax.jit
+    def timed_loop(st, x):
+        def body(i, s):
+            s2, _ = step(s, x + i.astype(x.dtype) * 1e-5, masks, labels,
+                         pmask)
+            return s2
+        out = jax.lax.fori_loop(0, ITERS, body, st)
+        return sum(jnp.sum(l.astype(jnp.float32)) for l in
+                   jax.tree_util.tree_leaves(
+                       out.variables["embed"]["params"]))
+
+    assert np.isfinite(float(timed_loop(state, imgs)))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(timed_loop(state, imgs))
+        best = min(best, (time.perf_counter() - t0) / ITERS)
+
+    img_s = T * S / best
+    emit("finetune_tuple_images_per_sec_per_chip_364px", round(img_s, 2),
+         "img/s/chip", round(img_s / FINETUNE_ROOFLINE_IMG_S, 4), "mfu")
 
 
 # The tunnel chip can transiently wedge (FAILED_PRECONDITION, then HANGS on

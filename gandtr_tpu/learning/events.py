@@ -402,8 +402,17 @@ class EventBroker:
                         else "loss:%s" % name
                 out[base + "_avg.4"] = series
             else:
-                suffix = "_avg.4" if key in self.iter_keys else ""
-                out[key + suffix] = series
+                if key not in self.iter_keys:
+                    # Once-per-epoch score dicts aggregate as None in the
+                    # reference, so their ref-form key IS the original key
+                    # (no suffix). Emitting it here would make
+                    # _stage_metadata's metrics.update() replace the
+                    # last-epoch flat scalar with a per-epoch list, breaking
+                    # the flat-float metrics contract (advisor r4). The
+                    # per-epoch series for these keys is already published
+                    # under stage metadata's `metrics_series[key]`.
+                    continue
+                out[key + "_avg.4"] = series
         return out
 
     def state_dict(self):

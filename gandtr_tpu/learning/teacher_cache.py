@@ -53,18 +53,19 @@ class TeacherTargetCachingStep:
         self.external_step = external_step
         self.max_items = int(max_items)
         self._cache = OrderedDict()
-        self._key = None
         self.hits = 0
         self.misses = 0
 
     def batch_to_args(self, batch):
+        # The key travels WITH the batch args (advisor r4): pairing through
+        # hidden instance state would silently mis-key a target if batch
+        # conversion were ever prefetched or an exception fell between the
+        # two calls.
         xb = np.asarray(batch[0])
-        self._key = hashlib.md5(xb.tobytes()).hexdigest()
-        return (jnp.asarray(xb), jnp.asarray(batch[1]))
+        key = hashlib.md5(xb.tobytes()).hexdigest()
+        return (jnp.asarray(xb), jnp.asarray(batch[1]), key)
 
-    def __call__(self, state, real_X, real_Y):
-        key = self._key
-        self._key = None
+    def __call__(self, state, real_X, real_Y, key=None):
         target = self._cache.get(key) if key is not None else None
         if target is not None:
             self._cache.move_to_end(key)

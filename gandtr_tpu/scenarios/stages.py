@@ -95,17 +95,21 @@ def paste_pca_normalize(params, data):
         eigval, eigvec = np.linalg.eig(value.dot(value.T))
         vecs = eigvec[:, np.argsort(eigval)[-dimensions:]]
         value = vecs.dot(vecs.T).dot(value)
-    value = value / np.linalg.norm(value, axis=0, keepdims=True)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        value = value / np.linalg.norm(value, axis=0, keepdims=True)
     return metadata, value
 
 
 def l2_normalize(params, data):
     """L2-normalize descriptor columns (stages/whiten.py:130-135). No eps —
     all-zero/NaN descriptors normalize to NaN like the reference (NaN rows
-    mark missing images, output.py:143-146)."""
+    mark missing images, output.py:143-146). The 0/0 is DELIBERATE parity
+    behavior (asserted in tests/test_whiten_stages_differential.py), so the
+    numpy warning is silenced rather than left to read as an accident."""
     assert not params
     vecs = np.asarray(data[0])
-    return {}, vecs / np.linalg.norm(vecs, axis=0, keepdims=True)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return {}, vecs / np.linalg.norm(vecs, axis=0, keepdims=True)
 
 
 FUNCTIONS = {

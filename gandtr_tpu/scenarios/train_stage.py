@@ -86,7 +86,9 @@ def _stage_metadata(events, directory):
     # ("train/learning/loss:total_avg.4": [...]) so reference report
     # consumers read our stage metadata drop-in (eventprocessor.py:119-120;
     # key-form equality is asserted in the cross-engine oracles). The key
-    # families cannot collide: reference forms always carry ':'+suffix.
+    # families cannot collide: ref_metadata() skips entries whose ref-form
+    # equals the original key (once-per-epoch scores), so every key it adds
+    # carries ':'+suffix and the flat last-epoch scalars stay floats.
     metrics = dict(events.history[-1]["metrics"] if events.history else {})
     if hasattr(events, "ref_metadata"):
         metrics.update(events.ref_metadata())

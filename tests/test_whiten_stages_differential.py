@@ -111,6 +111,21 @@ def test_l2_normalize_vs_reference(ref):
     assert np.isnan(np.asarray(our_out)[:, 3]).all()
 
 
+def test_l2_normalize_zero_column_nan_is_silent():
+    """The 0/0 -> NaN on a zero descriptor column is asserted reference
+    parity (output.py:143-146 NaN rows mark missing images) and must not
+    surface as a numpy RuntimeWarning (advisor/VERDICT r4: silence
+    deliberately so it cannot read as an accident)."""
+    import warnings
+    vecs = np.ones((4, 3))
+    vecs[:, 1] = 0.0
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        _, out = l2_normalize({}, (vecs,))
+    assert np.isnan(out[:, 1]).all()
+    np.testing.assert_allclose(out[:, 0], 0.5)
+
+
 def test_whiten_stage_no_whitening_passthrough():
     vecs = np.eye(4)
     meta, out = whiten_stage({"whitening": None}, (vecs,))
