@@ -331,13 +331,18 @@ def bench_train_step():
     bench_finetune_tuple_step()
 
 
-# Fine-tune tuple-step FLOPs (XLA cost_analysis of the full jitted step at
-# T=5 tuples × 7 images @364², CPU lowering — scripts/flops_finetune.py):
-# frozen generator on the pass-through anchors + masked CLAHE (band
-# histogram + one-hot MXU interp) + bf16 GeM-VGG16 embed fwd/bwd +
-# contrastive + Adam. vs_baseline is MFU against this chip's 197 TFLOP/s
-# bf16 peak for the step's exact FLOPs, like the train-step line.
-FINETUNE_STEP_TFLOP = 11.18  # per step at T=5 (0.3195 TFLOP/image)
+# Fine-tune tuple-step FLOPs at T=5 tuples × 7 images @364². XLA
+# cost_analysis reports only 1.94 TFLOP/step for this graph (chip +
+# CPU lowering agree, scripts/chip_finetune_probe.py) because it does NOT
+# count the bodies of lax.scan/lax.map/while loops — and this step's bulk
+# (fakebatch per-image embed grads, per-image CLAHE lax.map) lives inside
+# them. The constant is therefore ANALYTIC: VGG16 convs are 15.35 GMAC
+# @224² (torchinfo consensus) → ×2 flops ×(364/224)² = 81.1 GF fwd,
+# ×3 for fwd+bwd = 0.243 TF/img × 35 = 8.51 TF; frozen 9-block generator
+# 0.11 TF fwd @256² ×(364/256)² × 5 anchors = 1.11 TF; CLAHE is
+# bandwidth-ish (~negligible FLOPs). vs_baseline is MFU against this
+# chip's 197 TFLOP/s bf16 peak for these FLOPs, like the train-step line.
+FINETUNE_STEP_TFLOP = 9.62  # per step at T=5 (0.2749 TFLOP/image)
 FINETUNE_ROOFLINE_IMG_S = 197.0 / (FINETUNE_STEP_TFLOP / 35.0)
 
 

@@ -255,14 +255,21 @@ class ResnetGenerator(nn.Module):
         if layers:
             # torch uses ReLU(inplace=True): a stored tap whose *next* step is
             # an inplace relu is mutated before the caller sees it — replicate
-            # by storing the relu'd value (p2p_networks.py:318-331 semantics)
+            # by storing the relu'd value (p2p_networks.py:318-331 semantics).
+            # EXCEPT the tap that triggers the encode_only early return: the
+            # reference returns at `layer_id == layers[-1]` BEFORE the next
+            # module runs (p2p_networks.py:330-332), so that tap escapes the
+            # inplace mutation — found by the CUT cross-engine oracle (the
+            # r3 golden's torch composition ran all layers and entrenched the
+            # mutated value; the real CUT NCE path feeds the PRE-relu tap).
             feat, ms = x, ms0
             feats = []
             for si, (layer_id, fn, _) in enumerate(steps):
                 feat, ms = fn(feat, ms)
                 if layer_id in layers:
                     mutated = feat
-                    if si + 1 < len(steps) and steps[si + 1][2]:
+                    if si + 1 < len(steps) and steps[si + 1][2] and not (
+                            encode_only and layer_id == layers[-1]):
                         mutated = nn.relu(feat)
                     feats.append(mutated)
                 if layer_id == layers[-1] and encode_only:

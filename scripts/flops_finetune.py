@@ -1,9 +1,10 @@
-"""Pin the finetune tuple-step FLOP constant for bench.py's MFU line.
-
-Lowers the exact bench.py finetune graph (T=5 tuples x 7 images @364²,
-frozen generator on ratio anchors + masked CLAHE + bf16 GeM-VGG16 embed
-fwd/bwd + contrastive + Adam) on XLA-CPU and prints cost_analysis()
-flops. CPU-only — run with nothing else on the box (1-CPU host).
+"""Lower the bench.py finetune graph on XLA-CPU and print cost_analysis
+flops — KEPT AS A MEASURED NEGATIVE: cost_analysis reports ~1.9 TFLOP/step
+(chip agrees, scripts/chip_finetune_probe.py) because it does not count
+lax.scan/lax.map/while BODIES, where this step's bulk lives (fakebatch
+per-image embed grads, per-image CLAHE map). bench.py's
+FINETUNE_STEP_TFLOP is therefore analytic (see its comment); do NOT pin
+MFU constants from cost_analysis for graphs with loop-heavy hot paths.
 """
 import sys
 import os

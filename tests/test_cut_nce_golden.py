@@ -17,12 +17,19 @@ from test_models_parity import build_torch_resnet_generator, seq_state
 def torch_nce(tG, mlps, src, dst, layers, patch_ids, temperature=0.07):
     """calculate_nce_loss (cut_epochs.py:79-89) with given patch ids."""
     def taps(x):
+        # mirror the reference's encode_only EARLY RETURN
+        # (p2p_networks.py:330-332): the loop stops at layers[-1], so the
+        # last tap is never mutated by a following ReLU(inplace=True) —
+        # running all layers here entrenched the mutated value until the
+        # CUT cross-engine oracle caught it (round 5)
         feats = []
         h = x
         for i, layer in enumerate(tG):
             h = layer(h)
             if i in layers:
                 feats.append(h)
+            if i == layers[-1]:
+                break
         return feats
 
     def sample(feats):
