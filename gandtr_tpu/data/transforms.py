@@ -236,7 +236,20 @@ class Downscale(GenericTransform):
 
 
 def _bilinear_resize_np(img, out_w, out_h):
-    """cv2.resize(..., (w, h)) equivalent (bilinear, half-pixel centers)."""
+    """cv2.resize(..., (w, h)) — the reference's exact call
+    (augmentation_transforms.py:138, INTER_LINEAR default; float inputs
+    take cv2's float path, so this is reference-IDENTICAL arithmetic).
+
+    cv2 sits on the HOST data path only (the compute path stays cv2-free).
+    The jax fallback (torch-bilinear semantics, ~1e-4 of cv2) kept for
+    cv2-less installs measured 139 ms/img in the round-5 train rehearsal:
+    it device-dispatches per image — through the TPU tunnel in production —
+    and compiles per distinct crop size. cv2 is ~0.5 ms/img."""
+    try:
+        import cv2
+        return cv2.resize(img, (out_w, out_h))
+    except ImportError:
+        pass
     x = jnp.asarray(img)[None]
     if x.ndim == 3:
         x = x[..., None]

@@ -45,25 +45,70 @@ def set_epoch_lr(opt_state, base_lr, factor):
         "learning_rate": jnp.asarray(base_lr * factor, jnp.float32)})
 
 
+def build_chunk_fn(step_fn):
+    """One-dispatch multi-step driver: scan `step_fn` over K stacked batches
+    inside a single jit. EXACTLY the per-step math in the per-step order
+    (same state threading, same RNG stream); only the host<->device cadence
+    changes — through the tunnel each plain dispatch pays ~1 s RTT
+    (CLAUDE.md IO rules), so K steps per dispatch cut that to 1/K.
+
+    Returns chunk_fn(state, *stacked) where stacked args carry a leading K
+    axis; yields (state, metrics_with_K_axis[, last_step_debug])."""
+
+    @jax.jit
+    def chunk_fn(state, *stacked):
+        first = tuple(a[0] for a in stacked)
+        out0 = step_fn(state, *first)
+        has_debug = len(out0) == 3
+        rest = tuple(a[1:] for a in stacked)
+
+        def body(carry, xs):
+            s, _ = carry
+            out = step_fn(s, *xs)
+            return (out[0], out[2] if has_debug else None), out[1]
+
+        (sf, dbgf), ms = jax.lax.scan(
+            body, (out0[0], out0[2] if has_debug else None), rest)
+        metrics = jax.tree_util.tree_map(
+            lambda a0, ar: jnp.concatenate([a0[None], ar], 0), out0[1], ms)
+        if has_debug:
+            return sf, metrics, dbgf
+        return sf, metrics
+
+    return chunk_fn
+
+
 class EpochLoop:
     """Generic epoch loop driving a jitted step function over a Loader.
 
     step_fn(state, *batch_arrays) -> (state, metrics_dict[, debug_dict])
+
+    `chunk` > 1 batches K steps per device dispatch via build_chunk_fn;
+    `chunk_to_args(batches) -> stacked device args` host-stacks the raw
+    loader batches so the chunk uploads once (required with chunk).
     """
 
     def __init__(self, step_fn, loader, events=None, prefix="train/learning",
-                 batch_to_args=None):
+                 batch_to_args=None, chunk=0, chunk_to_args=None):
         self.step_fn = step_fn
         self.loader = loader
         self.events = events
         self.prefix = prefix
         self.batch_to_args = batch_to_args or (lambda batch: batch)
+        self.chunk = int(chunk or 0)
+        self.chunk_to_args = chunk_to_args
+        self._chunk_fn = None
+        if self.chunk > 1:
+            assert chunk_to_args is not None, "chunk requires chunk_to_args"
+            self._chunk_fn = build_chunk_fn(step_fn)
 
     def run_epoch(self, state, epoch):
         logger = (self.events.logger(self.prefix, epoch, len(self.loader))
                   if self.events else (lambda *a, **k: None))
         if hasattr(self.loader.dataset, "prepare_epoch"):
             self.loader.dataset.prepare_epoch()
+        if self._chunk_fn is not None:
+            return self._run_epoch_chunked(state, logger)
         last_debug = None
         for it, batch in enumerate(self.loader):
             args = self.batch_to_args(batch)
@@ -79,6 +124,62 @@ class EpochLoop:
                 logger(key, float(value), "scalar/loss", iteration=it)
         return state, last_debug
 
+    def _run_epoch_chunked(self, state, logger):
+        # Pipeline shape (round-5 rehearsal measurements): the stacked chunk
+        # upload is the dominant per-chunk cost through the tunnel (~5.5 s
+        # for 8 protocol batches at ~25-45 MB/s), so it runs in a prefetch
+        # thread OVERLAPPING the previous chunk's device compute — dispatch
+        # chunk N, then start uploading chunk N+1, then block on N's
+        # metrics. Values are unchanged: the same chunk_to_args product is
+        # handed to the same chunk_fn in the same order.
+        from concurrent.futures import ThreadPoolExecutor
+        last_debug = None
+        it = 0
+
+        def chunks():
+            pending = []
+            for batch in self.loader:
+                pending.append(batch)
+                if len(pending) == self.chunk:
+                    yield pending
+                    pending = []
+            if pending:
+                yield pending
+
+        def prepare(pending):
+            if len(pending) == 1:
+                return pending, self.batch_to_args(pending[0])
+            return pending, self.chunk_to_args(pending)
+
+        with ThreadPoolExecutor(1) as ex:
+            chunk_iter = chunks()
+            first = next(chunk_iter, None)
+            fut = ex.submit(prepare, first) if first is not None else None
+            while fut is not None:
+                pending, args = fut.result()
+                nxt = next(chunk_iter, None)
+                if len(pending) == 1:
+                    out = self.step_fn(state, *args)
+                    stepped = 1
+                else:
+                    out = self._chunk_fn(state, *args)
+                    stepped = len(pending)
+                # dispatch is async: start the NEXT chunk's host-stack +
+                # upload before blocking on this chunk's metrics
+                fut = ex.submit(prepare, nxt) if nxt is not None else None
+                if len(out) == 3:
+                    state, metrics, last_debug = out
+                else:
+                    state, metrics = out
+                metrics = jax.device_get(metrics)
+                for j in range(stepped):
+                    for key, value in metrics.items():
+                        logger(key,
+                               float(value if stepped == 1 else value[j]),
+                               "scalar/loss", iteration=it + j)
+                it += stepped
+        return state, last_debug
+
 
 class Training:
     """TrainValLearning equivalent: loop epochs with schedules, validation,
@@ -92,9 +193,11 @@ class Training:
                  optimizers_base_lr=None, schedules=None, events=None,
                  checkpoints=None, validations=(), frozen=(),
                  batch_to_args=None, state_hook=None, profile_dir=None,
-                 mean_std=None, config_snapshot=None):
+                 mean_std=None, config_snapshot=None, chunk=0,
+                 chunk_to_args=None):
         self.loop = EpochLoop(step_fn, loader, events,
-                              batch_to_args=batch_to_args)
+                              batch_to_args=batch_to_args, chunk=chunk,
+                              chunk_to_args=chunk_to_args)
         self.epochs = epochs
         self.seed = seed
         self.base_lr = optimizers_base_lr or {}

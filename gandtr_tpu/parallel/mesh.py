@@ -61,6 +61,7 @@ def data_parallel_step(step_fn, mesh, axis="data", num_batch_args=None):
         batches = tuple(jax.device_put(b, bsh) for b in batches)
         return jitted(state, *batches)
 
+    wrapped.gandtr_dp = True  # build.py gates dispatch_chunk off this
     return wrapped
 
 

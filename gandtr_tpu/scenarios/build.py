@@ -411,6 +411,28 @@ def build_gan_experiment(scenario, sample_hw=256, batch_size=None,
         except Exception as exc:
             warnings.warn("visual validation disabled: %s" % exc)
 
+    # `learning.training.dispatch_chunk: K` (opt-in) scans K identical steps
+    # inside ONE jit dispatch with a single host-stacked upload — exactly the
+    # per-step math/order (learning/training.build_chunk_fn), it only changes
+    # the host<->device cadence. Through the tunnel each plain dispatch pays
+    # ~1 s RTT (CLAUDE.md IO rules), so this is the train-chain analog of
+    # round-2's eval uint8 staging. Incompatible with the teacher cache's
+    # per-batch host-side dispatch decision.
+    chunk = int(train_cfg.get("dispatch_chunk", 0) or 0)
+    chunk_to_args = None
+    if chunk > 1 and getattr(step, "gandtr_dp", False):
+        # the dp wrapper device_puts batch args by LEADING dim — a stacked
+        # (K, B, ...) chunk would shard the chunk axis; chunking targets the
+        # single-chip tunnel dispatch RTT, dp targets throughput — pick dp
+        warnings.warn("dispatch_chunk disabled: data-parallel step active")
+        chunk = 0
+    if chunk > 1 and not it_cfg.get("cache_teacher_targets", False):
+        chunk_to_args = lambda batches: (  # noqa: E731
+            jnp.asarray(np.stack([np.asarray(b[0]) for b in batches])),
+            jnp.asarray(np.stack([np.asarray(b[1]) for b in batches])))
+    else:
+        chunk = 0
+
     training = None
     if loader is not None:
         training = Training(
@@ -422,7 +444,8 @@ def build_gan_experiment(scenario, sample_hw=256, batch_size=None,
             profile_dir=out_cfg.get("profile"),
             mean_std=(data_cfg.get("train") or {}).get(
                 "mean_std", models["generator_X"].data_params.get("mean_std")),
-            config_snapshot=config_snapshot)
+            config_snapshot=config_snapshot, chunk=chunk,
+            chunk_to_args=chunk_to_args)
 
     return {"models": models, "variables": variables, "optimizers": optimizers,
             "state": state, "step": step, "training": training,

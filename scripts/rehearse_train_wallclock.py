@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 import jax
-import jax.numpy as jnp
+import jax.numpy as jnp  # noqa: F401  (used by the chunked phase)
 
 
 def make_corpus(root, n, seed=0):
@@ -146,6 +146,8 @@ def main():
     ap.add_argument("--batch", type=int, default=10)
     ap.add_argument("--root", default="/tmp/rehearse_train")
     ap.add_argument("--skip-host", action="store_true")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="dispatch_chunk K: scan K steps per device dispatch")
     args = ap.parse_args()
 
     t0 = time.time()
@@ -202,38 +204,105 @@ def main():
 
     # ---- phase 3: sustained train loop (the real thing) ------------------
     # mirrors EpochLoop.run_epoch: prepare_epoch -> loader -> batch_to_args
-    # -> step -> device_get(metrics) -> events logger
+    # -> step -> device_get(metrics) -> events logger. With --chunk K the
+    # loop mirrors EpochLoop._run_epoch_chunked (one dispatch per K steps).
     events = exp["events"]
+    chunk_fn = None
+    if args.chunk > 1:
+        from gandtr_tpu.learning.training import build_chunk_fn
+        chunk_fn = build_chunk_fn(step)
+
+        def chunk_to_args(batches):
+            return (jnp.asarray(np.stack([np.asarray(b[0]) for b in batches])),
+                    jnp.asarray(np.stack([np.asarray(b[1]) for b in batches])))
+
     t_loader = t_upload = t_step = 0.0
     steps_done = 0
     wall0 = time.perf_counter()
+    from concurrent.futures import ThreadPoolExecutor
     for epoch in range(1, args.epochs + 1):
         logger = (events.logger("train/learning", epoch, len(loader))
                   if events else (lambda *a, **k: None))
         loader.dataset.prepare_epoch()
-        it = iter(loader)
-        i = 0
-        while True:
-            t0 = time.perf_counter()
-            try:
-                batch = next(it)
-            except StopIteration:
-                break
-            t1 = time.perf_counter()
-            a = batch_to_args(batch)
-            t2 = time.perf_counter()
-            out = step(state, *a)
-            state, metrics = out[0], out[1]
-            metrics = jax.device_get(metrics)
-            t3 = time.perf_counter()
-            for key, value in metrics.items():
-                logger(key, float(value), "scalar/loss", iteration=i)
-            t_loader += t1 - t0
-            t_upload += t2 - t1
-            t_step += t3 - t2
-            steps_done += 1
-            i += 1
-        print("[epoch %d] cumulative: loader-wait %.1fs, upload %.1fs, "
+        if chunk_fn is not None:
+            # pipelined chunk mode (mirrors EpochLoop._run_epoch_chunked):
+            # upload of chunk N+1 runs in a thread while chunk N computes.
+            # timers: loader-wait = chunk assembly, upload-stall = blocked
+            # in fut.result() (upload NOT hidden by compute), step+fetch =
+            # blocked in device_get.
+            def chunks_iter():
+                nonlocal t_loader
+                pending = []
+                t0 = time.perf_counter()
+                for batch in loader:
+                    pending.append(batch)
+                    if len(pending) == args.chunk:
+                        t_loader += time.perf_counter() - t0
+                        yield pending
+                        pending = []
+                        t0 = time.perf_counter()
+                if pending:
+                    t_loader += time.perf_counter() - t0
+                    yield pending
+
+            def prepare(pending):
+                if len(pending) == 1:
+                    return pending, batch_to_args(pending[0])
+                return pending, chunk_to_args(pending)
+
+            i = 0
+            with ThreadPoolExecutor(1) as ex:
+                ci = chunks_iter()
+                first = next(ci, None)
+                fut = ex.submit(prepare, first) if first is not None else None
+                while fut is not None:
+                    t1 = time.perf_counter()
+                    pending, a = fut.result()
+                    t2 = time.perf_counter()
+                    if len(pending) == 1:
+                        out = step(state, *a)
+                        stepped = 1
+                    else:
+                        out = chunk_fn(state, *a)
+                        stepped = len(pending)
+                    nxt = next(ci, None)
+                    fut = ex.submit(prepare, nxt) if nxt is not None else None
+                    state, metrics = out[0], out[1]
+                    metrics = jax.device_get(metrics)
+                    t3 = time.perf_counter()
+                    for j in range(stepped):
+                        for key, value in metrics.items():
+                            logger(key, float(value if stepped == 1
+                                              else value[j]),
+                                   "scalar/loss", iteration=i + j)
+                    t_upload += t2 - t1
+                    t_step += t3 - t2
+                    steps_done += stepped
+                    i += stepped
+        else:
+            it = iter(loader)
+            i = 0
+            while True:
+                t0 = time.perf_counter()
+                try:
+                    batch = next(it)
+                except StopIteration:
+                    break
+                t1 = time.perf_counter()
+                a = batch_to_args(batch)
+                t2 = time.perf_counter()
+                out = step(state, *a)
+                state, metrics = out[0], out[1]
+                metrics = jax.device_get(metrics)
+                t3 = time.perf_counter()
+                for key, value in metrics.items():
+                    logger(key, float(value), "scalar/loss", iteration=i)
+                t_loader += t1 - t0
+                t_upload += t2 - t1
+                t_step += t3 - t2
+                steps_done += 1
+                i += 1
+        print("[epoch %d] cumulative: loader-wait %.1fs, upload-stall %.1fs, "
               "step+fetch %.1fs over %d steps" % (epoch, t_loader, t_upload,
                                                   t_step, steps_done),
               flush=True)

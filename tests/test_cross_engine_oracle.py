@@ -874,6 +874,126 @@ class TestCrossEngineGanTrain:
                 assert "%s_last%s" % (net, ext) in names, (eng, net)
 
 
+def _write_gan_multi(root):
+    """Seed-SENSITIVE GAN train data: tuples of 1 day + 5 night images with
+    idx '0_any' — slot 1 is re-drawn per epoch from np.random, which BOTH
+    engines seed identically per epoch (seed+epoch; reference
+    training.py:49-50, ours learning/training.py:139) and consume through
+    the same differential-tested get_idx sequence, so each seed yields the
+    SAME epoch tuples in both engines while different seeds yield genuinely
+    different trajectories."""
+    from PIL import Image
+    imdir = os.path.join(root, "data/train/gan_multi")
+    os.makedirs(imdir, exist_ok=True)
+    rng = np.random.RandomState(17)
+    tuples = []
+    for i in range(6):
+        names = []
+        arr = np.clip(rng.rand(32, 32, 3) * 0.3 + 0.6, 0, 1)
+        name = "day%d.png" % i
+        Image.fromarray((arr * 255).astype(np.uint8)).save(
+            os.path.join(imdir, name))
+        names.append(name)
+        for j in range(5):
+            arr = np.clip(rng.rand(32, 32, 3) * 0.3 + 0.2, 0, 1)
+            name = "night%d_%d.png" % (i, j)
+            Image.fromarray((arr * 255).astype(np.uint8)).save(
+                os.path.join(imdir, name))
+            names.append(name)
+        tuples.append(names)
+    pkl_path = os.path.join(root, "data/train/gan_multi.pkl")
+    with open(pkl_path, "wb") as f:
+        pickle.dump({"train": tuples}, f)
+    return pkl_path, imdir
+
+
+@needs_reference
+class TestCrossEngineRealLrDistribution:
+    """Multi-seed REAL-lr CycleGAN through both engines (VERDICT r4 #7):
+    real-lr parity was previously pinned by a single best-epoch bit per run
+    (pointwise trajectories go chaotically weight-dependent within 2
+    epochs — round-3 finding). Five seeds upgrade it to a distributional
+    statement: per-seed epoch-1 losses still agree pointwise (identical
+    weights + identical epoch tuples, pre-divergence), and the engines'
+    final-epoch loss RANGES across seeds must overlap for every head."""
+
+    SEEDS = (0, 1, 2, 3, 4)
+    KEYS = ("total", "netG_X_total", "netG_Y_total", "netD_X_total",
+            "netD_Y_total")
+
+    @pytest.fixture(scope="class")
+    def dist_ws(self, ref_engine, workspace):
+        root = workspace["root"]
+        pkl_path, imdir = _write_gan_multi(root)
+        ckpts = _write_cyclegan_ckpts(root)
+        return {"root": root, "pkl": pkl_path, "ims": imdir, "ckpts": ckpts}
+
+    def _params(self, ws, seed, eng):
+        import copy
+        p = copy.deepcopy(_gan_train_params(
+            os.path.join(ws["root"], "dist_%s_s%d" % (eng, seed)),
+            ws["pkl"], ws["ims"], ws["ckpts"], 2e-4))
+        p["data"]["train"]["dataset"] = {
+            "name": "RandomImageTuple", "dataset": ws["pkl"],
+            "data_key": "train", "image_dir": ws["ims"], "idx": "0_any"}
+        p["data"]["train"]["loader"]["batch_size"] = 6
+        p["learning"]["training"]["seed"] = seed
+        return p
+
+    @pytest.fixture(scope="class")
+    def runs(self, dist_ws):
+        import mdir.stages
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        from gandtr_tpu.scenarios.train_stage import train as our_train
+        out = {}
+        for seed in self.SEEDS:
+            ref = mdir.stages.train.train(
+                self._params(dist_ws, seed, "ref"), ())[0]
+            ourp = self._params(dist_ws, seed, "our")
+            ourp["sample_hw"] = 32
+            ours = our_train(ourp, ())[0]
+            ref_t = {}
+            for key in self.KEYS:
+                rk = [k for k in ref["metrics"] if k.startswith(
+                    "train/learning/loss:%s_avg" % key)]
+                assert rk, (key, sorted(ref["metrics"]))
+                ref_t[key] = [float(v) for v in ref["metrics"][rk[0]]]
+            our_t = {key: [float(v) for v in
+                           ours["metrics_series"]["train/learning/" + key]]
+                     for key in self.KEYS}
+            out[seed] = (ref_t, our_t)
+        return out
+
+    def test_epoch1_pointwise_agreement(self, runs):
+        """Identical ckpt weights + identical epoch-1 tuples: the first
+        epoch's losses agree per seed before real-lr divergence kicks in."""
+        for seed, (ref_t, our_t) in runs.items():
+            for key in self.KEYS:
+                assert abs(ref_t[key][0] - our_t[key][0]) < 1e-3, (
+                    seed, key, ref_t[key][0], our_t[key][0])
+
+    def test_seed_distribution_non_degenerate(self, runs):
+        """Different seeds must actually change the trajectories (the 'any'
+        slot resamples per epoch) — otherwise the envelope test is vacuous."""
+        finals = [runs[s][0]["total"][-1] for s in self.SEEDS]
+        assert len({round(v, 6) for v in finals}) >= 2, finals
+
+    def test_final_epoch_ranges_overlap(self, runs):
+        """Engine-distribution agreement at the real lr: for every loss head
+        the [min, max] across seeds of the final epoch must overlap between
+        engines (with a small slack for 5-sample ranges)."""
+        for key in self.KEYS:
+            ref_vals = [runs[s][0][key][-1] for s in self.SEEDS]
+            our_vals = [runs[s][1][key][-1] for s in self.SEEDS]
+            spread = max(max(ref_vals) - min(ref_vals),
+                         max(our_vals) - min(our_vals), 1e-3)
+            slack = 0.5 * spread
+            lo = max(min(ref_vals), min(our_vals))
+            hi = min(max(ref_vals), max(our_vals))
+            assert lo <= hi + slack, (key, ref_vals, our_vals)
+
+
 def _write_hedngan_ckpts(root, ref_hed_module):
     """Generator + discriminator + full-width HED detector fixtures. The
     detector state comes from the REFERENCE's own HedInterpolation class (its

@@ -301,3 +301,126 @@ class TestResumeConfigAssert:
                                             "datasets": {"d": 1}})
         with pytest.raises(RuntimeError, match="resume config mismatch"):
             t2.resume_or_start(state2)
+
+
+class _StubEvents:
+    """Captures logger rows so chunked/plain event streams can be compared."""
+
+    def __init__(self):
+        self.rows = []
+
+    def logger(self, prefix, epoch, n=None):
+        def log(key, value, dtype, iteration=None):
+            self.rows.append((iteration, key, float(value)))
+        return log
+
+
+def test_chunked_epoch_loop_matches_plain():
+    """dispatch_chunk semantics: build_chunk_fn scans the SAME step in the
+    same order — states, per-iteration metric stream, and last debug must
+    match the plain loop (incl. an uneven tail: 7 batches, chunk 3)."""
+    from gandtr_tpu.learning.training import EpochLoop
+
+    rng = np.random.RandomState(0)
+    batches = [(rng.randn(2, 4).astype(np.float32),
+                rng.randn(2, 4).astype(np.float32)) for _ in range(7)]
+
+    class FakeLoader:
+        dataset = object()
+
+        def __iter__(self):
+            return iter(batches)
+
+        def __len__(self):
+            return len(batches)
+
+    @jax.jit
+    def step(s, x, y):
+        w = s["w"] * 0.9 + x.sum() - 0.5 * y.sum()
+        return ({"w": w, "n": s["n"] + 1},
+                {"loss": x.mean() + s["w"]},
+                {"img": x[0] + s["w"]})
+
+    state0 = {"w": jnp.float32(1.0), "n": jnp.int32(0)}
+    b2a = lambda b: (jnp.asarray(b[0]), jnp.asarray(b[1]))  # noqa: E731
+    c2a = lambda bs: (jnp.asarray(np.stack([b[0] for b in bs])),  # noqa: E731
+                      jnp.asarray(np.stack([b[1] for b in bs])))
+
+    ev_plain, ev_chunk = _StubEvents(), _StubEvents()
+    plain = EpochLoop(step, FakeLoader(), events=ev_plain,
+                      batch_to_args=b2a)
+    s_p, dbg_p = plain.run_epoch(state0, 1)
+    chunked = EpochLoop(step, FakeLoader(), events=ev_chunk,
+                        batch_to_args=b2a, chunk=3, chunk_to_args=c2a)
+    s_c, dbg_c = chunked.run_epoch(state0, 1)
+
+    assert int(s_p["n"]) == int(s_c["n"]) == 7
+    np.testing.assert_allclose(float(s_p["w"]), float(s_c["w"]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(dbg_p["img"]),
+                               np.asarray(dbg_c["img"]), rtol=1e-6)
+    assert len(ev_plain.rows) == len(ev_chunk.rows) == 7
+    for (i1, k1, v1), (i2, k2, v2) in zip(ev_plain.rows, ev_chunk.rows):
+        assert (i1, k1) == (i2, k2)
+        np.testing.assert_allclose(v1, v2, rtol=1e-6, err_msg=str((i1, k1)))
+
+
+def test_dispatch_chunk_wires_through_gan_build(tmp_path):
+    """`learning.training.dispatch_chunk` reaches the epoch loop, and a
+    chunked micro train epoch equals the unchunked one (cyclegan family —
+    exercises pools + rng threading through lax.scan)."""
+    from test_dp_train_stage import _scenario
+    from gandtr_tpu.scenarios.build import build_gan_experiment
+
+    runs = {}
+    for chunk in (0, 2):
+        sc = _scenario(parallel=False)
+        sc["learning"]["training"]["dispatch_chunk"] = chunk
+        # SGD, not Adam: chunked/plain is a float-level variant comparison
+        # (scan fuses differently than standalone dispatches) and Adam
+        # amplifies ulp grad noise into ±lr sign flips at near-zero grads
+        # (CLAUDE.md round-4) — SGD keeps param diffs at true float noise
+        sc["learning"]["training"]["optimizer"] = {
+            n: {"algorithm": "sgd", "lr": 1e-3}
+            for n in ("generator_X", "discriminator_Y")}
+        exp = build_gan_experiment(sc, sample_hw=16, batch_size=2,
+                                   data_override={})
+        assert exp["training"] is None  # no loader in data_override
+        loop_chunk = chunk
+        # drive EpochLoop directly with synthetic batches
+        from gandtr_tpu.learning.training import EpochLoop
+        rng = np.random.RandomState(3)
+        batches = [(rng.rand(2, 16, 16, 3).astype(np.float32) * 2 - 1,
+                    rng.rand(2, 16, 16, 3).astype(np.float32) * 2 - 1)
+                   for _ in range(4)]
+
+        class FakeLoader:
+            dataset = object()
+
+            def __iter__(self):
+                return iter(batches)
+
+            def __len__(self):
+                return len(batches)
+
+        ev = _StubEvents()
+        c2a = lambda bs: (jnp.asarray(np.stack([b[0] for b in bs])),  # noqa: E731
+                          jnp.asarray(np.stack([b[1] for b in bs])))
+        loop = EpochLoop(
+            exp["step"], FakeLoader(), events=ev,
+            batch_to_args=lambda b: (jnp.asarray(b[0]), jnp.asarray(b[1])),
+            chunk=loop_chunk, chunk_to_args=c2a if loop_chunk else None)
+        state, _ = loop.run_epoch(exp["state"], 1)
+        runs[chunk] = (state, ev.rows)
+
+    s0, rows0 = runs[0]
+    s2, rows2 = runs[2]
+    assert int(s0.step) == int(s2.step) == 4
+    for (i1, k1, v1), (i2, k2, v2) in zip(rows0, rows2):
+        assert (i1, k1) == (i2, k2)
+        np.testing.assert_allclose(v1, v2, rtol=2e-5, atol=1e-6,
+                                   err_msg=str((i1, k1)))
+    d = max(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        s0.variables["generator_X"]["params"],
+        s2.variables["generator_X"]["params"])))
+    assert d < 1e-5, d
