@@ -253,7 +253,7 @@ class Loader:
     """
 
     def __init__(self, dataset, batch_size=1, shuffle=False, drop_last=False,
-                 num_workers=6, collate=None, seed=0):
+                 num_workers=6, collate=None, seed=0, prefetch=2):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -261,6 +261,11 @@ class Loader:
         self.num_workers = num_workers
         self.collate = collate or stack_collate
         self.rng = np.random.RandomState(seed)
+        # in-flight batch depth: dispatch_chunk drains `chunk` batches per
+        # device dispatch, so the chunked train path raises this to keep the
+        # decode threads busy during the device window (round-5 rehearsal:
+        # depth 2 left ~190 ms/step of loader drain at chunk 8)
+        self.prefetch = int(prefetch)
 
     def __len__(self):
         n = len(self.dataset)
@@ -284,7 +289,7 @@ class Loader:
 
         with ThreadPoolExecutor(self.num_workers) as ex:
             futures = []
-            prefetch = 2
+            prefetch = self.prefetch
             it = iter(batches)
 
             def submit_next():

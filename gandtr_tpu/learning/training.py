@@ -2,7 +2,7 @@
 
 The functional counterpart of the reference's EpochTraining/TrainValLearning
 (/root/reference/mdir/learning/{training,learning}.py): per-epoch derived
-seeds (seed+epoch, training.py:40-42), dataset prepare_epoch (re-sampling /
+seeds (seed + zero-based epoch, training.py:35-42,130), dataset prepare_epoch (re-sampling /
 mining), per-epoch LR schedule factors injected into the optimizer hyperparams,
 event logging, epoch checkpoints with best/last bookkeeping, and
 epoch-granular resume.
@@ -238,8 +238,15 @@ class Training:
 
     def run(self, state, start_epoch=1):
         for epoch in range(start_epoch, self.epochs + 1):
-            T.seed_transforms(self.seed + epoch)
-            np.random.seed(self.seed + epoch)
+            # reference per-epoch reseed is seed + ZERO-based epoch: its
+            # internal counter starts at -1 (initialize_training
+            # training.py:130) and set_seed(self.epoch + self.seed) runs
+            # after +=1, i.e. seed+0 for the first epoch (training.py:35-42;
+            # checkpoints name files epoch+1). Caught by the round-5
+            # multi-seed oracle: seed+epoch (1-based) drew different 'any'
+            # tuples than the reference in every epoch.
+            T.seed_transforms(self.seed + epoch - 1)
+            np.random.seed(self.seed + epoch - 1)
             state = self._apply_schedules(state, epoch)
 
             profile_this = self.profile_dir and epoch == min(2, self.epochs)

@@ -430,6 +430,10 @@ def build_gan_experiment(scenario, sample_hw=256, batch_size=None,
         chunk_to_args = lambda batches: (  # noqa: E731
             jnp.asarray(np.stack([np.asarray(b[0]) for b in batches])),
             jnp.asarray(np.stack([np.asarray(b[1]) for b in batches])))
+        if loader is not None and hasattr(loader, "prefetch"):
+            # the chunked loop drains `chunk` batches per dispatch — keep
+            # the decode threads busy through the device window
+            loader.prefetch = max(loader.prefetch, chunk + 2)
     else:
         chunk = 0
 

@@ -211,6 +211,8 @@ def main():
     if args.chunk > 1:
         from gandtr_tpu.learning.training import build_chunk_fn
         chunk_fn = build_chunk_fn(step)
+        if hasattr(loader, "prefetch"):
+            loader.prefetch = max(loader.prefetch, args.chunk + 2)
 
         def chunk_to_args(batches):
             return (jnp.asarray(np.stack([np.asarray(b[0]) for b in batches])),
@@ -218,9 +220,11 @@ def main():
 
     t_loader = t_upload = t_step = 0.0
     steps_done = 0
+    epoch_walls = []
     wall0 = time.perf_counter()
     from concurrent.futures import ThreadPoolExecutor
     for epoch in range(1, args.epochs + 1):
+        ep_wall0 = time.perf_counter()
         logger = (events.logger("train/learning", epoch, len(loader))
                   if events else (lambda *a, **k: None))
         loader.dataset.prepare_epoch()
@@ -302,6 +306,7 @@ def main():
                 t_step += t3 - t2
                 steps_done += 1
                 i += 1
+        epoch_walls.append(time.perf_counter() - ep_wall0)
         print("[epoch %d] cumulative: loader-wait %.1fs, upload-stall %.1fs, "
               "step+fetch %.1fs over %d steps" % (epoch, t_loader, t_upload,
                                                   t_step, steps_done),
@@ -319,6 +324,15 @@ def main():
     est = 50 * 1000 * per_step / 3600
     print("[train] published protocol extrapolation: 50 epochs x 1000 steps"
           " = %.2f h at this rate" % est, flush=True)
+    if len(epoch_walls) > 1:
+        # WARM steady state (epoch 1 carries the compile wall)
+        warm = sum(epoch_walls[1:]) / (len(epoch_walls) - 1)
+        warm_step = warm / args.steps
+        print("[train] WARM steady state (epochs 2+): %.0f ms/step, "
+              "%.1f img/s; protocol = %.2f h + one-time compile %.0fs"
+              % (warm_step * 1e3, args.batch / warm_step,
+                 50 * 1000 * warm_step / 3600,
+                 epoch_walls[0] - warm), flush=True)
 
 
 if __name__ == "__main__":
