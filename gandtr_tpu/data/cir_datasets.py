@@ -40,7 +40,8 @@ class TupleEpochDataset:
     loader_params = {"drop_last": True}
 
     def __init__(self, db, images, transform, image_size, miner,
-                 augment_ratio=0.25, augment_label="anc", neg_num=5):
+                 augment_ratio=0.25, augment_label="anc", neg_num=5,
+                 device_preprocess=False):
         self.db = db
         self.images = images
         self.transform = transform
@@ -53,6 +54,15 @@ class TupleEpochDataset:
         self.extract_fn = None
         self.tuples = None
         self.tuple_labels = None
+        # EXACT uint8 staging (round-5 rehearsal: the f32 images + all-ones
+        # float masks were 74 MB/step through the tunnel — 24x off the
+        # in-graph bound). imresize returns a uint8 PIL image, and the
+        # protocol transform (pil2np | totensor | normalize) is elementwise
+        # AFTER the resize, so shipping the padded uint8 crop + per-image
+        # (h, w) and normalizing in-graph is bit-identical to the host
+        # pipeline. Only enabled by the builder when the transform chain is
+        # the splittable form (transforms.split_device_transform).
+        self.device_preprocess = bool(device_preprocess)
 
     def prepare_epoch(self, network=None, device=None):
         assert self.extract_fn is not None, "set extract_fn before training"
@@ -91,6 +101,22 @@ class TupleEpochDataset:
         mask[:min(H, hw), :min(W, hw)] = 1.0
         return out, mask
 
+    def _load_tuple_u8(self, idxs):
+        """uint8 staging: padded uint8 crops + per-image valid (h, w)."""
+        outs, hws = [], []
+        hw = self.pad_size
+        for i in idxs:
+            arr = np.asarray(imresize(imread(self.images[i]),
+                                      self.image_size))
+            if arr.ndim == 2:
+                arr = arr[:, :, None].repeat(3, axis=2)
+            H, W = arr.shape[:2]
+            out = np.zeros((hw, hw, 3), np.uint8)
+            out[:min(H, hw), :min(W, hw)] = arr[:hw, :hw]
+            outs.append(out)
+            hws.append((min(H, hw), min(W, hw)))
+        return outs, np.asarray(hws, np.int32)
+
     def __getitem__(self, i):
         q, p, negs = self.tuples[i]
         negs = list(negs)
@@ -108,19 +134,22 @@ class TupleEpochDataset:
         idxs = [q, p] + negs
         labels = np.asarray([-1.0, 1.0] + (first + [0.0] * (len(negs) - 1)
                                            if negs else []), np.float32)
-        imgs, masks, pmask = [], [], []
-        for (im, m), idx, lbl in zip(self._load_tuple(idxs), idxs,
-                                     tuple_labels):
+        # regex MATCH like everywhere else the label gate appears
+        # (reference wrapper.py:124, finetune_build, CirRatioPassThrough)
+        # — startswith broke regex labels like 'anc|pos'
+        pmask = np.asarray(
+            [bool(re.match(self.augment_label, lbl)) and
+             cir_hash_passthrough(metadata_name(self.images[idx]),
+                                  self.augment_ratio)
+             for idx, lbl in zip(idxs, tuple_labels)], bool)
+        if self.device_preprocess:
+            imgs_u8, hws = self._load_tuple_u8(idxs)
+            return np.stack(imgs_u8), hws, labels, pmask
+        imgs, masks = [], []
+        for im, m in self._load_tuple(idxs):
             imgs.append(im)
             masks.append(m)
-            # regex MATCH like everywhere else the label gate appears
-            # (reference wrapper.py:124, finetune_build, CirRatioPassThrough)
-            # — startswith broke regex labels like 'anc|pos'
-            pmask.append(bool(re.match(self.augment_label, lbl)) and
-                         cir_hash_passthrough(metadata_name(self.images[idx]),
-                                              self.augment_ratio))
-        return (np.stack(imgs), np.stack(masks), labels,
-                np.asarray(pmask, bool))
+        return np.stack(imgs), np.stack(masks), labels, pmask
 
 
 def _load_db(dataset_pkl, split, ims_root, dataset_name=None):

@@ -188,6 +188,41 @@ def build_finetune_experiment(params, directory=None, db=None, images=None):
     raw_step = supervised.build_finetune_step(
         models, optimizer, margin=margin, fakebatch=fakebatch,
         criterion=criterion, augment_positions=augment_positions)
+
+    # EXACT uint8 staging for the tuple batches (round-5 rehearsal: f32
+    # images + all-ones float masks were 74 MB/step through the tunnel,
+    # 24x off the in-graph bound). imresize yields uint8 PIL; the tuple
+    # transform is elementwise after it, so /255 + normalize move in-graph
+    # bit-identically, masks rebuild from per-image (h, w), and the pad
+    # band re-zeroes by mask multiply exactly like the host _pad.
+    # `data.train.device_preprocess: false` restores the host pipeline.
+    from gandtr_tpu.data.transforms import split_device_transform
+    _gen_data_probe = augment.data_params if augment.data_params and \
+        augment.data_params != "load_from_checkpoint" else {
+            "transforms": "pil2np | totensor | normalize",
+            "mean_std": [[0.5, 0.5, 0.5], [0.5, 0.5, 0.5]]}
+    _dev_host, _dev_fn = split_device_transform(
+        _gen_data_probe.get("transforms", ""),
+        _gen_data_probe.get("mean_std", [[0.5] * 3, [0.5] * 3]))
+    device_stage = (_dev_fn is not None and
+                    bool(data_cfg.get("train", {}).get("device_preprocess",
+                                                       True)))
+    if device_stage:
+        _float_step = raw_step
+
+        def raw_step(state, imgs_u8, hws, labels, pmask):
+            T_, S_, H_, W_ = imgs_u8.shape[:4]
+            rows = jnp.arange(H_)[None, None, :, None]
+            cols = jnp.arange(W_)[None, None, None, :]
+            masks = ((rows < hws[:, :, 0, None, None]) &
+                     (cols < hws[:, :, 1, None, None])).astype(jnp.float32)
+            x = imgs_u8.astype(jnp.float32) / 255.0
+            flat = x.reshape((T_ * S_, H_, W_) + x.shape[4:])
+            y = _dev_fn(flat, mask=masks.reshape(T_ * S_, H_, W_))
+            y = y.reshape((T_, S_, H_, W_) + y.shape[3:])
+            y = y * masks[..., None]  # pad band back to exact 0 (host _pad)
+            return _float_step(state, y, masks, labels, pmask)
+
     from gandtr_tpu.scenarios.build import _maybe_data_parallel
     step, state = _maybe_data_parallel(
         raw_step, state, train_cfg.get("parallel", True),
@@ -227,10 +262,13 @@ def build_finetune_experiment(params, directory=None, db=None, images=None):
                                     .get("wrappers", ""))
         dataset = TupleEpochDataset(db, images, transform, image_size, miner,
                                     augment_ratio=ratio, augment_label=label,
-                                    neg_num=int(ds_cfg.get("neg_num", 5)))
+                                    neg_num=int(ds_cfg.get("neg_num", 5)),
+                                    device_preprocess=device_stage)
         dataset.extract_fn = _make_extract_fn(models, state, images, transform,
                                               image_size, augment_ratio=ratio,
-                                              augment_label=label)
+                                              augment_label=label,
+                                              device_fn=(_dev_fn if device_stage
+                                                         else None))
         loader = Loader(dataset, batch_size=int(loader_cfg.get("batch_size", 5)),
                         shuffle=True, drop_last=True,
                         num_workers=int(loader_cfg.get("num_workers", 6)))
@@ -315,6 +353,22 @@ def build_finetune_experiment(params, directory=None, db=None, images=None):
         out_cfg, directory=directory,
         decisive_criterion="val/learning/loss:total" if validations else None)
 
+    # dispatch_chunk (same semantics as the GAN build: lax.scan of K
+    # identical steps per dispatch with a pipelined host-stack+upload;
+    # auto-disabled under data-parallel)
+    chunk = int(train_cfg.get("dispatch_chunk", 0) or 0)
+    chunk_to_args = None
+    if chunk > 1 and getattr(step, "gandtr_dp", False):
+        import warnings as _warnings
+        _warnings.warn("dispatch_chunk disabled: data-parallel step active")
+        chunk = 0
+    if chunk > 1:
+        chunk_to_args = lambda batches: tuple(  # noqa: E731
+            jnp.asarray(np.stack([np.asarray(b[i]) for b in batches]))
+            for i in range(4))
+        if loader is not None and hasattr(loader, "prefetch"):
+            loader.prefetch = max(loader.prefetch, chunk + 2)
+
     training = None
     if loader is not None:
         training = Training(
@@ -326,7 +380,8 @@ def build_finetune_experiment(params, directory=None, db=None, images=None):
             validations=validations,
             batch_to_args=lambda b: tuple(jnp.asarray(x) for x in b),
             profile_dir=out_cfg.get("profile"),
-            config_snapshot=config_snapshot)
+            config_snapshot=config_snapshot, chunk=chunk,
+            chunk_to_args=chunk_to_args)
         # mining must see the latest weights each epoch (reference re-mines
         # with the current network, traindataset.py:295-303)
         training.state_hook = lambda s, epoch, dbg: \
@@ -347,20 +402,24 @@ def _parse_ratio(wrappers_str):
 
 
 def _make_extract_fn(models, state_ref, images, transform, image_size,
-                     augment_ratio=0.25, augment_label="anc"):
+                     augment_ratio=0.25, augment_label="anc",
+                     device_fn=None):
     """Descriptor extraction over dataset indices for mining: batched
     square-padded masked embedding (mining runs through the SAME augment+embed
     pipeline as training, reference traindataset.py:216-243). The augmentation
     gate (ratio + label regex) comes from the configured
-    cir_ratio_pass_through wrapper, not hardcoded defaults."""
+    cir_ratio_pass_through wrapper, not hardcoded defaults.
+
+    `device_fn` (from transforms.split_device_transform) enables EXACT uint8
+    staging: ship padded uint8 crops + (h, w), normalize in-graph (round-5:
+    the f32 upload made mining extraction tunnel-transfer-bound)."""
     embed = models["embed"]
     augment = models["augment"]
     holder = {"state": state_ref}
 
     batch = 8
 
-    @jax.jit
-    def fwd(variables, imgs, masks, pmask):
+    def _fwd_py(variables, imgs, masks, pmask):
         out = augment.apply(variables["augment"], imgs, train=True,
                             ctx={"pass_mask": pmask}, mask=masks)
         if isinstance(out, tuple):  # exact bucket mode: updated valid rects
@@ -368,6 +427,19 @@ def _make_extract_fn(models, state_ref, images, transform, image_size,
         else:
             x = out
         return embed.apply(variables["embed"], x, train=False, mask=masks)
+
+    fwd = jax.jit(_fwd_py)
+
+    @jax.jit
+    def fwd_u8(variables, imgs_u8, hws, pmask):
+        N_, H_, W_ = imgs_u8.shape[:3]
+        rows = jnp.arange(H_)[None, :, None]
+        cols = jnp.arange(W_)[None, None, :]
+        masks = ((rows < hws[:, 0, None, None]) &
+                 (cols < hws[:, 1, None, None])).astype(jnp.float32)
+        x = device_fn(imgs_u8.astype(jnp.float32) / 255.0, mask=masks)
+        x = x * masks[..., None]  # pad band back to exact 0 (host path)
+        return _fwd_py(variables, x, masks, pmask)
 
     import re as _re
     anc_re = _re.compile(augment_label or "anc")
@@ -379,26 +451,51 @@ def _make_extract_fn(models, state_ref, images, transform, image_size,
         vecs = []
         for i0 in range(0, len(idxs), batch):
             chunk = idxs[i0:i0 + batch]
-            imgs, masks, pmask = [], [], []
             bucket = generator_safe_bucket(image_size)
-            for idx in chunk:
-                img = imresize(imread(images[idx]), image_size)
-                arr = transform(img)
-                H, W = arr.shape[:2]
-                out = np.zeros((bucket, bucket, 3), np.float32)
-                out[:H, :W] = arr[:bucket, :bucket]
-                m = np.zeros((bucket, bucket), np.float32)
-                m[:min(H, bucket), :min(W, bucket)] = 1.0
-                imgs.append(out)
-                masks.append(m)
-                pmask.append(gate and cir_hash_passthrough(
-                    metadata_name(images[idx]), augment_ratio))
-            n = len(imgs)
-            while len(imgs) < batch:  # pad last chunk to the static batch
-                imgs.append(imgs[-1]); masks.append(masks[-1]); pmask.append(False)
-            out = fwd(holder["state"].variables, jnp.asarray(np.stack(imgs)),
-                      jnp.asarray(np.stack(masks)),
-                      jnp.asarray(np.asarray(pmask)))
+            pmask = []
+            if device_fn is not None:
+                imgs, hws = [], []
+                for idx in chunk:
+                    arr = np.asarray(imresize(imread(images[idx]), image_size))
+                    if arr.ndim == 2:
+                        arr = arr[:, :, None].repeat(3, axis=2)
+                    H, W = arr.shape[:2]
+                    out = np.zeros((bucket, bucket, 3), np.uint8)
+                    out[:min(H, bucket), :min(W, bucket)] = arr[:bucket, :bucket]
+                    imgs.append(out)
+                    hws.append((min(H, bucket), min(W, bucket)))
+                    pmask.append(gate and cir_hash_passthrough(
+                        metadata_name(images[idx]), augment_ratio))
+                n = len(imgs)
+                while len(imgs) < batch:
+                    imgs.append(imgs[-1]); hws.append(hws[-1])
+                    pmask.append(False)
+                out = fwd_u8(holder["state"].variables,
+                             jnp.asarray(np.stack(imgs)),
+                             jnp.asarray(np.asarray(hws, np.int32)),
+                             jnp.asarray(np.asarray(pmask)))
+            else:
+                imgs, masks = [], []
+                for idx in chunk:
+                    img = imresize(imread(images[idx]), image_size)
+                    arr = transform(img)
+                    H, W = arr.shape[:2]
+                    out = np.zeros((bucket, bucket, 3), np.float32)
+                    out[:H, :W] = arr[:bucket, :bucket]
+                    m = np.zeros((bucket, bucket), np.float32)
+                    m[:min(H, bucket), :min(W, bucket)] = 1.0
+                    imgs.append(out)
+                    masks.append(m)
+                    pmask.append(gate and cir_hash_passthrough(
+                        metadata_name(images[idx]), augment_ratio))
+                n = len(imgs)
+                while len(imgs) < batch:  # pad last chunk to the static batch
+                    imgs.append(imgs[-1]); masks.append(masks[-1])
+                    pmask.append(False)
+                out = fwd(holder["state"].variables,
+                          jnp.asarray(np.stack(imgs)),
+                          jnp.asarray(np.stack(masks)),
+                          jnp.asarray(np.asarray(pmask)))
             vecs.append(np.asarray(out)[:n])
         return np.concatenate(vecs, axis=0).T  # (D, N)
 

@@ -170,3 +170,44 @@ def test_finetune_validation_uses_val_split(synth, tmp_path):
     assert vds.db["ids"] == val_db["ids"]
     # val images resolve under the configured image_dir
     assert all(os.path.dirname(p) == imgdir for p in vds.images)
+
+
+def test_device_preprocess_staging_is_exact(synth, tmp_path):
+    """uint8 staging (round-5): padded uint8 crops + per-image (h,w) with
+    in-graph /255+normalize+mask must reproduce the host f32 pipeline
+    EXACTLY — same mined tuples, same per-iteration losses, same extraction
+    descriptors (imresize yields uint8 PIL; the transform is elementwise
+    after it; the pad band re-zeroes via the mask multiply)."""
+    db, images = synth
+    runs = {}
+    for dev in (False, True):
+        params = micro_params(tmp_path)
+        params["data"]["train"]["device_preprocess"] = dev
+        # SGD, not Adam: staging on/off is a float-level variant comparison
+        # (XLA fuses the in-graph /255+normalize differently) and Adam
+        # amplifies ulp grad noise into ±lr sign flips (CLAUDE.md round-4);
+        # the loss/descriptor asserts below are the value-level exactness
+        # evidence, SGD lets the param assert stay tight too
+        params["learning"]["training"]["optimizer"] = {
+            "algorithm": "sgd", "lr": 1e-3}
+        exp = build_finetune_experiment(
+            params, directory=str(tmp_path / ("exp_dev%d" % dev)),
+            db=db, images=images)
+        assert exp["dataset"].device_preprocess == dev
+        # extraction descriptors over a fixed idx set
+        descs = exp["dataset"].extract_fn([0, 1, 2, 3, 4], label="neg-pool-mine")
+        state = exp["training"].run(exp["state"])
+        hist = exp["events"].history
+        runs[dev] = (descs, state, hist)
+    d0, s0, h0 = runs[False]
+    d1, s1, h1 = runs[True]
+    np.testing.assert_allclose(d1, d0, atol=1e-6)
+    assert len(h0) == len(h1)
+    for e0, e1 in zip(h0, h1):
+        for k, v in e0["metrics"].items():
+            np.testing.assert_allclose(e1["metrics"][k], v, rtol=1e-5,
+                                       atol=1e-6, err_msg=k)
+    dmax = max(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        s0.variables["embed"]["params"], s1.variables["embed"]["params"])))
+    assert dmax < 1e-5, dmax
