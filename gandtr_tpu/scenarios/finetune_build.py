@@ -418,6 +418,10 @@ def _make_extract_fn(models, state_ref, images, transform, image_size,
     holder = {"state": state_ref}
 
     batch = 8
+    # uint8 path: bigger batches amortize the per-dispatch RTT (the round-5
+    # rehearsal measured mining dispatch-bound at batch 8); uint8 images
+    # keep the upload modest (32 × ~400 KB ≈ 13 MB)
+    u8_batch = 32
 
     def _fwd_py(variables, imgs, masks, pmask):
         out = augment.apply(variables["augment"], imgs, train=True,
@@ -444,58 +448,80 @@ def _make_extract_fn(models, state_ref, images, transform, image_size,
     import re as _re
     anc_re = _re.compile(augment_label or "anc")
 
+    def _prep_u8(chunk, gate):
+        bucket = generator_safe_bucket(image_size)
+        imgs, hws, pmask = [], [], []
+        for idx in chunk:
+            arr = np.asarray(imresize(imread(images[idx]), image_size))
+            if arr.ndim == 2:
+                arr = arr[:, :, None].repeat(3, axis=2)
+            H, W = arr.shape[:2]
+            out = np.zeros((bucket, bucket, 3), np.uint8)
+            out[:min(H, bucket), :min(W, bucket)] = arr[:bucket, :bucket]
+            imgs.append(out)
+            hws.append((min(H, bucket), min(W, bucket)))
+            pmask.append(gate and cir_hash_passthrough(
+                metadata_name(images[idx]), augment_ratio))
+        n = len(imgs)
+        while len(imgs) < u8_batch:
+            imgs.append(imgs[-1]); hws.append(hws[-1]); pmask.append(False)
+        return (n, np.stack(imgs), np.asarray(hws, np.int32),
+                np.asarray(pmask))
+
+    def _extract_u8(idxs, gate):
+        """Pipelined uint8 extraction: decode+pad of batch N+1 runs in a
+        prefetch thread while batch N computes, and the device_get of N-1
+        happens after N's async dispatch — the round-5 fix for the
+        dispatch-RTT-bound mining measured in the finetune rehearsal."""
+        from concurrent.futures import ThreadPoolExecutor
+        chunks = [idxs[i0:i0 + u8_batch]
+                  for i0 in range(0, len(idxs), u8_batch)]
+        vecs = []
+        pending = None  # (device_out, n)
+        with ThreadPoolExecutor(1) as ex:
+            fut = ex.submit(_prep_u8, chunks[0], gate)
+            for ci in range(len(chunks)):
+                n, im, hw, pm = fut.result()
+                if ci + 1 < len(chunks):
+                    fut = ex.submit(_prep_u8, chunks[ci + 1], gate)
+                out = fwd_u8(holder["state"].variables, jnp.asarray(im),
+                             jnp.asarray(hw), jnp.asarray(pm))
+                if pending is not None:
+                    vecs.append(np.asarray(pending[0])[:pending[1]])
+                pending = (out, n)
+        vecs.append(np.asarray(pending[0])[:pending[1]])
+        return np.concatenate(vecs, axis=0).T  # (D, N)
+
     def extract(idxs, label="anc-mine"):
         gate = bool(anc_re.match(label))  # only gate-label extractions are
         # augmentation-gated (reference image_label regex, wrapper.py:131-135)
-        state = holder["state"]
+        if device_fn is not None:
+            return _extract_u8(list(idxs), gate)
         vecs = []
         for i0 in range(0, len(idxs), batch):
             chunk = idxs[i0:i0 + batch]
             bucket = generator_safe_bucket(image_size)
-            pmask = []
-            if device_fn is not None:
-                imgs, hws = [], []
-                for idx in chunk:
-                    arr = np.asarray(imresize(imread(images[idx]), image_size))
-                    if arr.ndim == 2:
-                        arr = arr[:, :, None].repeat(3, axis=2)
-                    H, W = arr.shape[:2]
-                    out = np.zeros((bucket, bucket, 3), np.uint8)
-                    out[:min(H, bucket), :min(W, bucket)] = arr[:bucket, :bucket]
-                    imgs.append(out)
-                    hws.append((min(H, bucket), min(W, bucket)))
-                    pmask.append(gate and cir_hash_passthrough(
-                        metadata_name(images[idx]), augment_ratio))
-                n = len(imgs)
-                while len(imgs) < batch:
-                    imgs.append(imgs[-1]); hws.append(hws[-1])
-                    pmask.append(False)
-                out = fwd_u8(holder["state"].variables,
-                             jnp.asarray(np.stack(imgs)),
-                             jnp.asarray(np.asarray(hws, np.int32)),
-                             jnp.asarray(np.asarray(pmask)))
-            else:
-                imgs, masks = [], []
-                for idx in chunk:
-                    img = imresize(imread(images[idx]), image_size)
-                    arr = transform(img)
-                    H, W = arr.shape[:2]
-                    out = np.zeros((bucket, bucket, 3), np.float32)
-                    out[:H, :W] = arr[:bucket, :bucket]
-                    m = np.zeros((bucket, bucket), np.float32)
-                    m[:min(H, bucket), :min(W, bucket)] = 1.0
-                    imgs.append(out)
-                    masks.append(m)
-                    pmask.append(gate and cir_hash_passthrough(
-                        metadata_name(images[idx]), augment_ratio))
-                n = len(imgs)
-                while len(imgs) < batch:  # pad last chunk to the static batch
-                    imgs.append(imgs[-1]); masks.append(masks[-1])
-                    pmask.append(False)
-                out = fwd(holder["state"].variables,
-                          jnp.asarray(np.stack(imgs)),
-                          jnp.asarray(np.stack(masks)),
-                          jnp.asarray(np.asarray(pmask)))
+            pmask, imgs, masks = [], [], []
+            for idx in chunk:
+                img = imresize(imread(images[idx]), image_size)
+                arr = transform(img)
+                H, W = arr.shape[:2]
+                out = np.zeros((bucket, bucket, 3), np.float32)
+                out[:H, :W] = arr[:bucket, :bucket]
+                m = np.zeros((bucket, bucket), np.float32)
+                m[:min(H, bucket), :min(W, bucket)] = 1.0
+                imgs.append(out)
+                masks.append(m)
+                pmask.append(gate and cir_hash_passthrough(
+                    metadata_name(images[idx]), augment_ratio))
+            n = len(imgs)
+            while len(imgs) < batch:  # pad last chunk to the static batch
+                imgs.append(imgs[-1]); masks.append(masks[-1])
+                pmask.append(False)
+            out = fwd(holder["state"].variables,
+                      jnp.asarray(np.stack(imgs)),
+                      jnp.asarray(np.stack(masks)),
+                      jnp.asarray(np.asarray(pmask)))
             vecs.append(np.asarray(out)[:n])
         return np.concatenate(vecs, axis=0).T  # (D, N)
 
