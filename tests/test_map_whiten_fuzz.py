@@ -53,8 +53,8 @@ def oracle_compute_map(ranks, gnd, kappas=()):
             qgndj = np.array(gnd[i]["junk"])
         except KeyError:
             qgndj = np.empty(0)
-        pos = np.arange(ranks.shape[0])[np.in1d(ranks[:, i], qgnd)]
-        junk = np.arange(ranks.shape[0])[np.in1d(ranks[:, i], qgndj)]
+        pos = np.arange(ranks.shape[0])[np.isin(ranks[:, i], qgnd)]
+        junk = np.arange(ranks.shape[0])[np.isin(ranks[:, i], qgndj)]
         k = 0
         ij = 0
         if len(junk):
