@@ -296,6 +296,32 @@ class RandomScaleCrop(GenericTransform):
         offset = self._offset(mn - cropped_size)
         return self._crop_downscale(pics, offset, cropped_size)
 
+    def crop_only(self, *pics):
+        """Draw the SAME (scale, offset) as __call__ — identical _RNG
+        consumption — and return the raw crops WITHOUT the resize: the
+        device-scalecrop staging hook (the resize moves in-graph,
+        ops/resize.dynamic_bilinear_resize_u8). Returns (crops, None) when
+        the inputs are already at target size (the __call__ pass-through)."""
+        mn = self._pic_min_size(pics)
+        if mn is None:
+            return list(pics), None
+        assert (self.params["size"] <= mn).all()
+        lowest = max(float(np.max(self.params["size"] / mn)),
+                     self.params["scale"][0])
+        scale = self._scale(lowest)
+        cropped_size = np.ceil(self.params["size"][::-1] / scale).astype(int)
+        assert (mn >= cropped_size).all(), (mn, cropped_size)
+        offset = self._offset(mn - cropped_size)
+        y0, y1 = offset[0], offset[0] + cropped_size[0]
+        x0, x1 = offset[1], offset[1] + cropped_size[1]
+        return [pic[y0:y1, x0:x1] for pic in pics], tuple(self.params["size"])
+
+    @property
+    def max_crop_side(self):
+        """Static pad bound for the device path: ceil(size / scale_low)."""
+        return int(np.max(np.ceil(self.params["size"][::-1]
+                                  / self.params["scale"][0])))
+
     def _crop_downscale(self, pics, offset, cropped_size):
         y0, y1 = offset[0], offset[0] + cropped_size[0]
         x0, x1 = offset[1], offset[1] + cropped_size[1]
@@ -681,3 +707,36 @@ def device_quantize_rgb(y, mean_std):
     std = jnp.asarray(mean_std[1], jnp.float32)
     rgb = jnp.clip(y * std + mean, 0, 1)
     return jnp.floor(rgb * 255.0).astype(jnp.uint8)
+
+
+class DeviceScalecrop:
+    """Host half of the opt-in device-scalecrop staging
+    (`data.train.device_scalecrop`): uint8 crops at the SAME _RNG draws as
+    the host `pil2np | scalecrop | totensor | normalize` chain, padded to
+    the static bound with per-image (h, w) — /255 + bilinear resize +
+    normalize run in-graph (ops/resize.dynamic_bilinear_resize_u8, ~1e-7
+    rel off cv2's float path; the pixels and crop geometry are identical).
+    Emits [img_u8, hw, ...] per input image for stack_collate."""
+
+    def __init__(self, sc):
+        self.sc = sc
+        self.pad = sc.max_crop_side
+
+    def __call__(self, *pics):
+        arrs = []
+        for p in pics:
+            a = np.asarray(p.convert("RGB")) if hasattr(p, "convert") \
+                else np.asarray(p)
+            if a.ndim == 2:
+                a = np.repeat(a[:, :, None], 3, 2)
+            assert a.dtype == np.uint8, a.dtype  # decode output, pre-pil2np
+            arrs.append(a)
+        crops, _ = self.sc.crop_only(*arrs)
+        out = []
+        for c in crops:
+            h = min(c.shape[0], self.pad)
+            w = min(c.shape[1], self.pad)
+            buf = np.zeros((self.pad, self.pad, 3), np.uint8)
+            buf[:h, :w] = c[:self.pad, :self.pad]
+            out.extend([buf, np.asarray([h, w], np.int32)])
+        return out

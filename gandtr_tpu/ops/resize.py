@@ -106,3 +106,42 @@ def nearest_resize(x, out_h, out_w):
         return jnp.asarray(np.clip(idx.astype(np.int64), 0, in_n - 1))
 
     return x[:, src(out_h, H), :, :][:, :, src(out_w, W), :]
+
+
+def dynamic_bilinear_resize_u8(imgs_u8, hws, out_h, out_w):
+    """Per-image half-pixel bilinear resize of the valid (h, w) top-left
+    rect of padded uint8 buffers to a static (out_h, out_w), computed in
+    f32 on /255-scaled values — the in-graph form of the train chain's
+    `cv2.resize(crop_f32, (w, h))` (INTER_LINEAR default,
+    augmentation_transforms.py:138). Same formula and clamping as cv2's
+    float path; only the fp evaluation order differs (~1e-7 rel —
+    differential-tested in tests/test_device_scalecrop.py).
+
+    imgs_u8: (N, Hp, Wp, C) uint8; hws: (N, 2) int32 valid sizes.
+    Gathers stay inside [0, h)×[0, w), so the pad band never contaminates.
+    """
+    def one(img, hw):
+        x = img.astype(jnp.float32) / 255.0
+        h = hw[0]
+        w = hw[1]
+
+        def coords(out_size, in_size):
+            scale = in_size.astype(jnp.float32) / out_size
+            src = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * scale - 0.5
+            src = jnp.clip(src, 0.0, None)
+            i0 = jnp.floor(src).astype(jnp.int32)
+            i0 = jnp.clip(i0, 0, in_size - 1)
+            i1 = jnp.clip(i0 + 1, 0, in_size - 1)
+            frac = jnp.clip(src - i0.astype(jnp.float32), 0.0, 1.0)
+            return i0, i1, frac
+
+        y0, y1, wy = coords(out_h, h)
+        x0, x1, wx = coords(out_w, w)
+        top = (x[y0, :, :] * (1 - wy)[:, None, None]
+               + x[y1, :, :] * wy[:, None, None])
+        out = (top[:, x0, :] * (1 - wx)[None, :, None]
+               + top[:, x1, :] * wx[None, :, None])
+        return out
+
+    import jax
+    return jax.vmap(one)(imgs_u8, hws)

@@ -72,6 +72,26 @@ def _check_criterion_losses(crit, family):
     walk(crit)
 
 
+def _parse_device_scalecrop(tstr, mean_std):
+    """Accept exactly `pil2np | scalecrop:SIZE[:SCALE] | totensor |
+    normalize` (the GAN train protocol chain) and return the pieces of the
+    device-scalecrop staging; None for any other chain."""
+    parts = [p.strip() for p in str(tstr or "").split("|")]
+    if len(parts) != 4 or parts[0] != "pil2np" or parts[2] != "totensor" \
+            or parts[3] != "normalize":
+        return None
+    bits = parts[1].split(":")
+    if bits[0] != "scalecrop" or len(bits) < 2:
+        return None
+    from gandtr_tpu.data.transforms import RandomScaleCrop
+    sc = RandomScaleCrop(*bits[1:])
+    size = sc.params["size"]  # (w, h)
+    return {"sc": sc, "pad": sc.max_crop_side,
+            "out_hw": (int(size[1]), int(size[0])),
+            "mean": np.asarray(mean_std[0], np.float32),
+            "std": np.asarray(mean_std[1], np.float32)}
+
+
 def _maybe_data_parallel(step, state, par_cfg, batch_size, num_batch_args):
     """Shard the step's batch args over a 'data' mesh when parallel config +
     device count + batch divisibility allow; otherwise jit single-device."""
@@ -332,9 +352,50 @@ def build_gan_experiment(scenario, sample_hw=256, batch_size=None,
     batch_size_cfg = int(batch_size
                          or (data_cfg.get("train") or {}).get("loader", {})
                          .get("batch_size", 0) or 0)
+
+    # OPT-IN device-side scalecrop (`data.train.device_scalecrop: true`):
+    # the host ships padded uint8 CROPS (same pixels, same RNG draws) and
+    # the /255 + bilinear resize + normalize run in-graph — the train
+    # chain's f32 upload shrinks ~2.6x (round-5: the tunnel's 25-45 MB/s
+    # link floors the chunked step at ~350 ms). NOT default: the in-graph
+    # resize is ~1e-7 rel off cv2's float evaluation order, and the
+    # default path stays reference-identical (docs/PERF.md round-5).
+    dsc = None
+    if (data_cfg.get("train") or {}).get("device_scalecrop", False):
+        _gd = models["generator_X"].data_params or {}
+        _tstr = data_cfg["train"].get("transforms", _gd.get("transforms"))
+        _ms = data_cfg["train"].get("mean_std",
+                                    _gd.get("mean_std", [[0.5] * 3] * 2))
+        dsc = _parse_device_scalecrop(_tstr, _ms)
+        if dsc is None:
+            warnings.warn("device_scalecrop disabled: transform chain %r is "
+                          "not 'pil2np | scalecrop | totensor | normalize'"
+                          % _tstr)
+    if dsc is not None:
+        from gandtr_tpu.ops.resize import dynamic_bilinear_resize_u8
+        _inner = step
+        _mean = jnp.asarray(dsc["mean"])
+        _std = jnp.asarray(dsc["std"])
+        _oh, _ow = dsc["out_hw"]
+
+        def step(state, xu8, xhw, yu8, yhw):
+            X = (dynamic_bilinear_resize_u8(xu8, xhw, _oh, _ow)
+                 - _mean) / _std
+            Y = (dynamic_bilinear_resize_u8(yu8, yhw, _oh, _ow)
+                 - _mean) / _std
+            return _inner(state, X, Y)
+
     step, state = _maybe_data_parallel(step, state, par_cfg, batch_size_cfg,
-                                       num_batch_args=2)
-    batch_to_args = lambda b: (jnp.asarray(b[0]), jnp.asarray(b[1]))  # noqa: E731
+                                       num_batch_args=(4 if dsc else 2))
+    if dsc is not None:
+        batch_to_args = lambda b: tuple(jnp.asarray(b[i])  # noqa: E731
+                                        for i in range(4))
+    else:
+        batch_to_args = lambda b: (jnp.asarray(b[0]), jnp.asarray(b[1]))  # noqa: E731
+    if dsc is not None and it_cfg.get("cache_teacher_targets", False):
+        raise NotImplementedError(
+            "device_scalecrop is incompatible with cache_teacher_targets "
+            "(the cache keys/converts 2-arg float batches)")
     if family == "hedngan" and it_cfg.get("cache_teacher_targets", False):
         from gandtr_tpu.learning.teacher_cache import TeacherTargetCachingStep
         cache_cfg = it_cfg["cache_teacher_targets"]
@@ -355,7 +416,13 @@ def build_gan_experiment(scenario, sample_hw=256, batch_size=None,
         dp.setdefault("mean_std", gen_data.get("mean_std"))
         if batch_size:
             dp.setdefault("loader", {})["batch_size"] = batch_size
+        dp.pop("device_scalecrop", None)
         loader = initialize_dataset_loader([], "train", dp, {"shuffle": True})
+        if dsc is not None:
+            # swap the host chain for the uint8-crop half; the device half
+            # (in-graph resize+normalize) is inside `step` above
+            from gandtr_tpu.data.transforms import DeviceScalecrop
+            loader.dataset.transform = DeviceScalecrop(dsc["sc"])
 
     # events / checkpoints. The GAN configs' MultiCriterialValidation names
     # "epoch" as the decisive criterion (_gan_eval.yml:2): every epoch is
@@ -427,9 +494,10 @@ def build_gan_experiment(scenario, sample_hw=256, batch_size=None,
         warnings.warn("dispatch_chunk disabled: data-parallel step active")
         chunk = 0
     if chunk > 1 and not it_cfg.get("cache_teacher_targets", False):
-        chunk_to_args = lambda batches: (  # noqa: E731
-            jnp.asarray(np.stack([np.asarray(b[0]) for b in batches])),
-            jnp.asarray(np.stack([np.asarray(b[1]) for b in batches])))
+        _nargs = 4 if dsc is not None else 2
+        chunk_to_args = lambda batches: tuple(  # noqa: E731
+            jnp.asarray(np.stack([np.asarray(b[i]) for b in batches]))
+            for i in range(_nargs))
         if loader is not None and hasattr(loader, "prefetch"):
             # the chunked loop drains `chunk` batches per dispatch — keep
             # the decode threads busy through the device window
