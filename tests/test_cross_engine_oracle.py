@@ -1465,3 +1465,151 @@ class TestCrossEngineCutTrain:
                                 if n.startswith(net + "_epoch"))
                 assert epochs == ["%s_epoch_03%s" % (net, ext)], (eng, epochs)
                 assert "%s_last%s" % (net, ext) in names, (eng, net)
+
+
+def _dist_runs(seeds, keys, make_params):
+    """Shared multi-seed real-lr runner (CLAUDE.md round-6 #4: extend the
+    CycleGAN distribution oracle to the other families). For each seed, run
+    the REFERENCE engine then ours on the same seed-sensitive data and
+    return {seed: (ref_series, our_series)} for every loss head in `keys`."""
+    import mdir.stages
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from gandtr_tpu.scenarios.train_stage import train as our_train
+    out = {}
+    for seed in seeds:
+        ref = mdir.stages.train.train(make_params(seed, "ref"), ())[0]
+        ourp = make_params(seed, "our")
+        ourp["sample_hw"] = 32
+        ours = our_train(ourp, ())[0]
+        ref_t = {}
+        for key in keys:
+            rk = [k for k in ref["metrics"]
+                  if k.startswith("train/learning/loss:%s_avg" % key)]
+            assert rk, (key, sorted(ref["metrics"]))
+            ref_t[key] = [float(v) for v in ref["metrics"][rk[0]]]
+        our_t = {key: [float(v) for v in
+                       ours["metrics_series"]["train/learning/" + key]]
+                 for key in keys}
+        out[seed] = (ref_t, our_t)
+    return out
+
+
+def _assert_epoch1_pointwise(runs, keys, atol=1e-3):
+    for seed, (ref_t, our_t) in runs.items():
+        for key in keys:
+            assert abs(ref_t[key][0] - our_t[key][0]) < atol, (
+                seed, key, ref_t[key][0], our_t[key][0])
+
+
+def _assert_non_degenerate(runs, seeds):
+    finals = [runs[s][0]["total"][-1] for s in seeds]
+    assert len({round(v, 6) for v in finals}) >= 2, finals
+
+
+def _assert_ranges_overlap(runs, seeds, keys):
+    for key in keys:
+        ref_vals = [runs[s][0][key][-1] for s in seeds]
+        our_vals = [runs[s][1][key][-1] for s in seeds]
+        spread = max(max(ref_vals) - min(ref_vals),
+                     max(our_vals) - min(our_vals), 1e-3)
+        slack = 0.5 * spread
+        lo = max(min(ref_vals), min(our_vals))
+        hi = min(max(ref_vals), max(our_vals))
+        assert lo <= hi + slack, (key, ref_vals, our_vals)
+
+
+def _with_any_dataset(params, ws, seed):
+    """Swap in the seed-sensitive RandomImageTuple data ('0_any': the night
+    slot is re-drawn per epoch from np.random, identically seeded per epoch
+    in both engines — seed + zero-based epoch, reference training.py:130)."""
+    params["data"]["train"]["dataset"] = {
+        "name": "RandomImageTuple", "dataset": ws["pkl"],
+        "data_key": "train", "image_dir": ws["ims"], "idx": "0_any"}
+    params["data"]["train"]["loader"]["batch_size"] = 6
+    params["learning"]["training"]["seed"] = seed
+    return params
+
+
+@needs_reference
+class TestCrossEngineHedNGanDistribution:
+    """Multi-seed REAL-lr HED^N-GAN through both engines (round-6 #4 —
+    same distributional design as TestCrossEngineRealLrDistribution):
+    per-seed epoch-1 pointwise agreement + overlapping final-epoch loss
+    ranges across seeds, for all 7 distillation heads."""
+
+    SEEDS = (0, 1, 2, 3, 4)
+    KEYS = ("total", "D_real", "D_fake", "G_gan", "G_hed", "E_real",
+            "E_fake")
+
+    @pytest.fixture(scope="class")
+    def runs(self, ref_engine, workspace):
+        import copy
+        import mdir.components.model.network.hed as ref_hed
+        root = workspace["root"]
+        pkl_path, imdir = _write_gan_multi(root)
+        ckpts = _write_hedngan_ckpts(root, ref_hed)
+        ws = {"root": root, "pkl": pkl_path, "ims": imdir, "ckpts": ckpts}
+
+        def make_params(seed, eng):
+            p = copy.deepcopy(_hedngan_train_params(
+                os.path.join(root, "hngdist_%s_s%d" % (eng, seed)),
+                pkl_path, imdir, ckpts, 2e-4))
+            return _with_any_dataset(p, ws, seed)
+
+        return _dist_runs(self.SEEDS, self.KEYS, make_params)
+
+    def test_epoch1_pointwise_agreement(self, runs):
+        _assert_epoch1_pointwise(runs, self.KEYS)
+
+    def test_seed_distribution_non_degenerate(self, runs):
+        _assert_non_degenerate(runs, self.SEEDS)
+
+    def test_final_epoch_ranges_overlap(self, runs):
+        _assert_ranges_overlap(runs, self.SEEDS, self.KEYS)
+
+    def test_epoch1_distillation_tie(self, runs):
+        """Teacher == student at init ⇒ E_real is EXACTLY 0 at epoch 1 in
+        BOTH engines for every seed (torch tie-subgradient semantics) —
+        the engine-level tie pin holds at the real lr too."""
+        for seed, (ref_t, our_t) in runs.items():
+            assert ref_t["E_real"][0] == 0.0, (seed, ref_t["E_real"])
+            assert our_t["E_real"][0] == 0.0, (seed, our_t["E_real"])
+
+
+@needs_reference
+class TestCrossEngineCutDistribution:
+    """Multi-seed REAL-lr CUT through both engines (round-6 #4): the
+    PatchNCE heads' distributions must agree, not just the lr≈0
+    trajectories. num_patches 256 >= H*W keeps the NCE permutation-
+    invariant, so the only cross-engine randomness is the shared
+    per-epoch np.random tuple draw."""
+
+    SEEDS = (0, 1, 2, 3, 4)
+    KEYS = ("total", "D_real", "D_fake", "G_gan", "G_nce", "G_idt")
+
+    @pytest.fixture(scope="class")
+    def runs(self, ref_engine, workspace):
+        import copy
+        import mdir.components.model.network.p2p_networks as ref_p2p
+        root = workspace["root"]
+        pkl_path, imdir = _write_gan_multi(root)
+        ckpts = _write_cut_ckpts(root, ref_p2p)
+        ws = {"root": root, "pkl": pkl_path, "ims": imdir, "ckpts": ckpts}
+
+        def make_params(seed, eng):
+            p = copy.deepcopy(_cut_train_params(
+                os.path.join(root, "cutdist_%s_s%d" % (eng, seed)),
+                pkl_path, imdir, ckpts, 2e-4))
+            return _with_any_dataset(p, ws, seed)
+
+        return _dist_runs(self.SEEDS, self.KEYS, make_params)
+
+    def test_epoch1_pointwise_agreement(self, runs):
+        _assert_epoch1_pointwise(runs, self.KEYS)
+
+    def test_seed_distribution_non_degenerate(self, runs):
+        _assert_non_degenerate(runs, self.SEEDS)
+
+    def test_final_epoch_ranges_overlap(self, runs):
+        _assert_ranges_overlap(runs, self.SEEDS, self.KEYS)
