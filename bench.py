@@ -3,7 +3,9 @@ plus GeM-VGG16 descriptor extraction at the 1024px eval protocol, plus the
 serving index search (exact top-10 over a 100k descriptor database), plus
 the full HED^N-GAN training step (batch 10 @256², the published protocol),
 plus the descriptor fine-tune tuple step (T=5 tuples @364² incl. masked
-cv2-exact CLAHE — the path rounds 3-4 optimized 523→255 ms).
+cv2-exact CLAHE — the path rounds 3-4 optimized 523→255 ms), plus the
+mining pool-extraction graph (batch-32 masked uint8 → GeM-VGG16, the path
+round 5 pipelined and gate-partitioned).
 
 Prints the PRIMARY metric as BOTH the FIRST and the LAST JSON line (the
 round-2 artifact showed the driver records the LAST line; emitting the
@@ -414,6 +416,93 @@ def bench_finetune_tuple_step():
     img_s = T * S / best
     emit("finetune_tuple_images_per_sec_per_chip_364px", round(img_s, 2),
          "img/s/chip", round(img_s / FINETUNE_ROOFLINE_IMG_S, 4), "mfu")
+
+    bench_mining_pool_extraction()
+
+
+# Mining pool extraction FLOPs: GeM-VGG16 fwd on a 364² padded bucket =
+# 15.35 GMAC @224² (torchinfo consensus) ×2 flops ×(364/224)² = 81.1 GF/img.
+# The gate partition (finetune_build._extract_u8) routes the whole
+# 'neg-pool-mine' pool through the no-generator graph — the frozen
+# generator forward the gate's `where` used to discard no longer runs; the
+# masked cv2-exact CLAHE + meanstd wrappers still apply to every image
+# (few FLOPs, gather-bound time — included in the wall, not the roofline).
+MINING_POOL_TFLOP_PER_IMG = 0.0811
+MINING_POOL_ROOFLINE_IMG_S = 197.0 / MINING_POOL_TFLOP_PER_IMG
+
+
+def bench_mining_pool_extraction():
+    """Hard-negative-mining pool extraction (CLAUDE.md round-6 #3 — the
+    path round 5 made pipelined-uint8 and this round made gate-partitioned):
+    batch-32 padded uint8 crops + per-image (h, w) → in-graph mask build,
+    /255, imagenet normalize, pad re-zero → wrapped augment chain with the
+    generator skipped (model_positions=(): masked CLAHE + meanstd run, the
+    gate-discarded forward does not) → masked GeM-VGG16 descriptors — the
+    exact fwd_u8_plain graph mining dispatches per 32 pool images
+    (traindataset.py:246-293 is the protocol being mined for)."""
+    from gandtr_tpu.learning.network import build_single_net
+
+    B, HW = 32, 364
+    augment = build_single_net({
+        "model": {"architecture": "official_resnet_generator", "n_blocks": 9,
+                  "no_antialias": True, "no_antialias_up": True,
+                  "norm_layer": "instance"},
+        "runtime": {"frozen": True,
+                    "wrappers": "meanstd_post:[[0.5,0.5,0.5],[0.5,0.5,0.5]]:"
+                                "[[0.485,0.456,0.406],[0.229,0.224,0.225]],"
+                                "clahepost:[[0.485,0.456,0.406],"
+                                "[0.229,0.224,0.225]]:1.0,"
+                                "cir_ratio_pass_through:0.25:anc",
+                    "data": {}}})
+    embed = build_single_net({
+        "model": {"architecture": "cirnet", "cir_architecture": "vgg16",
+                  "pooling": "gem", "local_whitening": False,
+                  "whitening": False},
+        "runtime": {"wrappers": "", "data": {}}})
+    rng = np.random.RandomState(0)
+    imgs_u8 = jnp.asarray(rng.randint(0, 256, (B, HW, HW, 3), np.uint8))
+    # protocol-realistic geometry: thumbnail(362) yields mixed
+    # landscape/portrait valid rects inside the 364 bucket
+    hws = jnp.asarray([(362, 272) if i % 2 else (272, 362)
+                       for i in range(B)], jnp.int32)
+    x0 = jnp.zeros((1, HW, HW, 3), jnp.float32)
+    variables = {
+        "augment": dict(augment.init(jax.random.PRNGKey(1), x0, train=False)),
+        "embed": dict(embed.init(jax.random.PRNGKey(2), x0))}
+    mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+    std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+    ITERS = 15
+
+    @jax.jit
+    def timed_loop(v, u8):
+        rows = jnp.arange(HW)[None, :, None]
+        cols = jnp.arange(HW)[None, None, :]
+        masks0 = ((rows < hws[:, 0, None, None]) &
+                  (cols < hws[:, 1, None, None])).astype(jnp.float32)
+        pmask = jnp.zeros((B,), bool)
+
+        def body(i, acc):
+            x = u8.astype(jnp.float32) / 255.0 + i.astype(jnp.float32) * 1e-5
+            x = (x - mean) / std
+            x = x * masks0[..., None]
+            out = augment.apply(v["augment"], x, train=True,
+                                ctx={"pass_mask": pmask}, mask=masks0,
+                                model_positions=())
+            x2, masks = out if isinstance(out, tuple) else (out, masks0)
+            y = embed.apply(v["embed"], x2, train=False, mask=masks)
+            return acc + jnp.sum(y.astype(jnp.float32))
+        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+
+    assert np.isfinite(float(timed_loop(variables, imgs_u8)))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(timed_loop(variables, imgs_u8))
+        best = min(best, (time.perf_counter() - t0) / ITERS)
+
+    img_s = B / best
+    emit("mining_pool_extraction_images_per_sec_364px", round(img_s, 2),
+         "img/s/chip", round(img_s / MINING_POOL_ROOFLINE_IMG_S, 4), "mfu")
 
 
 # The tunnel chip can transiently wedge (FAILED_PRECONDITION, then HANGS on

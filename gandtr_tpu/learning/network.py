@@ -109,6 +109,14 @@ class WrappedNet:
                 xx, scale_mask = xx
             if model_positions is None:
                 out = run_module(xx, scale_mask)
+            elif len(model_positions) == 0:
+                # empty selection: the module never runs; the wrapper chain
+                # (meanstd/CLAHE/ratio-gate) still applies to every row —
+                # the exact graph an all-False pass mask reduces to (the
+                # gate's `where` discards the module output row-wise, so a
+                # batch known on host to pass nothing can skip the forward;
+                # finetune_build._extract_u8's pool partition)
+                out = xx
             else:
                 sel = jnp.concatenate([xx[p:p + 1] for p in model_positions],
                                       axis=0)

@@ -445,10 +445,34 @@ def _make_extract_fn(models, state_ref, images, transform, image_size,
         x = x * masks[..., None]  # pad band back to exact 0 (host path)
         return _fwd_py(variables, x, masks, pmask)
 
+    @jax.jit
+    def fwd_u8_plain(variables, imgs_u8, hws):
+        """No-generator graph for pass-through images: identical arithmetic
+        to fwd_u8 with an all-False pass mask — the ratio gate's `where` is
+        the FIRST post (wrappers compose in reverse), so the outer wrappers
+        (CLAHE, meanstd adaptation) still run on every row; only the module
+        forward the gate would discard is skipped (model_positions=())."""
+        N_, H_, W_ = imgs_u8.shape[:3]
+        rows = jnp.arange(H_)[None, :, None]
+        cols = jnp.arange(W_)[None, None, :]
+        masks = ((rows < hws[:, 0, None, None]) &
+                 (cols < hws[:, 1, None, None])).astype(jnp.float32)
+        x = device_fn(imgs_u8.astype(jnp.float32) / 255.0, mask=masks)
+        x = x * masks[..., None]
+        pmask = jnp.zeros((N_,), bool)
+        out = augment.apply(variables["augment"], x, train=True,
+                            ctx={"pass_mask": pmask}, mask=masks,
+                            model_positions=())
+        if isinstance(out, tuple):
+            x, masks = out
+        else:
+            x = out
+        return embed.apply(variables["embed"], x, train=False, mask=masks)
+
     import re as _re
     anc_re = _re.compile(augment_label or "anc")
 
-    def _prep_u8(chunk, gate):
+    def _prep_u8(chunk, passed):
         bucket = generator_safe_bucket(image_size)
         imgs, hws, pmask = [], [], []
         for idx in chunk:
@@ -460,37 +484,69 @@ def _make_extract_fn(models, state_ref, images, transform, image_size,
             out[:min(H, bucket), :min(W, bucket)] = arr[:bucket, :bucket]
             imgs.append(out)
             hws.append((min(H, bucket), min(W, bucket)))
-            pmask.append(gate and cir_hash_passthrough(
-                metadata_name(images[idx]), augment_ratio))
+            pmask.append(passed)
         n = len(imgs)
         while len(imgs) < u8_batch:
             imgs.append(imgs[-1]); hws.append(hws[-1]); pmask.append(False)
         return (n, np.stack(imgs), np.asarray(hws, np.int32),
                 np.asarray(pmask))
 
-    def _extract_u8(idxs, gate):
-        """Pipelined uint8 extraction: decode+pad of batch N+1 runs in a
-        prefetch thread while batch N computes, and the device_get of N-1
-        happens after N's async dispatch — the round-5 fix for the
-        dispatch-RTT-bound mining measured in the finetune rehearsal."""
+    def _run_u8_chunks(sub_idxs, augmented):
+        """Pipelined uint8 extraction of one partition: decode+pad of batch
+        N+1 runs in a prefetch thread while batch N computes, and the
+        device_get of N-1 happens after N's async dispatch — the round-5
+        fix for the dispatch-RTT-bound mining measured in the finetune
+        rehearsal. Returns (len(sub_idxs), D)."""
         from concurrent.futures import ThreadPoolExecutor
-        chunks = [idxs[i0:i0 + u8_batch]
-                  for i0 in range(0, len(idxs), u8_batch)]
+        chunks = [sub_idxs[i0:i0 + u8_batch]
+                  for i0 in range(0, len(sub_idxs), u8_batch)]
         vecs = []
         pending = None  # (device_out, n)
         with ThreadPoolExecutor(1) as ex:
-            fut = ex.submit(_prep_u8, chunks[0], gate)
+            fut = ex.submit(_prep_u8, chunks[0], augmented)
             for ci in range(len(chunks)):
                 n, im, hw, pm = fut.result()
                 if ci + 1 < len(chunks):
-                    fut = ex.submit(_prep_u8, chunks[ci + 1], gate)
-                out = fwd_u8(holder["state"].variables, jnp.asarray(im),
-                             jnp.asarray(hw), jnp.asarray(pm))
+                    fut = ex.submit(_prep_u8, chunks[ci + 1], augmented)
+                if augmented:
+                    out = fwd_u8(holder["state"].variables, jnp.asarray(im),
+                                 jnp.asarray(hw), jnp.asarray(pm))
+                else:
+                    out = fwd_u8_plain(holder["state"].variables,
+                                       jnp.asarray(im), jnp.asarray(hw))
                 if pending is not None:
                     vecs.append(np.asarray(pending[0])[:pending[1]])
                 pending = (out, n)
         vecs.append(np.asarray(pending[0])[:pending[1]])
-        return np.concatenate(vecs, axis=0).T  # (D, N)
+        return np.concatenate(vecs, axis=0)
+
+    def _extract_u8(idxs, gate):
+        """Gate-partitioned extraction (round-5 late): the pass mask is a
+        HOST-side hash of the image name (wrapper.py:131-135), known before
+        dispatch — so pass-through images (ALL of the 22k 'neg-pool-mine'
+        pool, ~75% of gated anchors at the protocol ratio) skip the frozen
+        generator forward (the gate's `where` would discard it; the outer
+        CLAHE/meanstd wrappers still apply — ~70% of the pool path's
+        FLOPs). Per-image compute is batch-independent (instance norm /
+        per-image CLAHE / VGG), so re-grouping is exact; results scatter
+        back into input order."""
+        idxs = list(idxs)
+        if gate:
+            flags = [cir_hash_passthrough(metadata_name(images[i]),
+                                          augment_ratio) for i in idxs]
+        else:
+            flags = [False] * len(idxs)
+        out = None
+        for positions, augmented in (
+                ([k for k, f in enumerate(flags) if f], True),
+                ([k for k, f in enumerate(flags) if not f], False)):
+            if not positions:
+                continue
+            vecs = _run_u8_chunks([idxs[k] for k in positions], augmented)
+            if out is None:
+                out = np.empty((len(idxs), vecs.shape[1]), vecs.dtype)
+            out[np.asarray(positions)] = vecs
+        return out.T  # (D, N)
 
     def extract(idxs, label="anc-mine"):
         gate = bool(anc_re.match(label))  # only gate-label extractions are

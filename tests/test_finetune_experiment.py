@@ -194,14 +194,19 @@ def test_device_preprocess_staging_is_exact(synth, tmp_path):
             params, directory=str(tmp_path / ("exp_dev%d" % dev)),
             db=db, images=images)
         assert exp["dataset"].device_preprocess == dev
-        # extraction descriptors over a fixed idx set
+        # extraction descriptors over a fixed idx set: ungated (pool) AND
+        # gated (anchors, ratio 0.5 ⇒ a mixed augment/plain partition —
+        # pins the u8 path's gate-partitioned dispatch against the host
+        # mixed-batch graph)
         descs = exp["dataset"].extract_fn([0, 1, 2, 3, 4], label="neg-pool-mine")
+        descs_anc = exp["dataset"].extract_fn(list(range(8)), label="anc-mine")
         state = exp["training"].run(exp["state"])
         hist = exp["events"].history
-        runs[dev] = (descs, state, hist)
-    d0, s0, h0 = runs[False]
-    d1, s1, h1 = runs[True]
+        runs[dev] = (descs, state, hist, descs_anc)
+    d0, s0, h0, a0 = runs[False]
+    d1, s1, h1, a1 = runs[True]
     np.testing.assert_allclose(d1, d0, atol=1e-6)
+    np.testing.assert_allclose(a1, a0, atol=1e-6)
     assert len(h0) == len(h1)
     for e0, e1 in zip(h0, h1):
         for k, v in e0["metrics"].items():
