@@ -435,6 +435,20 @@ def _make_extract_fn(models, state_ref, images, transform, image_size,
     fwd = jax.jit(_fwd_py)
 
     @jax.jit
+    def fwd_plain(variables, imgs, masks):
+        """f32 twin of fwd_u8_plain: wrapped chain with the generator
+        skipped (model_positions=()) for all-pass-through batches."""
+        out = augment.apply(variables["augment"], imgs, train=True,
+                            ctx={"pass_mask": jnp.zeros((imgs.shape[0],),
+                                                        bool)},
+                            mask=masks, model_positions=())
+        if isinstance(out, tuple):
+            x, masks = out
+        else:
+            x = out
+        return embed.apply(variables["embed"], x, train=False, mask=masks)
+
+    @jax.jit
     def fwd_u8(variables, imgs_u8, hws, pmask):
         N_, H_, W_ = imgs_u8.shape[:3]
         rows = jnp.arange(H_)[None, :, None]
@@ -553,33 +567,56 @@ def _make_extract_fn(models, state_ref, images, transform, image_size,
         # augmentation-gated (reference image_label regex, wrapper.py:131-135)
         if device_fn is not None:
             return _extract_u8(list(idxs), gate)
-        vecs = []
-        for i0 in range(0, len(idxs), batch):
-            chunk = idxs[i0:i0 + batch]
-            bucket = generator_safe_bucket(image_size)
-            pmask, imgs, masks = [], [], []
-            for idx in chunk:
-                img = imresize(imread(images[idx]), image_size)
-                arr = transform(img)
-                H, W = arr.shape[:2]
-                out = np.zeros((bucket, bucket, 3), np.float32)
-                out[:H, :W] = arr[:bucket, :bucket]
-                m = np.zeros((bucket, bucket), np.float32)
-                m[:min(H, bucket), :min(W, bucket)] = 1.0
-                imgs.append(out)
-                masks.append(m)
-                pmask.append(gate and cir_hash_passthrough(
-                    metadata_name(images[idx]), augment_ratio))
-            n = len(imgs)
-            while len(imgs) < batch:  # pad last chunk to the static batch
-                imgs.append(imgs[-1]); masks.append(masks[-1])
-                pmask.append(False)
-            out = fwd(holder["state"].variables,
-                      jnp.asarray(np.stack(imgs)),
-                      jnp.asarray(np.stack(masks)),
-                      jnp.asarray(np.asarray(pmask)))
-            vecs.append(np.asarray(out)[:n])
-        return np.concatenate(vecs, axis=0).T  # (D, N)
+        # host-f32 fallback: same gate partition as _extract_u8 (the
+        # generator forward is only dispatched for rows the gate passes)
+        idxs = list(idxs)
+        if gate:
+            flags = [cir_hash_passthrough(metadata_name(images[i]),
+                                          augment_ratio) for i in idxs]
+        else:
+            flags = [False] * len(idxs)
+        full = None
+        for positions, augmented in (
+                ([k for k, f in enumerate(flags) if f], True),
+                ([k for k, f in enumerate(flags) if not f], False)):
+            if not positions:
+                continue
+            sub = [idxs[k] for k in positions]
+            vecs = []
+            for i0 in range(0, len(sub), batch):
+                chunk = sub[i0:i0 + batch]
+                bucket = generator_safe_bucket(image_size)
+                imgs, masks = [], []
+                for idx in chunk:
+                    img = imresize(imread(images[idx]), image_size)
+                    arr = transform(img)
+                    H, W = arr.shape[:2]
+                    out = np.zeros((bucket, bucket, 3), np.float32)
+                    out[:H, :W] = arr[:bucket, :bucket]
+                    m = np.zeros((bucket, bucket), np.float32)
+                    m[:min(H, bucket), :min(W, bucket)] = 1.0
+                    imgs.append(out)
+                    masks.append(m)
+                n = len(imgs)
+                while len(imgs) < batch:  # pad last chunk to static batch
+                    imgs.append(imgs[-1]); masks.append(masks[-1])
+                pm = np.zeros(batch, bool)
+                pm[:n] = augmented
+                if augmented:
+                    out = fwd(holder["state"].variables,
+                              jnp.asarray(np.stack(imgs)),
+                              jnp.asarray(np.stack(masks)),
+                              jnp.asarray(pm))
+                else:
+                    out = fwd_plain(holder["state"].variables,
+                                    jnp.asarray(np.stack(imgs)),
+                                    jnp.asarray(np.stack(masks)))
+                vecs.append(np.asarray(out)[:n])
+            vecs = np.concatenate(vecs, axis=0)
+            if full is None:
+                full = np.empty((len(idxs), vecs.shape[1]), vecs.dtype)
+            full[np.asarray(positions)] = vecs
+        return full.T  # (D, N)
 
     extract.holder = holder
     return extract
